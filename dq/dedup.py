@@ -1,0 +1,222 @@
+"""Deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Extends the reference's exact-dup counting (duplicidade family,
+ColetaDuplicidade.scala:88-149) with the near-dup detectors a web-scale
+training-data pipeline needs. Everything except SimHash's bit voting is
+pure native Catalyst expressions — shingling, min-hashing and banding are
+array expressions inside whole-stage codegen, and the only shuffles are
+(a) the band-bucket exchange and (b) the candidate-pair join, both keyed by
+uniform hashes (no skew by construction). That is the property that holds
+at 10^12 docs: cost is O(docs x bands) exchange, never O(docs^2).
+
+SimHash packs 64 bit-votes per doc — awkward as a SQL expression — so it is
+an Arrow-batched pandas UDF (deterministic blake2b token hashes); Hamming
+verification back in SQL via bit_count(a ^ b).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------ exact --
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """Keep one deterministic survivor per identical text: the minimal
+    ``key_col`` (row_number over the fingerprint cluster — SURVEY.md §2.5)."""
+    fp = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy(fp).orderBy(F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_flag(text_col: str = "text", key_col: str = "url") -> Column:
+    """Column marking non-survivor exact duplicates (True = duplicate copy)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(key_col))
+    return F.row_number().over(w) > 1
+
+
+# ---------------------------------------------------------------- minhash --
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as a native array expression."""
+    toks = tokens_col(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # short docs: the whole token string is the single shingle
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, windows).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{k-1}.
+
+    Scale-honest formulation: explode shingles to rows, then ONE hash
+    aggregate with k min(xxhash64(seed, shingle)) partials — linear work,
+    map-side combine, no k-times-duplicated expression tree (a single
+    nested-array expression forces Catalyst to re-evaluate the shingle
+    construction k times per row and blows up codegen compile time).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def band_key_cols(num_hashes: int = 32, bands: int = 8) -> list[Column]:
+    """LSH band digests over signature columns h0..h{k-1}."""
+    r = num_hashes // bands
+    return [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
+
+    Plan shape: scan -> explode shingles -> hash-agg signatures ->
+    posexplode band keys -> self-equi-join on (band, key) -> distinct.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    buckets = sigs.select(
+        F.col("doc"),
+        F.posexplode(F.array(*band_key_cols(num_hashes, bands))).alias("band", "key"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the LSH verify step)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates -> exact-Jaccard filter."""
+    cands = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- simhash --
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def simhash_one(text: str | None) -> int:
+    """64-bit SimHash over whitespace tokens (signed-int64 packing)."""
+    votes = [0] * 64
+    for tok in (text or "").lower().split():
+        h = _token_hash(tok)
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    v = sum(1 << bit for bit in range(64) if votes[bit] > 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_batch(texts: pd.Series) -> pd.Series:
+    return pd.Series([simhash_one(t) for t in texts], index=texts.index, dtype="int64")
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return simhash_batch(texts)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band on 4x16-bit chunks (any-chunk-equal is a
+    candidate; guarantees recall for hamming<=3), verify with bit_count(xor).
+    """
+    sh = df.select(F.col(id_col).alias("doc"), simhash_udf(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "doc",
+        "sim",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sim", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,119 @@
+"""IO layer: table read/write, partition manifests, checkpoint manifests.
+
+Replaces the reference's Hive metastore surface (SURVEY.md §2.1 S1-S8):
+``SHOW PARTITIONS`` string parsing (duplicidade/ColetaDuplicidade.scala:44-58)
+becomes a pruned single-column distinct scan; INSERT OVERWRITE of a table
+being read (volumetria/ColetaVolumetria.scala:118-123 — illegal in Spark 3)
+becomes a staged overwrite; resume state lives in a JSON checkpoint manifest
+(idempotent re-runs, the north-rule requirement).
+
+Prod target is an Iceberg catalog (partition metadata table, transactional
+MERGE, snapshot isolation); the jars are not in this container, so the same
+API is backed by parquet directories here — the seam is this module only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-provided parquet table (S1)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Temp-view bridge (S8, ≙ registerTempTable)."""
+    for n in names or TABLES:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def partition_values(df: DataFrame, partition_expr) -> DataFrame:
+    """Partition-metadata scan (S2): distinct values of the partition expr.
+
+    On Iceberg this is ``SELECT partition FROM tbl.partitions`` (pure
+    metadata); on parquet it is a single-column distinct — column-pruned,
+    so the scan reads only that column.
+    """
+    return df.select(F.expr(partition_expr).alias("partition_value")).distinct()
+
+
+def partition_exists(df: DataFrame, partition_expr: str, value: str) -> bool:
+    """Partition-existence gate (S3 ≙ ColetaVolumetria.scala:37-51).
+
+    The format dispatch (formato 1|2) is resolved by the CALLER in Python
+    before building ``partition_expr`` — a plain equality predicate that
+    Catalyst turns into partition pruning (SURVEY.md §4.1 row 1).
+    """
+    return df.where(F.expr(partition_expr) == F.lit(value)).limit(1).count() > 0
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """Staged INSERT OVERWRITE (S5): safe when ``df`` reads from ``path``.
+
+    Spark 3 forbids overwriting a path being read; we materialize to a
+    sibling staging dir then atomically swap. Iceberg makes this a
+    transactional REPLACE — this is the parquet fallback.
+    """
+    stage = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(stage)
+    final_tmp = path.rstrip("/") + ".old"
+    spark = df.sparkSession
+    if os.path.exists(path):
+        os.rename(path, final_tmp)
+    os.rename(stage, path)
+    if os.path.exists(final_tmp):
+        import shutil
+
+        shutil.rmtree(final_tmp)
+    _ = spark  # session kept for API symmetry with the Iceberg backend
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """ORC/parquet append sink (S4 ≙ df.write.mode("append").insertInto)."""
+    df.write.mode("append").parquet(path)
+
+
+class CheckpointManifest:
+    """Idempotent-resume manifest: which (table, partition) units are done.
+
+    Stand-in for Iceberg snapshot metadata; JSON on local/DBFS-style storage.
+    Each unit is marked done AFTER its output commit, so a crash between
+    compute and mark re-runs that unit (outputs are overwrite-idempotent).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self._done = set(json.load(f))
+
+    @staticmethod
+    def _key(table: str, partition: str) -> str:
+        return f"{table}\x1f{partition}"
+
+    def is_done(self, table: str, partition: str) -> bool:
+        return self._key(table, partition) in self._done
+
+    def mark_done(self, table: str, partition: str) -> None:
+        self._done.add(self._key(table, partition))
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d or ".", suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(sorted(self._done), f)
+        os.replace(tmp, self.path)
+
+    def pending(self, units: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        return [(t, p) for t, p in units if not self.is_done(t, p)]

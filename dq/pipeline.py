@@ -1,0 +1,124 @@
+"""End-to-end web-text quality-filter pipeline (the north-rule payload).
+
+Stage order (one logical plan — Catalyst fuses the narrow stages into a
+single codegen'd pass over the scan; only dedup adds a shuffle, keyed by a
+uniform content hash so it cannot skew):
+
+    scan pages -> extract (native regex chain) -> heuristics (native)
+    -> langid (pandas UDF) -> perplexity (pandas UDF) -> scrub (native)
+    -> exact-dup survivor (window over sha2(text)) -> keep decision
+    -> lineage metrics per partition (dt_foto)
+
+The keep decision and scrubbed text have pure-pandas oracle twins
+(dq.heuristics / dq.langid / dq.perplexity / dq.scrub) — the F1>=0.99 /
+byte-identical contract is tested in tests/test_pipeline.py.
+
+Scale notes (10^12 docs): pages are processed per dt_foto partition with a
+checkpoint manifest (idempotent resume); model artifacts are module-level
+constants imported per executor (KBs — for MB-scale models switch to
+SparkContext.broadcast); hot-domain skew never reaches a shuffle key (the
+only wide ops key on sha2/xxhash64 hashes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dq import heuristics
+from dq.extract import extract_text_col
+from dq.io import CheckpointManifest
+from dq.langid import langid_udf
+from dq.perplexity import perplexity_udf
+from dq.scrub import scrub_col
+
+TARGET_LANG = "en"
+MAX_PERPLEXITY = 2000.0
+PARTITION_COL = "dt_foto"
+
+
+def with_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """Derive the reference-style yyyyMMdd partition label from crawl time
+    (format normalization once at ingest — SURVEY.md §1.4)."""
+    return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
+
+
+def enrich(df: DataFrame, verify_extraction: bool = True) -> DataFrame:
+    """All per-doc stages; returns input columns + metrics + decisions."""
+    out = with_partition(df)
+    if verify_extraction and "html" in df.columns:
+        out = out.withColumn("text_extracted", extract_text_col(F.col("html"))).withColumn(
+            "extraction_ok", F.col("text_extracted").eqNullSafe(F.col("text"))
+        )
+    out = heuristics.with_heuristic_metrics(out)
+    out = out.withColumn("keep_heuristic", heuristics.keep_expr())
+    lid = langid_udf(F.col("text"))
+    out = out.withColumn("lang_pred", lid.getField("lang_pred")).withColumn(
+        "lang_margin", lid.getField("lang_margin")
+    )
+    out = out.withColumn("keep_lang", F.col("lang_pred") == F.lit(TARGET_LANG))
+    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
+    out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(MAX_PERPLEXITY))
+    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
+    out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
+    # deterministic exact-dup survivor: first url per content hash
+    from dq.dedup import exact_dup_flag
+
+    out = out.withColumn("is_exact_dup", exact_dup_flag("text", "url"))
+    return out.withColumn(
+        "keep",
+        F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl") & ~F.col("is_exact_dup"),
+    )
+
+
+def lineage_metrics(enriched: DataFrame) -> DataFrame:
+    """Per-partition lineage row (DQ_LINEAGE shape): input/kept/dropped/
+    scrubbed/dup counts — one hash-agg pass, map-side partials."""
+    return enriched.groupBy(PARTITION_COL).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),
+        F.sum(F.col("pii_found").cast("long")).cast("bigint").alias("n_scrubbed"),
+        F.sum(F.col("is_exact_dup").cast("long")).cast("bigint").alias("n_exact_dups"),
+        F.date_format(F.current_date(), "yyyyMMdd").alias("dt_processamento"),
+        F.lit(1).cast("bigint").alias("status"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    table_name: str = "pages",
+    resume: bool = True,
+) -> DataFrame:
+    """Materializing run: kept docs + lineage to side tables, checkpointed
+    per partition for idempotent resume (north rule). Returns lineage."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = CheckpointManifest(os.path.join(out_dir, "manifest.json"))
+    parts = [
+        r.partition_value
+        for r in with_partition(pages).select(F.col(PARTITION_COL).alias("partition_value")).distinct().collect()
+    ]
+    todo = manifest.pending([(table_name, p) for p in sorted(parts)]) if resume else [
+        (table_name, p) for p in sorted(parts)
+    ]
+    enriched_all = enrich(pages)
+    for _, part in todo:
+        part_df = enriched_all.where(F.col(PARTITION_COL) == part)
+        kept = part_df.where(F.col("keep")).select(
+            "url", "warc_ts", PARTITION_COL, F.col("text_scrubbed").alias("text"), "lang_pred"
+        )
+        kept.write.mode("overwrite").parquet(os.path.join(out_dir, f"kept/{PARTITION_COL}={part}"))
+        # per-partition overwrite (NOT append): re-running a partition after a
+        # crash-before-mark must not duplicate its lineage row (idempotence)
+        lineage_metrics(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}")
+        )
+        manifest.mark_done(table_name, part)
+    # partition-dir type inference would surface dt_foto as int; pin string
+    return spark.read.parquet(os.path.join(out_dir, "lineage")).withColumn(
+        PARTITION_COL, F.col(PARTITION_COL).cast("string")
+    )

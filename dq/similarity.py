@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine / dot-product top-k — a broadcast of the query
+set against a single scan of the corpus (no N^2 shuffle; the corpus side
+never moves). Scale path: sign-random-projection LSH — 16-bit signatures,
+banded like SimHash, so candidate generation is an equi-join on bucket keys
+and only candidates pay the exact-distance cost.
+
+Dot products are native ``zip_with``/``aggregate`` expressions (JVM,
+codegen) — no Python in the scoring loop. ``quantized_dot`` uses
+floor(x*1000) int64 arithmetic: exact, engine-portable (the DuckDB oracle
+reproduces it bit-for-bit, no float summation-order issues).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_col(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a, b) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def quantized_vec(a) -> Column:
+    """int64 quantization (floor(x*1000)) — exact cross-engine arithmetic."""
+    return F.transform(_vec(a), lambda x: F.floor(x.cast("double") * 1000).cast("bigint"))
+
+
+def quantized_dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(quantized_vec(a), quantized_vec(b), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "quantized_dot",
+) -> DataFrame:
+    """Exact top-k: broadcast(queries) x corpus scan -> window rank.
+
+    Output: (query_id, neighbor_id, rank, score). Self-matches excluded;
+    ties broken by neighbor_id (deterministic).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    score = {
+        "quantized_dot": quantized_dot("_qv", "_cv"),
+        "dot": dot_col("_qv", "_cv"),
+        "cosine": cosine_col("_qv", "_cv"),
+    }[metric]
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 7) -> Column:
+    """Sign-random-projection signature as ONE native expression: each bit is
+    sign(<v, h_b>) with the hyperplane baked in as literal weights."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = []
+    for b in range(n_bits):
+        weights = F.array(*[F.lit(float(w)) for w in planes[b]])
+        proj = F.aggregate(
+            F.zip_with(_vec(vec), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_chunks: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share >=1 signature chunk (banded SRP),
+    then exact quantized-dot rank. Join is equi on (chunk_id, chunk) —
+    shuffle O(docs x chunks), never O(docs^2)."""
+    bits_per = n_bits // n_chunks
+
+    def chunked(df: DataFrame, idname: str) -> DataFrame:
+        sig = srp_signature(F.col(vec_col), dim, n_bits, seed)
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"_{idname}_v"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(sig, c * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+
+    qc = chunked(queries, "query_id")
+    cc = chunked(corpus, "neighbor_id")
+    cands = (
+        qc.join(cc, ["chunk_id", "chunk"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", quantized_dot("_query_id_v", "_neighbor_id_v").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH candidates +
+    exact cosine verify (the near-dup tier above MinHash text dedup)."""
+    bits_per = 4
+    sig = srp_signature(F.col(vec_col), dim, n_bits, seed)
+    chunks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig, c * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
+                    for c in range(n_bits // bits_per)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .distinct()
+    )

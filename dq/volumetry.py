@@ -1,0 +1,100 @@
+"""Row-volume collection & reconciliation — the reference's volumetria family.
+
+Semantics reproduced from volumetria/ColetaVolumetria.scala:31-123:
+partition gate -> (failure row | measured count row) -> SCD-style history
+merge. Deviations (documented, SURVEY.md §4.3): the merge key is a real
+multi-column predicate (left_anti join), NOT a null-unsafe concat string
+(ColetaVolumetria.scala:100); the pre-write ORDER BY is dropped
+(non-semantic); read-then-overwrite is staged (Spark 3 legality).
+
+Scale: the measured count is a partition-pruned scan + partial (map-side)
+count — no shuffle of data rows; the history merge shuffles only the tiny
+history table; the anchor/fresh frames are 1 row and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dq.schema import DQ_FAILURES, DQ_VOLUMETRIA
+
+MERGE_KEYS = ["banco", "tabela", "dt_foto", "dt_processamento"]
+
+
+def _today(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(F.date_format(F.current_date(), "yyyyMMdd").alias("dt_processamento"))
+
+
+def failure_row(
+    spark: SparkSession, banco: str, tabela: str, dt_foto: str, campo: str, formato: str
+) -> DataFrame:
+    """Constant-projection failure row, status=0 (≙ ColetaVolumetria.scala:54-62)."""
+    return spark.createDataFrame(
+        [(banco, tabela, dt_foto, campo, formato, 0)], schema=DQ_FAILURES
+    )
+
+
+def measure_row(
+    df: DataFrame,
+    banco: str,
+    tabela: str,
+    dt_foto: str,
+    partition_expr: str,
+    fonte: str = "2",
+) -> DataFrame:
+    """Labeled count(*) of one partition (≙ ColetaVolumetria.scala:77-94).
+
+    ``partition_expr`` is the already-resolved (format-dispatched in Python)
+    partition expression, so the equality predicate prunes at the scan.
+    """
+    counted = (
+        df.where(F.expr(partition_expr) == F.lit(dt_foto))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("qtde_registros"))
+    )
+    return counted.select(
+        F.lit(banco).alias("banco"),
+        F.lit(tabela).alias("tabela"),
+        F.lit(dt_foto).alias("dt_foto"),
+        F.date_format(F.current_date(), "yyyyMMdd").alias("dt_processamento"),
+        F.col("qtde_registros"),
+        F.lit(fonte).alias("fonte"),
+    )
+
+
+def merge_history(history: DataFrame, fresh: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """SCD-style upsert (C2 ≙ ColetaVolumetria.scala:97-123).
+
+    history rows whose key collides with a fresh row are replaced; null-safe
+    key equality (eqNullSafe) instead of the reference's concat trick (P4).
+    ``fresh`` is tiny (per-run rows) -> broadcast anti-join, no history shuffle.
+    """
+    keys = keys or MERGE_KEYS
+    cond = [history[k].eqNullSafe(fresh[k]) for k in keys]
+    kept = history.alias("h").join(F.broadcast(fresh.alias("f")), cond, "left_anti")
+    return kept.unionByName(fresh).dropDuplicates()
+
+
+def collect_volumetria(
+    spark: SparkSession,
+    monitored: DataFrame,
+    history: DataFrame,
+    banco: str,
+    tabela: str,
+    dt_foto: str,
+    partition_expr: str,
+    campo: str = "dt_foto",
+    formato: str = "1",
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Full ColetaVolumetria lifecycle. Returns (new_history, failure_row) —
+    exactly one is non-None (partition gate, C1)."""
+    from dq.io import partition_exists
+
+    if not partition_exists(monitored, partition_expr, dt_foto):
+        return None, failure_row(spark, banco, tabela, dt_foto, campo, formato)
+    fresh = measure_row(monitored, banco, tabela, dt_foto, partition_expr)
+    return merge_history(history, fresh), None
+
+
+def empty_history(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], schema=DQ_VOLUMETRIA)
