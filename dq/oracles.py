@@ -1,0 +1,321 @@
+"""DuckDB oracle SQL for every SQL-expressible query in ``dq.queries``.
+
+The SQL strings are BUILT from the same Python constants the Spark
+implementations use (band edges/labels, stopword lists, scrub patterns,
+thresholds), so the two sides cannot drift. Determinism notes mirror
+dq/queries.py: cents quantization before sums, integer-derived double
+divisions only, identical tie-breaks on every rank.
+
+Queries with no entry here (minhash/simhash/embedding LSH, UDF pipeline,
+multimodal) are genuinely non-SQL-expressible (xxhash64 / blake2b / model
+state); the driver records rows-only checks for them.
+"""
+
+from __future__ import annotations
+
+from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
+from dq.queries import (
+    ANN_K,
+    ANN_QUERY_MOD,
+    GATE_MISSING_DT,
+    LANG_HINT_STOPWORDS,
+    PRICE_BAND_EDGES,
+    PRICE_BAND_LABELS,
+    REMEDIATION_EXCLUDED,
+    REMEDIATION_MANIFEST,
+    VALUE_BAND_EDGES,
+    VALUE_BAND_LABELS,
+)
+from dq.scrub import SCRUB_RULES
+from dq.textstats import BPE_SPLIT_PATTERN
+
+_DT = "strftime(ts, '%Y%m%d')"
+
+
+def _sql_list(items: list[str]) -> str:
+    inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+    return f"[{inner}]"
+
+
+def _band_case(col: str, edges: list[float], labels: list[str]) -> str:
+    parts = [f"WHEN {col} <= {edges[0]!r} THEN '{labels[0]}'"]
+    for i in range(1, len(edges)):
+        parts.append(f"WHEN {col} <= {edges[i]!r} THEN '{labels[i]}'")
+    whens = " ".join(parts)
+    return f"CASE {whens} ELSE '{labels[len(edges)]}' END"
+
+
+def _scrub_chain(col: str) -> str:
+    out = col
+    for _, pat, rep in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    return out
+
+
+_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_LINES = "regexp_split_to_array(text, '\\n')"
+_STOPS = _sql_list(STOPWORDS)
+
+
+def _heuristics_cte() -> str:
+    """Per-doc metric CTE mirroring dq.heuristics.with_heuristic_metrics."""
+    stop_hits = f"list_filter(words, x -> list_contains({_STOPS}, lower(x)))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS} AS words, {_LINES} AS lines FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(text) - length(regexp_replace(text, '{SYMBOL_CLASS}', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(words) > 0
+         THEN CAST(len({stop_hits}) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS stop_ratio,
+    CAST(len(list_distinct(list_transform({stop_hits}, x -> lower(x)))) AS BIGINT) AS n_distinct_stops,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_ratio,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_line_ratio,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS alpha_word_ratio
+  FROM base
+)"""
+
+
+def _keep_pred() -> str:
+    t = THRESHOLDS
+    return (
+        f"(n_words >= {t['min_words']} AND n_words <= {t['max_words']}"
+        f" AND mean_word_len >= {t['min_mean_word_len']!r} AND mean_word_len <= {t['max_mean_word_len']!r}"
+        f" AND symbol_ratio <= {t['max_symbol_ratio']!r}"
+        f" AND stop_ratio >= {t['min_stop_ratio']!r}"
+        f" AND n_distinct_stops >= {t['min_distinct_stops']}"
+        f" AND dup_line_ratio <= {t['max_dup_line_ratio']!r}"
+        f" AND ellipsis_line_ratio <= {t['max_ellipsis_line_ratio']!r}"
+        f" AND alpha_word_ratio >= {t['min_alpha_word_ratio']!r})"
+    )
+
+
+def _manifest_values() -> str:
+    return ", ".join(
+        f"('{b}', '{t}', '{d}', '{c}', '{f}')" for b, t, d, c, f in REMEDIATION_MANIFEST
+    )
+
+
+def _lang_values() -> str:
+    return ", ".join(
+        f"('{lang}', {_sql_list(sw)})" for lang, sw in LANG_HINT_STOPWORDS.items()
+    )
+
+
+ORACLES: dict[str, str] = {
+    "volumetria_partition_counts": f"""
+SELECT {_DT} AS dt_foto,
+       CAST(count(*) AS BIGINT) AS qtde_registros,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS qtde_usuarios
+FROM events GROUP BY 1
+""",
+    "volumetria_gate_failure": f"""
+SELECT 'testdata' AS banco, 'events' AS tabela, '{GATE_MISSING_DT}' AS dt_foto,
+       'ts' AS var_nome_campo, '2' AS var_formato_dt_foto,
+       CAST(0 AS BIGINT) AS status
+FROM (SELECT count(*) AS c FROM events WHERE {_DT} = '{GATE_MISSING_DT}')
+WHERE c = 0
+""",
+    "volumetria_recent_by_type": f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS qtde
+FROM events
+WHERE {_DT} >= '20240129' AND event_type <> 'error'
+GROUP BY event_type
+""",
+    "dup_metric_text": """
+SELECT CAST(count(*) AS BIGINT) AS qtde1,
+       CAST(count(DISTINCT text) AS BIGINT) AS qtde2,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS diferenca
+FROM documents
+""",
+    "dup_metric_full_row": """
+WITH d AS (SELECT count(*) AS n FROM (SELECT DISTINCT * FROM documents)),
+     a AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(a.n AS BIGINT) AS qtde1, CAST(d.n AS BIGINT) AS qtde2,
+       CAST(a.n - d.n AS BIGINT) AS diferenca
+FROM a, d
+""",
+    "dup_by_source": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS qtde1,
+       CAST(count(DISTINCT text) AS BIGINT) AS qtde2,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS diferenca
+FROM documents GROUP BY source
+""",
+    "junta_consolidate": """
+WITH hist AS (
+  SELECT 'testdata' AS banco, 'orders' AS tabela,
+         strftime(o_orderdate, '%Y%m') AS dt_foto, '20260101' AS dt_processamento,
+         CAST(count(*) AS BIGINT) AS qtde_registros, '1' AS fonte
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 3
+), aux AS (
+  SELECT 'testdata' AS banco, 'orders' AS tabela,
+         strftime(o_orderdate, '%Y%m') AS dt_foto, '20260101' AS dt_processamento,
+         CAST(count(*) AS BIGINT) AS qtde_registros, '2' AS fonte
+  FROM orders WHERE strftime(o_orderdate, '%Y%m') LIKE '1995%' GROUP BY 3
+)
+SELECT * FROM hist h
+WHERE NOT EXISTS (SELECT 1 FROM aux a WHERE a.dt_foto = h.dt_foto)
+UNION ALL SELECT * FROM aux
+""",
+    "anchor_left_join": f"""
+WITH counts AS (
+  SELECT {_DT} AS dt_foto, CAST(count(*) AS BIGINT) AS qtde FROM events GROUP BY 1
+), spine AS (
+  SELECT DISTINCT {_DT} AS dt_foto FROM events
+  UNION ALL SELECT '{GATE_MISSING_DT}'
+)
+SELECT s.dt_foto, c.qtde FROM spine s LEFT JOIN counts c USING (dt_foto)
+""",
+    "remediation_flip": f"""
+WITH manifest(banco, tabela, dt_foto, var_nome_campo, var_formato_dt_foto) AS (
+  VALUES {_manifest_values()}
+), present AS (SELECT DISTINCT {_DT} AS dt_foto FROM events)
+SELECT m.banco, m.tabela, m.dt_foto, m.var_nome_campo, m.var_formato_dt_foto,
+       CAST(CASE WHEN p.dt_foto IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS status
+FROM manifest m LEFT JOIN present p USING (dt_foto)
+WHERE m.tabela NOT IN ({", ".join("'" + t + "'" for t in REMEDIATION_EXCLUDED)})
+""",
+    "qualitativo_value_bands": f"""
+SELECT event_type,
+       {_band_case("value", VALUE_BAND_EDGES, VALUE_BAND_LABELS)} AS valor_faixa,
+       CAST(count(*) AS BIGINT) AS valor_faixa_qtde
+FROM events GROUP BY 1, 2
+""",
+    "qualitativo_price_bands": f"""
+SELECT l_returnflag,
+       {_band_case("l_extendedprice", PRICE_BAND_EDGES, PRICE_BAND_LABELS)} AS valor_faixa,
+       CAST(count(*) AS BIGINT) AS valor_faixa_qtde
+FROM lineitem GROUP BY 1, 2
+""",
+    "qualitativo_conditional_aggs": """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders_all,
+       CAST(count(DISTINCT CASE WHEN l_discount > 0.05 THEN l_orderkey END) AS BIGINT) AS hi_disc_orders,
+       CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS hi_tax_lines,
+       CAST(sum(CASE WHEN l_discount > 0.05
+                     THEN CAST(floor(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS hi_disc_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    "qualitativo_profile_ratios": """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_total,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS cents_per_order
+FROM lineitem GROUP BY l_returnflag
+""",
+    "top_users_by_value": """
+SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY user_id
+ORDER BY cents DESC, user_id LIMIT 10
+""",
+    "heuristic_metrics": _heuristics_cte()
+    + f"""
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
+       n_distinct_stops, alpha_word_ratio,
+       {_keep_pred()} AS keep_heuristic
+FROM m
+""",
+    "scrub_pii": f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.25 ssn 123-45-6789' AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       {_scrub_chain("ptext")} AS text_scrubbed,
+       {_scrub_chain("ptext")} <> ptext AS pii_found
+FROM planted
+""",
+    "token_counts": f"""
+SELECT doc_id,
+       CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_len
+FROM documents
+""",
+    "quality_scores": f"""
+WITH b AS (
+  SELECT doc_id, text, {_WORDS} AS words, {_LINES} AS lines,
+         length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id,
+  ((CASE WHEN len(words) BETWEEN 50 AND 5000 THEN 1.0
+         WHEN len(words) BETWEEN 10 AND 10000 THEN 0.5 ELSE 0.0 END)
+   + (CASE WHEN len(lines) > 0
+           THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?]$'))) AS DOUBLE) / len(lines)
+           ELSE 0.0 END)
+   + (CASE WHEN length(text) > 0
+           THEN CAST(alpha_chars AS DOUBLE) / length(text) ELSE 0.0 END)
+  ) / 3.0 AS quality
+FROM b
+""",
+    "lang_hint_sql": f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_LOWER} AS words FROM documents
+), langs(lang, sw) AS (VALUES {_lang_values()}),
+hits AS (
+  SELECT doc_id, lang, len(list_filter(words, x -> list_contains(sw, x))) AS h
+  FROM w CROSS JOIN langs
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+  FROM hits
+)
+SELECT doc_id, lang AS lang_hint FROM r WHERE rn = 1
+""",
+    "doc_fingerprints": """
+SELECT doc_id,
+       sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
+FROM documents
+""",
+    "exact_dedup_survivors": """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' appendix extra' FROM documents WHERE doc_id % 7 = 0
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM base GROUP BY text
+""",
+    "ann_topk_bruteforce": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+              p -> CAST(floor(CAST(p[1] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(floor(CAST(p[2] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+  FROM q, c WHERE c.neighbor_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <= {ANN_K}
+""",
+}

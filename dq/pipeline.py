@@ -23,6 +23,7 @@ only wide ops key on sha2/xxhash64 hashes).
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,28 +40,59 @@ MAX_PERPLEXITY = 2000.0
 PARTITION_COL = "dt_foto"
 
 
+@dataclass
+class PipelineConfig:
+    """Corpus calibration knobs (CCNet-style: thresholds are per-corpus).
+
+    ``target_lang=None`` disables the language gate (keep_lang == True)
+    while still computing lang_pred/lang_margin for lineage.
+    """
+
+    target_lang: str | None = TARGET_LANG
+    max_perplexity: float = MAX_PERPLEXITY
+    thresholds: dict = field(default_factory=lambda: dict(heuristics.THRESHOLDS))
+
+
+# Calibration for the driver's ``documents`` word-salad corpus (short docs,
+# sparse stopwords, uniform vocab — lang labels carry no char-level signal).
+DOCS_CONFIG = PipelineConfig(
+    target_lang=None,
+    max_perplexity=870.0,
+    thresholds={
+        **heuristics.THRESHOLDS,
+        "min_words": 30,
+        "min_stop_ratio": 0.01,
+        "min_distinct_stops": 1,
+    },
+)
+
+
 def with_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     """Derive the reference-style yyyyMMdd partition label from crawl time
     (format normalization once at ingest — SURVEY.md §1.4)."""
     return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
 
 
-def enrich(df: DataFrame, verify_extraction: bool = True) -> DataFrame:
+def enrich(df: DataFrame, verify_extraction: bool = True, config: PipelineConfig | None = None) -> DataFrame:
     """All per-doc stages; returns input columns + metrics + decisions."""
+    cfg = config or PipelineConfig()
     out = with_partition(df)
     if verify_extraction and "html" in df.columns:
         out = out.withColumn("text_extracted", extract_text_col(F.col("html"))).withColumn(
             "extraction_ok", F.col("text_extracted").eqNullSafe(F.col("text"))
         )
     out = heuristics.with_heuristic_metrics(out)
-    out = out.withColumn("keep_heuristic", heuristics.keep_expr())
+    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
     lid = langid_udf(F.col("text"))
     out = out.withColumn("lang_pred", lid.getField("lang_pred")).withColumn(
         "lang_margin", lid.getField("lang_margin")
     )
-    out = out.withColumn("keep_lang", F.col("lang_pred") == F.lit(TARGET_LANG))
+    out = out.withColumn(
+        "keep_lang",
+        F.col("lang_pred") == F.lit(cfg.target_lang) if cfg.target_lang else F.lit(True),
+    )
     out = out.withColumn("ppl", perplexity_udf(F.col("text")))
-    out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(MAX_PERPLEXITY))
+    out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
     out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
     # deterministic exact-dup survivor: first url per content hash
@@ -93,6 +125,7 @@ def run(
     out_dir: str,
     table_name: str = "pages",
     resume: bool = True,
+    config: PipelineConfig | None = None,
 ) -> DataFrame:
     """Materializing run: kept docs + lineage to side tables, checkpointed
     per partition for idempotent resume (north rule). Returns lineage."""
@@ -105,7 +138,7 @@ def run(
     todo = manifest.pending([(table_name, p) for p in sorted(parts)]) if resume else [
         (table_name, p) for p in sorted(parts)
     ]
-    enriched_all = enrich(pages)
+    enriched_all = enrich(pages, config=config)
     for _, part in todo:
         part_df = enriched_all.where(F.col(PARTITION_COL) == part)
         kept = part_df.where(F.col("keep")).select(

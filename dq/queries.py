@@ -1,0 +1,490 @@
+"""Named queries — the driver-facing surface of the engine.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; names map 1:1
+to SURVEY.md §2 operators (see COVERAGE.md for the line-by-line map) plus
+the training-data additions (dedup / similarity / text analysis /
+multimodal). Every SQL-expressible query has a DuckDB twin in
+``dq.oracles`` generated from the SAME Python constants, so engine and
+oracle cannot drift.
+
+Determinism rules for cross-engine value equality (doubles must be
+bit-identical between Spark/JVM and DuckDB):
+- money sums are quantized to cents with floor(x*100) BEFORE summing
+  (double sums are order-dependent; bigint sums are not);
+- ratios divide exact integers (IEEE double division is deterministic);
+- distinct/row-hash semantics use sha2 fingerprints only as a grouping
+  device, never in the output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dq import heuristics, metrics, textstats
+from dq.dedup import minhash_near_dups, simhash_near_dups
+from dq.dupcheck import dup_counts
+from dq.similarity import brute_force_topk, embedding_near_dups
+
+# --- shared constants (oracles import these too) ---------------------------
+
+EVENT_DT = "date_format(ts, 'yyyyMMdd')"
+VALUE_BAND_EDGES = [50.0, 100.0, 200.0, 300.0]
+VALUE_BAND_LABELS = ["b0_le50", "b1_le100", "b2_le200", "b3_le300", "b4_gt300"]
+PRICE_BAND_EDGES = [1000.0, 5000.0, 20000.0, 50000.0]
+PRICE_BAND_LABELS = ["p0_le1k", "p1_le5k", "p2_le20k", "p3_le50k", "p4_gt50k"]
+GATE_MISSING_DT = "99991231"
+REMEDIATION_MANIFEST = [
+    ("testdata", "events", "20240105", "ts", "2"),
+    ("testdata", "events", "20240120", "ts", "2"),
+    ("testdata", "events", "20251231", "ts", "2"),
+    ("testdata", "excluded_tbl", "20240105", "ts", "2"),
+]
+REMEDIATION_EXCLUDED = ["excluded_tbl"]
+LANG_HINT_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "that", "it", "was", "for", "on"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "mais", "por", "como", "foi"],
+    "es": ["el", "la", "que", "ser", "haber", "por", "con", "para", "como", "pero"],
+    "de": ["der", "die", "und", "den", "von", "das", "mit", "sich", "auf", "ist"],
+    "fr": ["le", "être", "avoir", "que", "pour", "dans", "ce", "il", "qui", "ne"],
+}
+ANN_QUERY_MOD = 25  # queries = vec_ids divisible by this
+ANN_K = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # driver-owned session: pin UTC so date labels match DuckDB's naive ts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    return F.floor(F.col(col).cast("double") * 100).cast("bigint")
+
+
+# --------------------------------------------------------- volumetria (A1+) --
+
+
+def volumetria_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition row volume + distinct users (A1/A4/A9/A10, F1)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.expr(EVENT_DT).alias("dt_foto"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("qtde_registros"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("qtde_usuarios"),
+        )
+    )
+
+
+def volumetria_gate_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition gate -> constant failure row when absent (C1/P2/A13)."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.where(F.expr(EVENT_DT) == F.lit(GATE_MISSING_DT)).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        spark.range(1)
+        .crossJoin(cnt)
+        .where(F.col("c") == 0)
+        .select(
+            F.lit("testdata").alias("banco"),
+            F.lit("events").alias("tabela"),
+            F.lit(GATE_MISSING_DT).alias("dt_foto"),
+            F.lit("ts").alias("var_nome_campo"),
+            F.lit("2").alias("var_formato_dt_foto"),
+            F.lit(0).cast("bigint").alias("status"),
+        )
+    )
+
+
+def volumetria_recent_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range filter on date labels + equality conjunction (P6/P8)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.expr(EVENT_DT) >= F.lit("20240129"))
+        .where(F.col("event_type") != F.lit("error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("qtde"))
+    )
+
+
+# --------------------------------------------------------- duplicidade (A3) --
+
+
+def dup_metric_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan qtde1/qtde2/diferenca over documents.text (A3)."""
+    return dup_counts(_t(spark, sf_dir, "documents"), cols=["text"])
+
+
+def dup_metric_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same metric over the full row (distinct * semantics, A3/U3)."""
+    return dup_counts(_t(spark, sf_dir, "documents"))
+
+
+def dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group dup metric (A3 x A9): count vs distinct text per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("qtde1"),
+        F.count_distinct("text").cast("bigint").alias("qtde2"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).cast("bigint").alias("diferenca"),
+    )
+
+
+def junta_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD merge (C2/U1/U2/P4 as real left_anti): stale history rows are
+    superseded by freshly recomputed aux rows for 1995 months."""
+    from dq.volumetry import merge_history
+
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyyMM")
+    hist = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(month.alias("dt_foto"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("qtde_registros"))
+        .select(
+            F.lit("testdata").alias("banco"),
+            F.lit("orders").alias("tabela"),
+            "dt_foto",
+            F.lit("20260101").alias("dt_processamento"),
+            "qtde_registros",
+            F.lit("1").alias("fonte"),
+        )
+    )
+    aux = (
+        orders.where(month.startswith("1995"))
+        .groupBy(month.alias("dt_foto"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("qtde_registros"))
+        .select(
+            F.lit("testdata").alias("banco"),
+            F.lit("orders").alias("tabela"),
+            "dt_foto",
+            F.lit("20260101").alias("dt_processamento"),
+            "qtde_registros",
+            F.lit("2").alias("fonte"),
+        )
+    )
+    return merge_history(hist, aux)
+
+
+def anchor_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor spine LEFT JOIN measured counts; absent partition -> NULL
+    (J1: preserves the anchor row, ≙ ColetaDuplicidade.scala:113-128)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(F.expr(EVENT_DT).alias("dt_foto")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("qtde")
+    )
+    spine = ev.select(F.expr(EVENT_DT).alias("dt_foto")).distinct().unionByName(
+        spark.range(1).select(F.lit(GATE_MISSING_DT).alias("dt_foto"))
+    )
+    return spine.join(counts, "dt_foto", "left")
+
+
+def remediation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status flip semantics (C3/C5/P7): manifest rows outside the exclusion
+    list get status 1 iff their partition now exists."""
+    ev = _t(spark, sf_dir, "events")
+    manifest = spark.createDataFrame(
+        REMEDIATION_MANIFEST,
+        "banco string, tabela string, dt_foto string, var_nome_campo string, var_formato_dt_foto string",
+    ).where(~F.col("tabela").isin(REMEDIATION_EXCLUDED))
+    present = ev.select(F.expr(EVENT_DT).alias("dt_foto")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        manifest.join(F.broadcast(present), "dt_foto", "left")
+        .select(
+            "banco",
+            "tabela",
+            "dt_foto",
+            "var_nome_campo",
+            "var_formato_dt_foto",
+            F.when(F.col("_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------- qualitativo ------
+
+
+def qualitativo_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band histogram per event type (A10/A11/F10 ≙ VivoPlay bands)."""
+    ev = _t(spark, sf_dir, "events")
+    banded = ev.withColumn(
+        "valor_faixa", metrics.band_col(F.col("value"), VALUE_BAND_EDGES, VALUE_BAND_LABELS)
+    )
+    return banded.groupBy("event_type", "valor_faixa").agg(
+        F.count(F.lit(1)).cast("bigint").alias("valor_faixa_qtde")
+    )
+
+
+def qualitativo_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-band histogram on lineitem grouped by returnflag (A9/A11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    banded = li.withColumn(
+        "valor_faixa", metrics.band_col(F.col("l_extendedprice"), PRICE_BAND_EDGES, PRICE_BAND_LABELS)
+    )
+    return banded.groupBy("l_returnflag", "valor_faixa").agg(
+        F.count(F.lit(1)).cast("bigint").alias("valor_faixa_qtde")
+    )
+
+
+def qualitativo_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct counts + conditional sums (A5/A6 ≙ VivoPlay)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("orders_all"),
+        F.count_distinct(F.when(F.col("l_discount") > 0.05, F.col("l_orderkey")))
+        .cast("bigint")
+        .alias("hi_disc_orders"),
+        F.sum(F.when(F.col("l_tax") > 0.04, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("hi_tax_lines"),
+        F.sum(F.when(F.col("l_discount") > 0.05, _cents("l_extendedprice")))
+        .cast("bigint")
+        .alias("hi_disc_cents"),
+    )
+
+
+def qualitativo_profile_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived ratio aggregates (A7/A8 ≙ valor_medio_usuario): exact cents
+    sums, deterministic double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("revenue_cents"),
+        F.sum("l_quantity").cast("bigint").alias("qty_total"),
+        (
+            F.sum(_cents("l_extendedprice")).cast("double")
+            / F.count_distinct("l_orderkey").cast("double")
+        ).alias("cents_per_order"),
+    )
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum(_cents("value")).cast("bigint").alias("cents"))
+    return per_user.orderBy(F.col("cents").desc(), F.col("user_id")).limit(10)
+
+
+# --------------------------------------------------------- text analysis ----
+
+
+def heuristic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic metrics + keep flag per doc (native exprs)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = heuristics.with_heuristic_metrics(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words_m").cast("bigint").alias("n_words"),
+        "mean_word_len",
+        "symbol_ratio",
+        "stop_ratio",
+        F.col("n_distinct_stops").cast("bigint").alias("n_distinct_stops"),
+        "alpha_word_ratio",
+        heuristics.keep_expr().alias("keep_heuristic"),
+    )
+
+
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub chain; PII planted deterministically via concat so the
+    replacement path is exercised on every row."""
+    from dq.scrub import scrub_col
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".25 ssn 123-45-6789"),
+    )
+    return docs.select(
+        "doc_id",
+        scrub_col(planted).alias("text_scrubbed"),
+        (scrub_col(planted) != planted).alias("pii_found"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (textstats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.whitespace_token_count("text").cast("bigint").alias("ws_tokens"),
+        textstats.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_len"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality prior per doc (textstats.quality_score)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.quality_score("text").alias("quality"))
+
+
+def lang_hint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-only stopword-argmax language hint (pre-filter tier of langid)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.lang_hint("text", LANG_HINT_STOPWORDS).alias("lang_hint")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: sha256 over whitespace-normalized lowercase text
+    (cross-engine twin of the xxhash64 scale path in textstats)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+    )
+    return docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
+
+
+# --------------------------------------------------------- dedup family -----
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%5==0) ∪ near copies (doc_id%7==0)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" appendix extra")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic survivor per duplicate cluster (window row_number ≙
+    §2.5) + cluster size; planted exact dups guarantee clusters exist."""
+    base = _docs_with_planted_dups(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text")))
+        .where(F.col("_rn") == 1)
+        .select(F.col("doc_id").alias("survivor_id"), F.col("n_copies").cast("bigint").alias("n_copies"))
+    )
+
+
+def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    base = _docs_with_planted_dups(spark, sf_dir)
+    return minhash_near_dups(base, id_col="doc_id", text_col="text", threshold=0.7)
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: blake2b UDF)."""
+    base = _docs_with_planted_dups(spark, sf_dir)
+    return simhash_near_dups(base, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+# --------------------------------------------------------- similarity -------
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-family top-k via quantized dot product (broadcast x scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, k=ANN_K)
+
+
+def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups via SRP-LSH (rows-only: float hyperplanes);
+    planted scaled copies have cosine exactly 1."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.01)).alias("embedding"),
+    )
+    base = emb.unionByName(copies)
+    return embedding_near_dups(base, min_cosine=0.95, dim=64)
+
+
+# --------------------------------------------------------- full pipeline ----
+
+
+def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table into the input_hint pages shape
+    (url, warc_ts, text, lang) with a deterministic 4-day crawl window."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 4).cast("int"))
+        ).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-filter pipeline (langid + perplexity UDFs + heuristics +
+    scrub + dedup) -> per-partition lineage counts (rows-only: UDF stages)."""
+    from dq.pipeline import DOCS_CONFIG, enrich, lineage_metrics
+
+    pages = docs_as_pages(spark, sf_dir)
+    return lineage_metrics(enrich(pages, verify_extraction=False, config=DOCS_CONFIG)).drop(
+        "dt_processamento"
+    )
+
+
+def pipeline_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep decision + stage flags from the full pipeline (rows-only)."""
+    from dq.pipeline import DOCS_CONFIG, enrich
+
+    pages = docs_as_pages(spark, sf_dir)
+    return enrich(pages, verify_extraction=False, config=DOCS_CONFIG).select(
+        "url", "keep_heuristic", "keep_lang", "keep_ppl", "is_exact_dup", "keep"
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary assets -> digest + fake feature vector
+    (rows-only: decoder is a deterministic stub, mapInPandas plumbing real)."""
+    from dq.multimodal import extract_features, synth_media
+
+    assets = synth_media(spark, n=64)
+    return extract_features(assets, fake=True).select("asset_id", "media_type", "n_bytes", "sha256")
+
+
+# --------------------------------------------------------- registry ---------
+
+QUERIES = {
+    "volumetria_partition_counts": volumetria_partition_counts,
+    "volumetria_gate_failure": volumetria_gate_failure,
+    "volumetria_recent_by_type": volumetria_recent_by_type,
+    "dup_metric_text": dup_metric_text,
+    "dup_metric_full_row": dup_metric_full_row,
+    "dup_by_source": dup_by_source,
+    "junta_consolidate": junta_consolidate,
+    "anchor_left_join": anchor_left_join,
+    "remediation_flip": remediation_flip,
+    "qualitativo_value_bands": qualitativo_value_bands,
+    "qualitativo_price_bands": qualitativo_price_bands,
+    "qualitativo_conditional_aggs": qualitativo_conditional_aggs,
+    "qualitativo_profile_ratios": qualitativo_profile_ratios,
+    "top_users_by_value": top_users_by_value,
+    "heuristic_metrics": heuristic_metrics,
+    "scrub_pii": scrub_pii,
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "lang_hint_sql": lang_hint_sql,
+    "doc_fingerprints": doc_fingerprints,
+    "exact_dedup_survivors": exact_dedup_survivors,
+    "minhash_dups": minhash_dups,
+    "simhash_dups": simhash_dups,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "embedding_dups": embedding_dups,
+    "pipeline_lineage": pipeline_lineage,
+    "pipeline_keep_decisions": pipeline_keep_decisions,
+    "media_features": media_features,
+}
