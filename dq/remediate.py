@@ -70,7 +70,7 @@ def remediate_volumetria(
     """
     excluded = excluded_tables or set()
     if partition_expr_for is None:
-        partition_expr_for = lambda campo, formato: campo  # already-yyyyMMdd column
+        partition_expr_for = default_partition_expr
 
     manifest = [
         Failure(r.banco, r.tabela, r.dt_foto, r.var_nome_campo, r.var_formato_dt_foto)
@@ -89,6 +89,14 @@ def remediate_volumetria(
         new_history = volumetry.merge_history(new_history, fresh)
         new_failures = flip_status(spark, new_failures, f)
     return new_history, new_failures
+
+
+def default_partition_expr(campo: str, formato: str) -> str:
+    """The reference's two-format dispatch (ColetaVolumetria.scala:14-15,
+    37-45) resolved in Python — formato '1' = string column already in
+    yyyyMMdd, '2' = date/timestamp column — so the partition predicate is a
+    plain equality Catalyst can prune on (P5 fix, SURVEY.md §4.1)."""
+    return campo if formato == "1" else f"date_format({campo}, 'yyyyMMdd')"
 
 
 def flip_status(spark: SparkSession, failures: DataFrame, f: Failure) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, Jaccard; planted-dup recall."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dq import dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """40 base docs + 8 exact copies + 8 near copies (one word appended)."""
+    base = [
+        (f"u{i:03d}", f"the quick document number {i} talks about topic {i % 7} at length "
+                      f"with many common words and some unique token tok{i}")
+        for i in range(40)
+    ]
+    exact = [(f"x{i:03d}", base[i][1]) for i in range(8)]
+    near = [(f"n{i:03d}", base[i][1] + " appendix") for i in range(8, 16)]
+    return spark.createDataFrame(base + exact + near, "url string, text string").cache()
+
+
+def test_exact_dedup_survivor_deterministic(spark, dup_docs):
+    out = dedup.exact_dedup(dup_docs).toPandas()
+    assert len(out) == 48  # 40 distinct texts + 8 near variants
+    # survivor is the minimal url per cluster: u-prefixed beats x-prefixed
+    assert not out["url"].str.startswith("x").any()
+
+
+def test_exact_dup_flag_counts(spark, dup_docs):
+    flagged = dup_docs.withColumn("dup", dedup.exact_dup_flag()).toPandas()
+    assert int(flagged["dup"].sum()) == 8
+    assert set(flagged.loc[flagged["dup"], "url"]) == {f"x{i:03d}" for i in range(8)}
+
+
+def test_minhash_recall_and_precision(spark, dup_docs):
+    pairs = dedup.minhash_near_dups(dup_docs, threshold=0.5).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    # all 8 exact pairs and all 8 near pairs must be found (jaccard >= 0.5)
+    for i in range(8):
+        assert (f"u{i:03d}", f"x{i:03d}") in got
+    for i in range(8, 16):
+        assert (f"n{i:03d}", f"u{i:03d}") in got
+    # verified by exact jaccard: no pair below threshold survives
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_jaccard_matches_python(spark, dup_docs):
+    cands = spark.createDataFrame(
+        [("u008", "n008"), ("u000", "x000"), ("u001", "u002")], "id_a string, id_b string"
+    )
+    got = dedup.jaccard_pairs(dup_docs, cands).toPandas().set_index(["id_a", "id_b"])
+    texts = dict(dup_docs.collect())
+
+    def py_jaccard(a, b, n=3):
+        def sh(t):
+            toks = t.lower().split()
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        A, B = sh(texts[a]), sh(texts[b])
+        return len(A & B) / len(A | B)
+
+    for (a, b), row in got.iterrows():
+        assert row["jaccard"] == pytest.approx(py_jaccard(a, b), abs=1e-12)
+
+
+def test_simhash_matches_python_and_finds_dups(spark, dup_docs):
+    out = dup_docs.select("url", "text", dedup.simhash_udf(F.col("text")).alias("sim")).toPandas()
+    for _, r in out.head(5).iterrows():
+        assert r["sim"] == dedup.simhash_one(r["text"])
+    pairs = dedup.simhash_near_dups(dup_docs, max_hamming=3).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(8):
+        assert (f"u{i:03d}", f"x{i:03d}") in got  # identical text -> hamming 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a", "one two")], "url string, text string")
+    out = df.select(dedup.shingles_col(F.col("text")).alias("sh")).collect()[0].sh
+    assert out == ["one two"]
+
+
+def test_minhash_signature_stability(spark, dup_docs):
+    """Identical text -> identical signature (determinism across runs)."""
+    sigs = dedup.minhash_signatures(dup_docs, num_hashes=8).toPandas().set_index("doc")
+    for i in range(8):
+        assert sigs.loc[f"u{i:03d}"].tolist() == sigs.loc[f"x{i:03d}"].tolist()

@@ -1,0 +1,55 @@
+"""Duplicidade family: single-scan metric ≡ literal two-scan reference form."""
+
+from pyspark.sql import functions as F
+
+from dq import dupcheck
+
+
+def _tbl(spark):
+    rows = [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", None), ("c", None)]
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_single_scan_equals_two_scan(spark):
+    df = _tbl(spark)
+    one = dupcheck.dup_counts(df).collect()[0]
+    two = dupcheck.dup_counts_two_scan(df).collect()[0]
+    assert (one.qtde1, one.qtde2, one.diferenca) == (two.qtde1, two.qtde2, two.diferenca) == (6, 3, 3)
+
+
+def test_null_rows_fingerprint_safe(spark):
+    """NULL-bearing duplicate rows count as duplicates (concat_ws would
+    collapse NULLs and miscount — SURVEY.md §7.3 item 2)."""
+    df = spark.createDataFrame([("x", None), ("x", None), ("x", "")], "k string, v string")
+    r = dupcheck.dup_counts(df).collect()[0]
+    assert (r.qtde1, r.qtde2, r.diferenca) == (3, 2, 1)
+
+
+def test_dup_metric_row_shape(spark):
+    out = dupcheck.dup_metric_row(_tbl(spark), "db", "t", "20240101").collect()[0]
+    assert (out.banco, out.tabela, out.dt_foto, out.fonte) == ("db", "t", "20240101", "2")
+    assert out.diferenca == 3
+
+
+def test_consolidate_supersedes_history(spark):
+    hist = spark.createDataFrame(
+        [("db", "t", "20240101", "20260101", 10, 9, 1, "1"),
+         ("db", "t", "20240102", "20260101", 20, 20, 0, "1")],
+        schema=dupcheck.DQ_DUPLICADOS,
+    )
+    aux = spark.createDataFrame(
+        [("db", "t", "20240102", "20260101", 21, 20, 1, "2")],
+        schema=dupcheck.DQ_DUPLICADOS,
+    )
+    out = dupcheck.consolidate(hist, aux).orderBy("dt_foto").collect()
+    assert len(out) == 2
+    assert out[1].qtde1 == 21 and out[1].fonte == "2"
+    # idempotent re-merge
+    out2 = dupcheck.consolidate(dupcheck.consolidate(hist, aux), aux).orderBy("dt_foto").collect()
+    assert out2 == out
+
+
+def test_dup_counts_subset_columns(spark):
+    df = _tbl(spark)
+    r = dupcheck.dup_counts(df, cols=["k"]).collect()[0]
+    assert (r.qtde1, r.qtde2, r.diferenca) == (6, 3, 3)

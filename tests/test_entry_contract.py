@@ -1,0 +1,48 @@
+"""Driver-contract gate: every query runs; oracle pairs hash-match at
+sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import entry, oracle_sql, queries  # noqa: E402
+from dq.io import TABLES  # noqa: E402
+from tools.compare_oracle import frame_hash, normalize  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_entry_smoke(spark):
+    df = entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_impl():
+    qs, os_ = queries(), oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_query_vs_oracle(spark, con, name):
+    sdf = queries()[name](spark, SF).toPandas()
+    sql = oracle_sql().get(name)
+    if sql is None:
+        assert sdf is not None  # rows-only contract: runs with stable schema
+        return
+    odf = con.execute(sql).df()
+    s, o = normalize(sdf), normalize(odf)
+    assert len(s) == len(o)
+    assert sorted(s.columns) == sorted(o.columns)
+    assert frame_hash(s) == frame_hash(o)

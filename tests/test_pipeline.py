@@ -1,0 +1,64 @@
+"""End-to-end pipeline: label F1, byte-identical scrub, lineage, resume."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dq import heuristics, scrub
+from dq.langid import detect_lang_batch
+from dq.perplexity import perplexity_batch
+from dq.pipeline import MAX_PERPLEXITY, TARGET_LANG, enrich, lineage_metrics, run
+
+
+def _oracle_keep(pdf: pd.DataFrame) -> pd.Series:
+    """Pure-pandas reference implementation of the keep decision."""
+    m = heuristics.heuristic_metrics_pdf(pdf["text"])
+    lang = detect_lang_batch(pdf["text"])["lang_pred"]
+    ppl = perplexity_batch(pdf["text"])
+    dup = pdf.duplicated(subset=["text"], keep=False) & (
+        pdf["url"] != pdf.groupby("text")["url"].transform("min")
+    )
+    return (
+        m["keep_heuristic"].values
+        & (lang == TARGET_LANG).values
+        & (ppl <= MAX_PERPLEXITY).values
+        & ~dup.values
+    )
+
+
+def test_keep_f1_vs_oracle(spark, pages):
+    got = enrich(pages).select("url", "text", "keep").toPandas().sort_values("url")
+    want = _oracle_keep(got)
+    tp = int((got["keep"] & want).sum())
+    fp = int((got["keep"] & ~want).sum())
+    fn = int((~got["keep"] & want).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99
+
+
+def test_scrubbed_text_byte_identical(spark, pages):
+    got = enrich(pages).select("url", "text", "text_scrubbed").toPandas()
+    assert (got["text"].map(scrub.scrub_text) == got["text_scrubbed"]).all()
+
+
+def test_extraction_verified(spark, pages):
+    e = enrich(pages)
+    assert e.where(~F.col("extraction_ok")).count() == 0
+
+
+def test_lineage_consistency(spark, pages):
+    lm = lineage_metrics(enrich(pages)).toPandas()
+    assert (lm["n_kept"] + lm["n_dropped"] == lm["n_input"]).all()
+    assert int(lm["n_input"].sum()) == pages.count()
+    assert int(lm["n_exact_dups"].sum()) > 0  # planted dups are detected
+    assert int(lm["n_scrubbed"].sum()) > 0    # planted PII is detected
+
+
+def test_run_resume_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "o")
+    l1 = run(spark, pages, out).toPandas().sort_values("dt_foto").reset_index(drop=True)
+    l2 = run(spark, pages, out).toPandas().sort_values("dt_foto").reset_index(drop=True)
+    pd.testing.assert_frame_equal(l1, l2)
+    kept = spark.read.parquet(str(tmp_path / "o" / "kept"))
+    assert kept.count() == int(l1["n_kept"].sum())
+    # no raw PII email survives in kept output
+    assert kept.where(F.col("text").rlike(scrub.SCRUB_RULES[0][1])).count() == 0

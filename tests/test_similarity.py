@@ -1,0 +1,64 @@
+"""Embedding similarity: brute-force vs numpy oracle, LSH recall."""
+
+import numpy as np
+import pytest
+
+from dq import similarity
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((60, DIM)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), vecs
+
+
+def test_bruteforce_topk_matches_numpy(vectors):
+    df, vecs = vectors
+    queries = df.where("vec_id < 5")
+    got = similarity.brute_force_topk(df, queries, k=3).toPandas()
+    q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    for qid in range(5):
+        scores = q @ q[qid]
+        order = [j for j in sorted(range(60), key=lambda j: (-int(scores[j]), j)) if j != qid][:3]
+        mine = got[got.query_id == qid].sort_values("rank")
+        assert mine["neighbor_id"].tolist() == order
+        assert mine["score"].tolist() == [int(scores[j]) for j in order]
+
+
+def test_lsh_finds_identical_vectors(vectors, spark):
+    df, _ = vectors
+    from pyspark.sql import functions as F
+
+    copies = df.where("vec_id < 8").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    base = df.unionByName(copies)
+    pairs = similarity.embedding_near_dups(base, min_cosine=0.999, dim=DIM).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(8):
+        assert (i, i + 1000) in got  # identical vector -> same signature, cos 1
+
+
+def test_lsh_topk_recall_vs_bruteforce(vectors):
+    df, _ = vectors
+    queries = df.where("vec_id < 10")
+    exact = similarity.brute_force_topk(df, queries, k=1).toPandas()
+    approx = similarity.lsh_topk(df, queries, dim=DIM, k=5).toPandas()
+    hits = 0
+    for qid in exact.query_id.unique():
+        best = exact[exact.query_id == qid].neighbor_id.iloc[0]
+        cand = set(approx[approx.query_id == qid].neighbor_id)
+        hits += best in cand
+    assert hits / len(exact.query_id.unique()) >= 0.5  # 16-bit sigs, top-1 recall
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    v = df.select(similarity.cosine_col(F.col("embedding"), F.col("embedding")).alias("c"))
+    assert abs(v.collect()[0].c - 1.0) < 1e-12
