@@ -1,0 +1,93 @@
+"""spark-submit entry point — the argv contract of the reference's shell
+layer (bin/src/shell/*: 5 positional args db, table, dt_foto, campo,
+formato — ColetaVolumetria.scala:11-15) plus the pipeline/scaling commands
+the north rule adds.
+
+Usage (cluster):
+    spark-submit --py-files dq.zip -m dq.cli volumetria <db> <tbl> <dt> <campo> <formato>
+    spark-submit --py-files dq.zip -m dq.cli duplicidade <db> <tbl> <dt> <campo> <formato>
+    spark-submit --py-files dq.zip -m dq.cli remediar {diario|semanal}
+    spark-submit --py-files dq.zip -m dq.cli pipeline <pages_path> <out_dir>
+
+Paths are parquet directories here; on a cluster with an Iceberg catalog the
+same names resolve through dq.io (the only IO seam).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dq import dupcheck, volumetry
+from dq.io import append_table, overwrite_table, read_path
+from dq.remediate import default_partition_expr
+from dq.session import get_spark
+
+
+def _add_check_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("db")
+    p.add_argument("table")
+    p.add_argument("dt_foto")
+    p.add_argument("campo")
+    p.add_argument("formato", choices=["1", "2"])
+    p.add_argument("--data-path", required=True, help="parquet path of the monitored table")
+    p.add_argument("--history-path", required=True)
+    p.add_argument("--failures-path", required=True)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dq")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("volumetria", "duplicidade"):
+        _add_check_args(sub.add_parser(name))
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("pages_path")
+    pl.add_argument("out_dir")
+    pl.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(f"dq-{args.cmd}", master=None if "--master" in sys.argv else None)
+
+    if args.cmd == "pipeline":
+        from dq.pipeline import run
+
+        lineage = run(spark, read_path(spark, args.pages_path), args.out_dir, resume=not args.no_resume)
+        print(json.dumps({"partitions": lineage.count()}))
+        return 0
+
+    monitored = read_path(spark, args.data_path)
+    pexpr = default_partition_expr(args.campo, args.formato)
+    history = read_path(spark, args.history_path, default_schema=volumetry.DQ_VOLUMETRIA)
+    if args.cmd == "volumetria":
+        new_hist, failure = volumetry.collect_volumetria(
+            spark, monitored, history, args.db, args.table, args.dt_foto, pexpr,
+            campo=args.campo, formato=args.formato,
+        )
+        if failure is not None:
+            append_table(failure, args.failures_path)
+            print(json.dumps({"status": "partition-missing", "dt_foto": args.dt_foto}))
+            return 1
+        overwrite_table(new_hist, args.history_path)
+        print(json.dumps({"status": "ok"}))
+        return 0
+
+    # duplicidade
+    from dq.io import partition_exists
+
+    if not partition_exists(monitored, pexpr, args.dt_foto):
+        append_table(
+            volumetry.failure_row(spark, args.db, args.table, args.dt_foto, args.campo, args.formato),
+            args.failures_path,
+        )
+        print(json.dumps({"status": "partition-missing", "dt_foto": args.dt_foto}))
+        return 1
+    aux = dupcheck.dup_metric_row(monitored, args.db, args.table, args.dt_foto, partition_expr=pexpr)
+    hist = read_path(spark, args.history_path, default_schema=dupcheck.DQ_DUPLICADOS)
+    overwrite_table(dupcheck.consolidate(hist, aux), args.history_path)
+    print(json.dumps({"status": "ok"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,6 +37,16 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def read_path(spark: SparkSession, path: str, default_schema=None) -> DataFrame:
+    """Read a parquet path; absent path + default_schema -> empty frame
+    (first run of a history table)."""
+    if not os.path.exists(path):
+        if default_schema is not None:
+            return spark.createDataFrame([], schema=default_schema)
+        raise FileNotFoundError(path)
+    return spark.read.parquet(path)
+
+
 def partition_values(df: DataFrame, partition_expr) -> DataFrame:
     """Partition-metadata scan (S2): distinct values of the partition expr.
 

@@ -28,11 +28,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import pandas as pd
+from pyspark.sql import types as T
+
 from dq import heuristics
 from dq.extract import extract_text_col
 from dq.io import CheckpointManifest
-from dq.langid import langid_udf
-from dq.perplexity import perplexity_udf
+from dq.langid import detect_lang_batch
+from dq.perplexity import perplexity_batch
 from dq.scrub import scrub_col
 
 TARGET_LANG = "en"
@@ -51,6 +54,25 @@ class PipelineConfig:
     target_lang: str | None = TARGET_LANG
     max_perplexity: float = MAX_PERPLEXITY
     thresholds: dict = field(default_factory=lambda: dict(heuristics.THRESHOLDS))
+
+
+_NLP_TYPE = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_margin", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_NLP_TYPE)
+def nlp_udf(texts: pd.Series) -> pd.DataFrame:
+    """Fused langid + perplexity: one Arrow round-trip for the text column
+    instead of two (the two models are independent; fusing halves the
+    dominant serialization cost of the UDF tier)."""
+    out = detect_lang_batch(texts)
+    out["ppl"] = perplexity_batch(texts)
+    return out
 
 
 # Calibration for the driver's ``documents`` word-salad corpus (short docs,
@@ -83,15 +105,18 @@ def enrich(df: DataFrame, verify_extraction: bool = True, config: PipelineConfig
         )
     out = heuristics.with_heuristic_metrics(out)
     out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
-    lid = langid_udf(F.col("text"))
-    out = out.withColumn("lang_pred", lid.getField("lang_pred")).withColumn(
-        "lang_margin", lid.getField("lang_margin")
+    nlp = nlp_udf(F.col("text"))
+    out = (
+        out.withColumn("_nlp", nlp)
+        .withColumn("lang_pred", F.col("_nlp.lang_pred"))
+        .withColumn("lang_margin", F.col("_nlp.lang_margin"))
+        .withColumn("ppl", F.col("_nlp.ppl"))
+        .drop("_nlp")
     )
     out = out.withColumn(
         "keep_lang",
         F.col("lang_pred") == F.lit(cfg.target_lang) if cfg.target_lang else F.lit(True),
     )
-    out = out.withColumn("ppl", perplexity_udf(F.col("text")))
     out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
     out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))

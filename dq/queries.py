@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from dq import heuristics, metrics, textstats
 from dq.dedup import minhash_near_dups, simhash_near_dups
 from dq.dupcheck import dup_counts
-from dq.similarity import brute_force_topk, embedding_near_dups
+from dq.similarity import brute_force_topk_vectorized, embedding_near_dups
 
 # --- shared constants (oracles import these too) ---------------------------
 
@@ -393,7 +393,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine-family top-k via quantized dot product (broadcast x scan)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
-    return brute_force_topk(emb, queries, k=ANN_K)
+    return brute_force_topk_vectorized(emb, queries, k=ANN_K)
 
 
 def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,20 @@ def test_bruteforce_topk_matches_numpy(vectors):
         assert mine["score"].tolist() == [int(scores[j]) for j in order]
 
 
+def test_vectorized_topk_equals_expression_topk(vectors):
+    df, _ = vectors
+    queries = df.where("vec_id < 7")
+    a = (
+        similarity.brute_force_topk(df, queries, k=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        similarity.brute_force_topk_vectorized(df, queries, k=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_lsh_finds_identical_vectors(vectors, spark):
     df, _ = vectors
     from pyspark.sql import functions as F
