@@ -47,22 +47,39 @@ def _words(text: Column) -> Column:
 
 
 def with_heuristic_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append per-doc quality metric columns (all native expressions)."""
+    """Append per-doc quality metric columns (all native expressions).
+
+    The token/line arrays are materialized once as temp columns: higher-
+    order functions are interpreted (no codegen CSE), so inlining `words`
+    into every metric would re-split the text ~12x per row. CollapseProject
+    keeps the two-Project split because the array exprs are non-cheap and
+    multiply referenced.
+    """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = _words(text)
-    lines = F.split(text, r"\n")
+    stops = F.array([F.lit(s) for s in STOPWORDS])
+    staged = (
+        df.withColumn("_hm_text", text)
+        .withColumn("_hm_words", _words(F.col("_hm_text")))
+        .withColumn("_hm_lines", F.split(F.col("_hm_text"), r"\n"))
+        .withColumn(
+            "_hm_stop_hits",
+            F.filter(F.col("_hm_words"), lambda w: F.array_contains(stops, F.lower(w))),
+        )
+    )
+    text = F.col("_hm_text")
+    words = F.col("_hm_words")
+    lines = F.col("_hm_lines")
+    stop_hits = F.col("_hm_stop_hits")
     n_words = F.size(words)
     n_chars = F.length(text)
     word_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
-    stops = F.array([F.lit(s) for s in STOPWORDS])
-    stop_hits = F.filter(words, lambda w: F.array_contains(stops, F.lower(w)))
     n_lines = F.size(lines)
     n_symbols = F.length(text) - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
     alpha_words = F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]"))
     ell_lines = F.filter(lines, lambda l: l.endswith("..."))
 
     return (
-        df.withColumn("n_chars_m", n_chars)
+        staged.withColumn("n_chars_m", n_chars)
         .withColumn("n_words_m", n_words)
         .withColumn(
             "mean_word_len",
@@ -92,6 +109,7 @@ def with_heuristic_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "alpha_word_ratio",
             F.when(n_words > 0, F.size(alpha_words).cast("double") / n_words).otherwise(F.lit(0.0)),
         )
+        .drop("_hm_text", "_hm_words", "_hm_lines", "_hm_stop_hits")
     )
 
 

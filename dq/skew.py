@@ -1,0 +1,89 @@
+"""Skew handling for hot keys (north rule: 'salted keys for hot domains').
+
+At 10^12 docs a handful of domains own double-digit percentages of rows; a
+groupBy/join keyed by domain sends each hot key to ONE reducer. Three
+standard defusals, all exact:
+
+- algebraic aggs (count/sum/min/max): nothing to do — Spark's partial
+  (map-side) aggregation already combines per input partition before the
+  shuffle; hot keys arrive at the reducer as a handful of partials.
+- distinct-style aggs per key: two-phase salted aggregation where the salt
+  is derived from the ENTITY (so a given entity lands in exactly one
+  bucket and the per-bucket distinct counts sum exactly).
+- joins against a small-but-not-broadcastable side: replicate-and-salt
+  (small side exploded x B salts, big side salted by a uniform row hash).
+
+AQE's runtime skew-join splitting (enabled in dq.session) is the backstop
+for residual skew these shapes don't cover.
+
+Reference has no skew handling (SURVEY.md §4.3 item 5) — this is an
+engine addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def salt_from(col: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic uniform salt derived from a column (not rand(): resume
+    and retries must re-derive identical salts)."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_cols: list[str],
+    entity_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact count(distinct entity) per group, skew-proof.
+
+    Phase 1 shuffles on (group, salt(entity)) — a hot group fans out over
+    ``buckets`` reducers; because the salt is a function of the entity, each
+    entity is counted in exactly one bucket, so phase 2's sum is exact.
+    """
+    salted = df.withColumn("_salt", salt_from(F.col(entity_col), buckets))
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(
+        F.count_distinct(F.col(entity_col)).alias("_partial")
+    )
+    return phase1.groupBy(*group_cols).agg(
+        F.sum("_partial").cast("bigint").alias(f"{entity_col}_distinct")
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    row_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` is skewed on ``key`` and ``small`` is too big
+    to broadcast: salt the big side by a uniform hash of ``row_col`` (any
+    high-cardinality column), replicate the small side across all salts,
+    join on (key, salt). A hot key's rows spread over ``buckets`` tasks.
+    """
+    b = big.withColumn("_salt", salt_from(F.col(row_col), buckets))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def top_keys(df: DataFrame, key: str, min_fraction: float = 0.01) -> DataFrame:
+    """Hot-key detector: keys owning >= min_fraction of rows (drives a
+    hybrid plan: broadcast-join the hot keys' rows, shuffle the cold rest).
+    One pass, algebraic aggs only."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= F.lit(int(total * min_fraction)))
+        .withColumn("fraction", F.col("n") / F.lit(total))
+    )

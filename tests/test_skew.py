@@ -1,0 +1,63 @@
+"""Salting: exactness vs unsalted formulations on a hot-key corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq import skew
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows on one hot domain (the synth corpus's HOT_DOMAIN shape)."""
+    rows = [
+        (i, "hot.example.com" if i % 10 != 0 else f"cold{i % 97}.example.org", f"user{i % 400}")
+        for i in range(4000)
+    ]
+    return spark.createDataFrame(rows, "id long, domain string, user string").cache()
+
+
+def test_salted_distinct_count_exact(spark, skewed):
+    got = {
+        r.domain: r.user_distinct
+        for r in skew.salted_distinct_count(skewed, ["domain"], "user", buckets=8).collect()
+    }
+    want = {
+        r.domain: r.d
+        for r in skewed.groupBy("domain").agg(F.count_distinct("user").alias("d")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_exact(spark, skewed):
+    small = spark.createDataFrame(
+        [("hot.example.com", 1), ("cold0.example.org", 2), ("absent.example", 3)],
+        "domain string, w int",
+    )
+    got = skew.salted_join(skewed, small, "domain", "id", buckets=4).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    want = skewed.join(small, "domain").groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed):
+    small = spark.createDataFrame([("hot.example.com", 1)], "domain string, w int")
+    out = skew.salted_join(skewed, small, "domain", "id", buckets=4, how="left")
+    assert out.count() == skewed.count()
+    assert out.where(F.col("w").isNull()).count() == skewed.where("domain != 'hot.example.com'").count()
+
+
+def test_top_keys_detects_hot(spark, skewed):
+    hot = skew.top_keys(skewed, "domain", min_fraction=0.5).collect()
+    assert len(hot) == 1 and hot[0].domain == "hot.example.com"
+    assert hot[0].fraction == pytest.approx(0.9)
+
+
+def test_salt_deterministic(spark, skewed):
+    a = skewed.select("id", skew.salt_from(F.col("user"), 8).alias("s")).collect()
+    b = skewed.select("id", skew.salt_from(F.col("user"), 8).alias("s")).collect()
+    assert a == b
+    buckets = {r.s for r in a}
+    assert buckets <= set(range(8)) and len(buckets) == 8
