@@ -1,0 +1,114 @@
+"""Structured Streaming variant of the quality-filter pipeline.
+
+The reference is batch-only (SURVEY.md §2.9); this module adds the
+streaming surface a continuous-crawl ingest needs, reusing the SAME stage
+expressions as the batch pipeline (heuristics / fused NLP UDF / scrub are
+all stateless column expressions, so they drop into a streaming plan
+unchanged). The two stateful differences vs batch:
+
+- dedup: the batch window (row_number over sha2(text)) is unsupported on
+  streams; the streaming-safe equivalent is watermarked
+  ``dropDuplicates([content hash])`` — state is one 32-byte hash per doc
+  within the watermark horizon, evicted as event time advances (bounded
+  state at web scale; cross-horizon dups are caught by the batch dedup
+  pass downstream).
+- lineage: per-partition counts become a watermarked event-time window
+  aggregation (append mode -> each window's lineage row is emitted once,
+  exactly the idempotent-append contract of the batch manifest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dq import heuristics
+from dq.pipeline import PipelineConfig, nlp_udf, with_partition
+from dq.schema import PAGES
+from dq.scrub import scrub_col
+
+WATERMARK = "2 days"
+
+
+def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of pages parquet drops (schema pinned — streams
+    cannot infer)."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_enrich(
+    pages: DataFrame, config: PipelineConfig | None = None, dedup: bool = True
+) -> DataFrame:
+    """Stateless stages + watermarked exact-dedup; mirrors batch ``enrich``
+    minus the window-based survivor pick. ``dedup=False`` yields a fully
+    stateless plan (for complete-mode downstream aggregations)."""
+    cfg = config or PipelineConfig()
+    out = with_partition(pages)
+    out = heuristics.with_heuristic_metrics(out)
+    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
+    nlp = nlp_udf(F.col("text"))
+    out = (
+        out.withColumn("_nlp", nlp)
+        .withColumn("lang_pred", F.col("_nlp.lang_pred"))
+        .withColumn("ppl", F.col("_nlp.ppl"))
+        .drop("_nlp")
+    )
+    out = out.withColumn(
+        "keep_lang",
+        F.col("lang_pred") == F.lit(cfg.target_lang) if cfg.target_lang else F.lit(True),
+    )
+    out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
+    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
+    out = out.withColumn("content_hash", F.sha2(F.col("text"), 256))
+    if dedup:
+        out = out.withWatermark("warc_ts", WATERMARK).dropDuplicates(["content_hash"])
+    return out.withColumn(
+        "keep", F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl")
+    )
+
+
+def streaming_lineage(enriched: DataFrame, window: str = "1 day") -> DataFrame:
+    """Watermarked event-time-window lineage counts (append-mode safe)."""
+    return (
+        enriched.groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_input"),
+            F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyyMMdd").alias("dt_foto"),
+            "n_input",
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    config: PipelineConfig | None = None,
+    available_now: bool = True,
+):
+    """Kept docs to parquet, exactly-once via checkpointed file sink.
+    ``available_now`` drains existing input then stops (the batch-parity
+    test mode; continuous deployments pass False)."""
+    enriched = streaming_enrich(stream_pages(spark, in_path), config)
+    kept = enriched.where(F.col("keep")).select(
+        "url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred"
+    )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
