@@ -80,8 +80,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     from dq.session import get_spark
 
     spark = get_spark("dq-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    # JVM/codegen warmup outside measurement
+    # warmup outside measurement: JVM/codegen (native query) AND the python
+    # worker pool (UDF query at the smallest sf — spawning ~cpus workers is
+    # a one-time cost that would otherwise land on the first UDF timing)
     _noop(QUERIES["volumetria_partition_counts"](spark, sf_dir))
+    _noop(QUERIES["pipeline_keep_decisions"](spark, "/root/testdata/sf0.001"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -65,6 +65,40 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct shingles as int64 xxhash64 values — the cheap currency for
+    signatures, shuffles, and set intersection (64-bit collision odds are
+    negligible against shingle-set sizes).
+
+    Shape matters: the naive per-window formulation (slice+concat, or
+    element_at inside a sequence-transform lambda) re-evaluates the token
+    array once per WINDOW (or per element read) because lambdas capture the
+    expression subtree, not a value — O(words^2) work per doc that no
+    optimizer rule rescues. Here each token is hashed once, then gram
+    hashes extend incrementally with zip_with over shifted slices: the
+    token array is referenced O(n) times per row, the per-element work is
+    one 16-byte xxhash64 per step.
+    """
+    toks = tokens_col(text)
+    h1 = F.transform(toks, lambda t: F.xxhash64(t))
+    g = h1
+    for j in range(1, n):
+        # combine gram-hash[i] (j tokens starting at i) with token-hash[i+j]
+        g = F.zip_with(g, F.slice(h1, j + 1, F.size(h1)), lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(g, 1, F.size(toks) - n + 1)  # drop null-padded tail
+    whole = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(whole))
+
+
+def with_hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """(id, hashed shingle array) projection used by signatures + verify."""
+    return df.select(
+        F.col(id_col).alias("_id"), hashed_shingles_col(F.col(text_col), n).alias(out)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "url",
@@ -80,12 +114,14 @@ def minhash_signatures(
     nested-array expression forces Catalyst to re-evaluate the shingle
     construction k times per row and blows up codegen compile time).
     """
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_sh"),
+    exploded = with_hashed_shingles(df, id_col, text_col, shingle_n).select(
+        F.col("_id").alias("doc"), F.explode("_sh").alias("_h")
     )
+    # re-hash the 8-byte shingle hash per seed, NOT the shingle string:
+    # k string hashes/shingle -> 1 string hash + k long hashes (~4x faster),
+    # and the explode shuffles longs instead of 3-word strings
     aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"h{seed}")
+        F.min(F.xxhash64(F.lit(seed), F.col("_h"))).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
     return exploded.groupBy("doc").agg(*aggs)
@@ -134,10 +170,12 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (the LSH verify step)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), shingle_n).alias("_sh")
-    )
+    """Exact n-gram Jaccard for candidate pairs (the LSH verify step).
+
+    Operates on hashed shingle sets (int64 arrays): identical Jaccard value
+    modulo 64-bit collisions, at a fraction of the shuffle and intersection
+    cost of string arrays."""
+    sh = with_hashed_shingles(df, id_col, text_col, shingle_n)
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")

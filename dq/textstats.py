@@ -85,9 +85,8 @@ def fingerprint64(col) -> Column:
 
 def shingle_fingerprints(col, n: int = 5, cap: int = 64) -> Column:
     """First ``cap`` word-shingle hashes (content-defined chunk fingerprints
-    for containment/overlap estimation)."""
-    from dq.dedup import shingles_col
+    for containment/overlap estimation); incremental zip_with hashing, see
+    dq.dedup.hashed_shingles_col."""
+    from dq.dedup import hashed_shingles_col
 
-    return F.slice(
-        F.transform(shingles_col(_text(col), n), lambda s: F.xxhash64(s)), 1, cap
-    )
+    return F.slice(hashed_shingles_col(_text(col), n), 1, cap)
