@@ -1,0 +1,81 @@
+"""Join operators beyond the reference's left-equi family (SURVEY.md §2.3):
+as-of join and range join — the time-series shapes a crawl/event pipeline
+needs that Spark lacks as primitives.
+
+Both are compositions of existing DataFrame ops (SURVEY-mandated
+preference): no UDFs, no cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: each left row picks the right row with the greatest
+    ``right_time`` <= ``left_time`` for the same key (NULLs when none).
+
+    Scale shape — the union-merge formulation: tag both sides, union, ONE
+    shuffle by key, sort within partition by (time, side), and carry the
+    latest right values forward with last(ignoreNulls) over an unbounded
+    preceding window. Cost is a single exchange + sort of |L|+|R| rows —
+    never the O(|L|x|R|) range explosion of an inequality join, and no
+    per-key driver loop. Right rows must be unique per (key, time) for
+    deterministic output (pre-aggregate ties away).
+    """
+    lcols = left.columns
+    l = (
+        left.withColumn("_k", F.col(left_key))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_is_r", F.lit(0))
+    )
+    for c in right_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(right_key).alias("_k"), F.col(right_time).alias("_t"), *right_cols
+    ).withColumn("_is_r", F.lit(1))
+    for c in lcols:
+        r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    merged = l.select(*lcols, *right_cols, "_k", "_t", "_is_r").unionByName(
+        r.select(*lcols, *right_cols, "_k", "_t", "_is_r")
+    )
+    # right rows sort before left rows at equal time => <= semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *lcols,
+        "_is_r",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.where(F.col("_is_r") == 0).drop("_is_r")
+
+
+def range_join_small(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    inclusive_hi: bool = True,
+) -> DataFrame:
+    """Band/interval join of a fact table against a SMALL ranges dimension:
+    broadcast nested-loop with the inequality predicate — at any fact-table
+    scale this is the right physical plan because the ranges side is tiny
+    and the facts side streams through untouched (no shuffle, no explode).
+    For large interval tables, bucketize both sides to an equi-join first.
+    """
+    v = F.col(value_col)
+    hi_pred: Column = v <= F.col(hi_col) if inclusive_hi else v < F.col(hi_col)
+    return facts.join(F.broadcast(ranges), (v > F.col(lo_col)) & hi_pred)

@@ -57,7 +57,7 @@ def _trigrams(text: str) -> list[str]:
 PREFIX_CHARS = 600
 
 
-def detect_one(text: str | None) -> tuple[str, float]:
+def detect_one(text: str | None, profiles: dict | None = None) -> tuple[str, float]:
     """(best_lang, mean-log-prob margin vs runner-up). Deterministic."""
     if not text:
         return ("und", 0.0)
@@ -65,7 +65,7 @@ def detect_one(text: str | None) -> tuple[str, float]:
     if not grams:
         return ("und", 0.0)
     scores = {}
-    for lang, prof in PROFILES.items():
+    for lang, prof in (profiles or PROFILES).items():
         unk = prof["<unk>"]
         scores[lang] = sum(prof.get(g, unk) for g in grams) / len(grams)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -93,3 +93,24 @@ _RESULT_TYPE = T.StructType(
 @F.pandas_udf(_RESULT_TYPE)
 def langid_udf(texts: pd.Series) -> pd.DataFrame:
     return detect_lang_batch(texts)
+
+
+def langid_udf_broadcast(spark):
+    """Same UDF with the model distributed via SparkContext.broadcast —
+    the path for MB-scale model artifacts (fastText .bin, KenLM .arpa):
+    shipped once per executor over the torrent-style broadcast channel
+    instead of pickled into every task closure. The embedded profiles are
+    KBs, so module import suffices here; this constructor is the
+    production seam and is tested for output equality with langid_udf."""
+    bc = spark.sparkContext.broadcast(PROFILES)
+
+    @F.pandas_udf(_RESULT_TYPE)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        profiles = bc.value
+        pairs = [detect_one(t, profiles) for t in texts]
+        return pd.DataFrame(
+            {"lang_pred": [p[0] for p in pairs], "lang_margin": [p[1] for p in pairs]},
+            index=texts.index,
+        )
+
+    return udf

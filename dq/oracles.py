@@ -17,6 +17,7 @@ from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
 from dq.queries import (
     ANN_K,
     ANN_QUERY_MOD,
+    VALUE_RANGES,
     GATE_MISSING_DT,
     LANG_HINT_STOPWORDS,
     PRICE_BAND_EDGES,
@@ -156,6 +157,23 @@ SELECT source,
        CAST(count(DISTINCT text) AS BIGINT) AS qtde2,
        CAST(count(*) - count(DISTINCT text) AS BIGINT) AS diferenca
 FROM documents GROUP BY source
+""",
+    "asof_latest_order": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey,
+         strftime(o_orderdate, '%Y%m%d') AS last_orderdate
+  FROM orders WHERE o_custkey % 7 <> 0 GROUP BY 1, 2
+)
+SELECT e.event_id, o.last_orderkey, o.last_orderdate
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    "events_in_value_ranges": f"""
+WITH ranges(range_name, lo, hi) AS (VALUES {", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in VALUE_RANGES)})
+SELECT range_name, CAST(count(*) AS BIGINT) AS qtde,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN ranges r ON e.value > r.lo AND e.value <= r.hi
+GROUP BY range_name
 """,
     "junta_consolidate": """
 WITH hist AS (

@@ -207,6 +207,55 @@ def remediation_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VALUE_RANGES = [("r0_low", 0.0, 50.0), ("r1_mid", 50.0, 150.0), ("r2_wide", 100.0, 300.0), ("r3_high", 250.0, 500.0)]
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at-or-
+    before the event time (union-merge single-shuffle formulation,
+    dq.joins.asof_join). Customers `% 7 == 0` carry no orders -> NULLs."""
+    from dq.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 != 0)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumn("last_orderdate", F.date_format("o_orderdate", "yyyyMMdd"))
+    )
+    out = asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        right_cols=["last_orderkey", "last_orderdate"],
+    )
+    return out.select("event_id", "last_orderkey", "last_orderdate")
+
+
+def events_in_value_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join vs a small (broadcast) interval dimension; overlapping
+    ranges -> many-to-many semantics."""
+    from dq.joins import range_join_small
+
+    ev = _t(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(VALUE_RANGES, "range_name string, lo double, hi double")
+    return range_join_small(ev, ranges, "value").groupBy("range_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("qtde"),
+        F.sum(_cents("value")).cast("bigint").alias("cents"),
+    )
+
+
+def dup_metric_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of the dup metric: qtde2 via HyperLogLog++
+    (approx_count_distinct) — at 10^12 rows the exact metric's hash-agg
+    shuffle is replaced by a constant-size sketch merge (rows-only check:
+    HLL estimates differ across engines by design)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("qtde1"),
+        F.approx_count_distinct("text", 0.02).cast("bigint").alias("qtde2_approx"),
+    )
+
+
 # --------------------------------------------------------- qualitativo ------
 
 
@@ -465,6 +514,9 @@ QUERIES = {
     "dup_metric_text": dup_metric_text,
     "dup_metric_full_row": dup_metric_full_row,
     "dup_by_source": dup_by_source,
+    "dup_metric_approx": dup_metric_approx,
+    "asof_latest_order": asof_latest_order,
+    "events_in_value_ranges": events_in_value_ranges,
     "junta_consolidate": junta_consolidate,
     "anchor_left_join": anchor_left_join,
     "remediation_flip": remediation_flip,
