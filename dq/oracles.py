@@ -238,6 +238,17 @@ SELECT l_returnflag,
          / CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS cents_per_order
 FROM lineitem GROUP BY l_returnflag
 """,
+    "revenue_by_region": """
+SELECT r.r_name, strftime(o.o_orderdate, '%Y') AS order_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
     "top_users_by_value": """
 SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY user_id

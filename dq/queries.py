@@ -312,6 +312,31 @@ def qualitativo_profile_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, revenue per region/year. The fact table never moves
+    for the dimension hops — customer/nation/region are broadcast; Catalyst
+    reorders the joins. Revenue in exact cents (cross-engine determinism)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", _cents("l_extendedprice").alias("_cents"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.date_format("o_orderdate", "yyyy").alias("order_year")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "order_year")
+        .agg(
+            F.sum("_cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
     ev = _t(spark, sf_dir, "events")
@@ -525,6 +550,7 @@ QUERIES = {
     "qualitativo_conditional_aggs": qualitativo_conditional_aggs,
     "qualitativo_profile_ratios": qualitativo_profile_ratios,
     "top_users_by_value": top_users_by_value,
+    "revenue_by_region": revenue_by_region,
     "heuristic_metrics": heuristic_metrics,
     "scrub_pii": scrub_pii,
     "token_counts": token_counts,

@@ -1,0 +1,43 @@
+"""spark-submit CLI contract: volumetria + duplicidade + pipeline paths."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "dq.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_volumetria_cli_roundtrip(spark, tmp_path):
+    data = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(data)
+    common = ["testdata", "events", "--data-path", data,
+              "--history-path", str(tmp_path / "hist"),
+              "--failures-path", str(tmp_path / "fail")]
+    ok = _run(["volumetria", *common[:2], "20240105", "ts", "2", *common[2:]])
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    assert json.loads(ok.stdout.strip().splitlines()[-1])["status"] == "ok"
+    hist = spark.read.parquet(str(tmp_path / "hist")).collect()
+    assert len(hist) == 1 and hist[0].dt_foto == "20240105" and hist[0].qtde_registros > 0
+
+    missing = _run(["volumetria", *common[:2], "20991231", "ts", "2", *common[2:]])
+    assert missing.returncode == 1
+    fails = spark.read.parquet(str(tmp_path / "fail")).collect()
+    assert len(fails) == 1 and fails[0].status == 0
+
+
+def test_duplicidade_cli(spark, tmp_path):
+    data = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(data)
+    r = _run(["duplicidade", "testdata", "events", "20240105", "ts", "2",
+              "--data-path", data,
+              "--history-path", str(tmp_path / "dhist"),
+              "--failures-path", str(tmp_path / "dfail")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    hist = spark.read.parquet(str(tmp_path / "dhist")).collect()
+    assert len(hist) == 1
+    assert hist[0].qtde1 >= hist[0].qtde2
