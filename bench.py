@@ -95,7 +95,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     _noop(QUERIES["pipeline_keep_decisions"](spark, sf_dir))
     pipe_s = time.perf_counter() - t0
     spark.stop()
-    return {
+    out = {
         "metric": "headline query wall time (full quality-filter pipeline + operator suite)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -104,6 +104,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "docs_per_sec": round(n_docs / pipe_s, 1),
         "cpus": cpus,
     }
+    # steady-state throughput at 100x the doc volume, from the scaling
+    # history (the small-corpus number above is fixed-overhead-bound)
+    try:
+        with open("BENCH/history.jsonl") as f:
+            recs = [json.loads(line) for line in f]
+        out["docs_per_sec_scaled"] = max(r["big"]["docs_per_sec"] for r in recs)
+    except OSError:
+        pass
+    return out
 
 
 def run_filter_throughput(sf_dir: str, cpus: int, mult: int) -> dict:

@@ -102,8 +102,11 @@ class CheckpointManifest:
     """
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self._done: set[str] = set()
+        self._lock = threading.Lock()  # parallel partition fan-out (C4)
         if os.path.exists(path):
             with open(path) as f:
                 self._done = set(json.load(f))
@@ -116,14 +119,15 @@ class CheckpointManifest:
         return self._key(table, partition) in self._done
 
     def mark_done(self, table: str, partition: str) -> None:
-        self._done.add(self._key(table, partition))
-        d = os.path.dirname(self.path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d or ".", suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(sorted(self._done), f)
-        os.replace(tmp, self.path)
+        with self._lock:
+            self._done.add(self._key(table, partition))
+            d = os.path.dirname(self.path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d or ".", suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(sorted(self._done), f)
+            os.replace(tmp, self.path)
 
     def pending(self, units: list[tuple[str, str]]) -> list[tuple[str, str]]:
         return [(t, p) for t, p in units if not self.is_done(t, p)]

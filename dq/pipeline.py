@@ -151,9 +151,16 @@ def run(
     table_name: str = "pages",
     resume: bool = True,
     config: PipelineConfig | None = None,
+    parallelism: int = 1,
 ) -> DataFrame:
     """Materializing run: kept docs + lineage to side tables, checkpointed
-    per partition for idempotent resume (north rule). Returns lineage."""
+    per partition for idempotent resume (north rule). Returns lineage.
+
+    ``parallelism > 1`` submits partitions concurrently from driver threads
+    (C4 ≙ the reference's `nohup … &` shell fan-out, todos.sh:1-5, but in
+    ONE Spark app: the FIFO scheduler interleaves the jobs' stages, so a
+    small partition's tasks backfill idle cores while a big one runs).
+    """
     os.makedirs(out_dir, exist_ok=True)
     manifest = CheckpointManifest(os.path.join(out_dir, "manifest.json"))
     parts = [
@@ -164,7 +171,8 @@ def run(
         (table_name, p) for p in sorted(parts)
     ]
     enriched_all = enrich(pages, config=config)
-    for _, part in todo:
+
+    def do_partition(part: str) -> None:
         part_df = enriched_all.where(F.col(PARTITION_COL) == part)
         kept = part_df.where(F.col("keep")).select(
             "url", "warc_ts", PARTITION_COL, F.col("text_scrubbed").alias("text"), "lang_pred"
@@ -176,6 +184,15 @@ def run(
             os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}")
         )
         manifest.mark_done(table_name, part)
+
+    if parallelism > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            list(pool.map(do_partition, [p for _, p in todo]))
+    else:
+        for _, part in todo:
+            do_partition(part)
     # partition-dir type inference would surface dt_foto as int; pin string
     return spark.read.parquet(os.path.join(out_dir, "lineage")).withColumn(
         PARTITION_COL, F.col(PARTITION_COL).cast("string")

@@ -53,6 +53,16 @@ def test_lineage_consistency(spark, pages):
     assert int(lm["n_scrubbed"].sum()) > 0    # planted PII is detected
 
 
+def test_run_parallel_fanout_equals_serial(spark, pages, tmp_path):
+    """C4: concurrent partition submission produces identical outputs."""
+    serial = run(spark, pages, str(tmp_path / "s")).toPandas().sort_values("dt_foto").reset_index(drop=True)
+    par = run(spark, pages, str(tmp_path / "p"), parallelism=4).toPandas().sort_values("dt_foto").reset_index(drop=True)
+    pd.testing.assert_frame_equal(serial, par)
+    ks = spark.read.parquet(str(tmp_path / "s" / "kept"))
+    kp = spark.read.parquet(str(tmp_path / "p" / "kept"))
+    assert sorted(r.url for r in ks.collect()) == sorted(r.url for r in kp.collect())
+
+
 def test_run_resume_idempotent(spark, pages, tmp_path):
     out = str(tmp_path / "o")
     l1 = run(spark, pages, out).toPandas().sort_values("dt_foto").reset_index(drop=True)

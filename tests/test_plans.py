@@ -121,6 +121,21 @@ def test_ann_vectorized_corpus_never_shuffles_wide(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE (on in dq.session) shrinks the configured 8 shuffle partitions
+    to fit the tiny actual exchange — the runtime re-plan the engine leans
+    on for the small-partition tail at scale."""
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = plan_of(df)
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan.lower()
+
+
 def test_broadcast_threshold_salting_interplay(spark):
     """salted_join plan: replicate-small via explode, equi-join on
     (key, salt) — no shuffle of the big side beyond the join itself."""
