@@ -17,6 +17,7 @@ from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
 from dq.queries import (
     ANN_K,
     ANN_QUERY_MOD,
+    PRICE_POINTS,
     VALUE_RANGES,
     GATE_MISSING_DT,
     LANG_HINT_STOPWORDS,
@@ -249,6 +250,13 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
 """,
+    "qualitativo_price_cohorts": "SELECT l_returnflag, "
+    + ", ".join(
+        f"CAST(count(DISTINCT CASE WHEN l_extendedprice > {p!r} THEN l_orderkey END) AS BIGINT) AS orders_gt_p{i}, "
+        f"CAST(sum(CASE WHEN l_extendedprice > {p!r} THEN CAST(floor(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS cents_gt_p{i}"
+        for i, p in enumerate(PRICE_POINTS)
+    )
+    + " FROM lineitem GROUP BY l_returnflag",
     "top_users_by_value": """
 SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY user_id

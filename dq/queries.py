@@ -337,6 +337,29 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# VivoPlay price points (qualitativo/VivoPlay.scala:93-161 runs one
+# conditional-distinct + conditional-sum pair per literal price point).
+PRICE_POINTS = [901.82 + i * 6500.0 for i in range(10)]
+
+
+def qualitativo_price_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's widest aggregation shape (VivoPlay: ~20 paired
+    conditional aggs per group in ONE pass): per returnflag, for each
+    price point p — distinct orders above p and cents above p. A single
+    hash aggregate; every pair shares the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, p in enumerate(PRICE_POINTS):
+        cond = F.col("l_extendedprice") > F.lit(p)
+        aggs.append(
+            F.count_distinct(F.when(cond, F.col("l_orderkey"))).cast("bigint").alias(f"orders_gt_p{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, _cents("l_extendedprice"))).cast("bigint").alias(f"cents_gt_p{i}")
+        )
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
     ev = _t(spark, sf_dir, "events")
@@ -549,6 +572,7 @@ QUERIES = {
     "qualitativo_price_bands": qualitativo_price_bands,
     "qualitativo_conditional_aggs": qualitativo_conditional_aggs,
     "qualitativo_profile_ratios": qualitativo_profile_ratios,
+    "qualitativo_price_cohorts": qualitativo_price_cohorts,
     "top_users_by_value": top_users_by_value,
     "revenue_by_region": revenue_by_region,
     "heuristic_metrics": heuristic_metrics,
