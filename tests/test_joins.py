@@ -62,4 +62,7 @@ def test_langid_broadcast_variant_equal(spark, pages):
 
     u1 = pages.select("url", langid_udf(F.col("text")).alias("a")).toPandas()
     u2 = pages.select("url", langid_udf_broadcast(spark)(F.col("text")).alias("a")).toPandas()
-    assert (u1["a"] == u2["a"]).all()
+    # labels exact; margins agree to float noise (the module-path UDF
+    # groups repeated grams before summing, the broadcast path does not)
+    assert all(x["lang_pred"] == y["lang_pred"] for x, y in zip(u1["a"], u2["a"]))
+    assert all(abs(x["lang_margin"] - y["lang_margin"]) < 1e-9 for x, y in zip(u1["a"], u2["a"]))
