@@ -17,6 +17,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Toxicity masking tier (north rule: "PII/toxicity scrub"). Deterministic
+# word-boundary list — the production seam for a C4-style blocklist; the
+# embedded subset keeps the repo clean while exercising the full path.
+# Case-insensitive via inline (?i): supported by Java regex (engine),
+# Python re (oracle twin), and RE2 (DuckDB oracle).
+TOXIC_WORDS = ["moron", "imbecile", "scumbag", "dumbass", "jackass"]
+
 # Ordered: earlier patterns must not create text later ones would match.
 SCRUB_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
@@ -25,6 +32,7 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     # country-code group is atomic so a bare leading space is never consumed
     ("phone", r"(?:\+?1[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    ("toxicity", r"(?i)\b(?:" + "|".join(TOXIC_WORDS) + r")\b", "<TOX>"),
 ]
 
 

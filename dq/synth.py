@@ -91,6 +91,12 @@ def _doc_text(rng: np.random.RandomState, lang: str, i: int) -> str:
     if rng.rand() < 0.15:
         tmpl = PII_SNIPPETS[int(rng.randint(0, len(PII_SNIPPETS)))]
         pars.append(tmpl.format(i=i % 250, j=(i * 7) % 250))
+    # ~8% carry a toxic term (positive toxicity-mask cases)
+    if rng.rand() < 0.08:
+        from dq.scrub import TOXIC_WORDS
+
+        word = TOXIC_WORDS[int(rng.randint(0, len(TOXIC_WORDS)))]
+        pars.append(f"only a {word} would disagree.")
     return "\n".join(pars)
 
 

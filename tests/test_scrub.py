@@ -11,6 +11,8 @@ CASES = [
     ("ssn 123-45-6789 leak", "ssn <SSN> leak"),
     ("call +1 (555) 123-4567 now", "call <PHONE> now"),
     ("call 555-867-5309", "call <PHONE>"),
+    ("what a MORON move", "what a <TOX> move"),
+    ("oxymoron is fine", "oxymoron is fine"),  # word boundary respected
     ("no pii here", "no pii here"),
     ("", ""),
 ]
