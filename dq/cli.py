@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 from dq import dupcheck, volumetry
 from dq.io import append_table, overwrite_table, read_path
@@ -37,17 +36,24 @@ def _add_check_args(p: argparse.ArgumentParser) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--master",
+        default=None,
+        help="Spark master (default local[N]); pass 'submit' under "
+        "spark-submit so the submit conf supplies it",
+    )
     ap = argparse.ArgumentParser(prog="dq")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("volumetria", "duplicidade"):
-        _add_check_args(sub.add_parser(name))
-    pl = sub.add_parser("pipeline")
+        _add_check_args(sub.add_parser(name, parents=[common]))
+    pl = sub.add_parser("pipeline", parents=[common])
     pl.add_argument("pages_path")
     pl.add_argument("out_dir")
     pl.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
 
-    spark = get_spark(f"dq-{args.cmd}", master=None if "--master" in sys.argv else None)
+    spark = get_spark(f"dq-{args.cmd}", master=args.master)
 
     if args.cmd == "pipeline":
         from dq.pipeline import run

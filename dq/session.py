@@ -23,8 +23,9 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-aware defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
-    cluster callers pass ``None`` and spark-submit supplies the master.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; pass
+    ``master="submit"`` to leave the master to spark-submit/cluster conf
+    (the builder then sets no master at all).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     if master is None:
@@ -32,10 +33,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("DQ_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
