@@ -17,6 +17,7 @@ from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
 from dq.queries import (
     ANN_K,
     ANN_QUERY_MOD,
+    EMB_PAIR_MIN_COSINE,
     PRICE_POINTS,
     VALUE_RANGES,
     GATE_MISSING_DT,
@@ -336,6 +337,25 @@ WITH base AS (
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM base GROUP BY text
+""",
+    "embedding_pairs_exact": f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS qdot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, qdot FROM scored
+WHERE qdot > 0
+  AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE)
+      >= {EMB_PAIR_MIN_COSINE * EMB_PAIR_MIN_COSINE!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
 """,
     "ann_topk_bruteforce": f"""
 WITH q AS (

@@ -493,6 +493,18 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_vectorized(emb, queries, k=ANN_K)
 
 
+EMB_PAIR_MIN_COSINE = 0.3
+
+
+def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized-cosine pair mining over the embeddings table
+    (verify tier of the embedding dedup family; DuckDB-oracled)."""
+    from dq.similarity import quantized_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_cosine_pairs(emb, EMB_PAIR_MIN_COSINE)
+
+
 def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups via SRP-LSH (rows-only: float hyperplanes);
     planted scaled copies have cosine exactly 1."""
@@ -585,6 +597,7 @@ QUERIES = {
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "embedding_pairs_exact": embedding_pairs_exact,
     "embedding_dups": embedding_dups,
     "pipeline_lineage": pipeline_lineage,
     "pipeline_keep_decisions": pipeline_keep_decisions,

@@ -149,6 +149,47 @@ def brute_force_topk_vectorized(
     )
 
 
+def quantized_cosine_pairs(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with quantized cosine >= min_cosine, exact.
+
+    Integer-deterministic cross-engine formulation: quantize to int64 once
+    per vector, precompute squared norms per side (never per pair), and
+    test dot > 0 AND dot^2 >= t^2 * |a|^2 * |b|^2 in doubles (products of
+    exact ints — bit-identical in any IEEE engine, no sqrt). O(n^2) verify
+    tier for modest corpora; the SRP-LSH path (embedding_near_dups) is the
+    scale path.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        quantized_vec(F.col(vec_col)).alias("_q"),
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            F.transform("_q", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+    a = q.select(F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na2"))
+    b = q.select(F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    t2 = float(min_cosine) * float(min_cosine)
+    scored = pairs.select("id_a", "id_b", dot.alias("qdot"), "_na2", "_nb2")
+    return scored.where(
+        (F.col("qdot") > 0)
+        & (
+            F.col("qdot").cast("double") * F.col("qdot").cast("double")
+            >= F.lit(t2) * F.col("_na2").cast("double") * F.col("_nb2").cast("double")
+        )
+    ).select("id_a", "id_b", "qdot")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim))
