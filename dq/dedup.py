@@ -40,9 +40,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "url") -> 
 
 
 def exact_dup_flag(text_col: str = "text", key_col: str = "url") -> Column:
-    """Column marking non-survivor exact duplicates (True = duplicate copy)."""
+    """Column marking non-survivor exact duplicates (True = duplicate copy).
+
+    NOTE: as a window over the full row this shuffles the ENTIRE input
+    (text + every derived column) by the fingerprint — fine on a narrow
+    frame, a corpus-sized exchange on an enriched one. The pipeline uses
+    :func:`non_survivor_keys` + broadcast join-back instead, so its one
+    exchange carries ~100 B/doc (hash + key), per SCALING.md §2.
+    """
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(key_col))
     return F.row_number().over(w) > 1
+
+
+def non_survivor_keys(df: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """Keys of non-survivor exact duplicates, computed on a NARROW projection.
+
+    The exchange behind the survivor window carries only
+    (sha2(text): 32 B, key) ≈ 100 B/doc — never the document row. Callers
+    attach the flag (or drop the rows) with a join-back on ``key_col``:
+    broadcast when the dup set fits the driver/executor budget (exact-dup
+    non-survivors are a minority of a crawl snapshot), else a shuffle join
+    where the wide side should come from storage bucketed/partitioned by
+    the key so the join plans exchange-free on that side.
+
+    Requires ``key_col`` values to be unique per row (urls are).
+    """
+    narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
+    w = Window.partitionBy("_fp").orderBy(key_col)
+    return (
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(key_col)
+    )
 
 
 # ---------------------------------------------------------------- minhash --

@@ -6,18 +6,20 @@ uniform content hash so it cannot skew):
 
     scan pages -> extract (native regex chain) -> heuristics (native)
     -> langid (pandas UDF) -> perplexity (pandas UDF) -> scrub (native)
-    -> exact-dup survivor (window over sha2(text)) -> keep decision
-    -> lineage metrics per partition (dt_foto)
+    -> exact-dup survivor (narrow (sha2,url) pass + broadcast join-back)
+    -> keep decision -> lineage metrics per partition (dt_foto)
 
 The keep decision and scrubbed text have pure-pandas oracle twins
 (dq.heuristics / dq.langid / dq.perplexity / dq.scrub) — the F1>=0.99 /
 byte-identical contract is tested in tests/test_pipeline.py.
 
-Scale notes (10^12 docs): pages are processed per dt_foto partition with a
-checkpoint manifest (idempotent resume); model artifacts are module-level
-constants imported per executor (KBs — for MB-scale models switch to
-SparkContext.broadcast); hot-domain skew never reaches a shuffle key (the
-only wide ops key on sha2/xxhash64 hashes).
+Scale notes (10^12 docs): one enrich pass covers ALL pending dt_foto
+partitions (write.partitionBy + dynamic partition overwrite; the checkpoint
+manifest still gives idempotent resume); the dedup exchange carries only
+(sha2(text), url) ≈ 100 B/doc — the enriched row never shuffles; model
+artifacts are module-level constants imported per executor (KBs — for
+MB-scale models switch to SparkContext.broadcast); hot-domain skew never
+reaches a shuffle key (the only wide op keys on sha2 hashes).
 """
 
 from __future__ import annotations
@@ -95,7 +97,12 @@ def with_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
 
 
-def enrich(df: DataFrame, verify_extraction: bool = True, config: PipelineConfig | None = None) -> DataFrame:
+def enrich(
+    df: DataFrame,
+    verify_extraction: bool = True,
+    config: PipelineConfig | None = None,
+    dedup_broadcast: bool = True,
+) -> DataFrame:
     """All per-doc stages; returns input columns + metrics + decisions."""
     cfg = config or PipelineConfig()
     out = with_partition(df)
@@ -120,10 +127,22 @@ def enrich(df: DataFrame, verify_extraction: bool = True, config: PipelineConfig
     out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
     out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
-    # deterministic exact-dup survivor: first url per content hash
-    from dq.dedup import exact_dup_flag
+    # deterministic exact-dup survivor (first url per content hash), computed
+    # on a NARROW (sha2(text), url) projection: the shuffle carries ~100 B/doc
+    # as SCALING.md §2 claims — the enriched row (text + text_scrubbed +
+    # metrics, KBs/doc) never enters an exchange. The flag comes back via a
+    # join on url: broadcast by default (non-survivors are a minority of a
+    # snapshot); dedup_broadcast=False falls back to a shuffle join whose
+    # narrow side still carries only urls — pair it with input storage
+    # bucketed by url for an exchange-free wide side.
+    from dq.dedup import non_survivor_keys
 
-    out = out.withColumn("is_exact_dup", exact_dup_flag("text", "url"))
+    dup_keys = non_survivor_keys(df, "text", "url").withColumn("_is_dup", F.lit(True))
+    if dedup_broadcast:
+        dup_keys = F.broadcast(dup_keys)
+    out = out.join(dup_keys, "url", "left").withColumn(
+        "is_exact_dup", F.coalesce(F.col("_is_dup"), F.lit(False))
+    ).drop("_is_dup")
     return out.withColumn(
         "keep",
         F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl") & ~F.col("is_exact_dup"),
@@ -144,6 +163,23 @@ def lineage_metrics(enriched: DataFrame) -> DataFrame:
     )
 
 
+def _ts_range_pred(parts: list[str], ts_col: str = "warc_ts") -> F.Column:
+    """Pushable scan predicate covering the given yyyyMMdd partition labels:
+    a range on the REAL timestamp column (parquet min/max row-group skipping
+    + partition pruning on date-partitioned storage), unlike a predicate on
+    the derived dt_foto string which no source can push."""
+    lo = F.to_timestamp(F.lit(min(parts)), "yyyyMMdd")
+    hi = F.to_timestamp(F.lit(max(parts)), "yyyyMMdd") + F.make_interval(days=F.lit(1))
+    return (F.col(ts_col) >= lo) & (F.col(ts_col) < hi)
+
+
+def kept_projection(enriched: DataFrame) -> DataFrame:
+    """The kept-docs output relation (scrubbed text under the original name)."""
+    return enriched.where(F.col("keep")).select(
+        "url", "warc_ts", PARTITION_COL, F.col("text_scrubbed").alias("text"), "lang_pred"
+    )
+
+
 def run(
     spark: SparkSession,
     pages: DataFrame,
@@ -152,14 +188,24 @@ def run(
     resume: bool = True,
     config: PipelineConfig | None = None,
     parallelism: int = 1,
+    per_partition: bool = False,
 ) -> DataFrame:
     """Materializing run: kept docs + lineage to side tables, checkpointed
-    per partition for idempotent resume (north rule). Returns lineage.
+    for idempotent resume (north rule). Returns lineage.
 
-    ``parallelism > 1`` submits partitions concurrently from driver threads
-    (C4 ≙ the reference's `nohup … &` shell fan-out, todos.sh:1-5, but in
-    ONE Spark app: the FIFO scheduler interleaves the jobs' stages, so a
-    small partition's tasks backfill idle cores while a big one runs).
+    Default is ONE enrich pass over all pending partitions with
+    ``write.partitionBy(dt_foto)`` + dynamic partition overwrite — a backlog
+    of P partitions costs one scan, not P. A crash before mark_done re-runs
+    the pending set; dynamic overwrite replaces exactly the partitions
+    re-processed, so resume is idempotent.
+
+    ``per_partition=True`` keeps the per-partition fan-out (C4 ≙ the
+    reference's `nohup … &` shell layer, todos.sh:1-5, but in ONE Spark app:
+    with ``parallelism > 1`` the FIFO scheduler interleaves the jobs'
+    stages). Each partition job filters the SOURCE by its warc_ts day range
+    (pushable), so even this mode scans only the partition it processes.
+    Dedup scope is the run's input in single-pass mode, the single partition
+    in per-partition mode (cross-run dups are caught downstream).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = CheckpointManifest(os.path.join(out_dir, "manifest.json"))
@@ -170,29 +216,53 @@ def run(
     todo = manifest.pending([(table_name, p) for p in sorted(parts)]) if resume else [
         (table_name, p) for p in sorted(parts)
     ]
-    enriched_all = enrich(pages, config=config)
+    pending = [p for _, p in todo]
 
-    def do_partition(part: str) -> None:
-        part_df = enriched_all.where(F.col(PARTITION_COL) == part)
-        kept = part_df.where(F.col("keep")).select(
-            "url", "warc_ts", PARTITION_COL, F.col("text_scrubbed").alias("text"), "lang_pred"
+    def write_partitioned(enriched: DataFrame) -> None:
+        kept = kept_projection(enriched)
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(os.path.join(out_dir, "kept"))
         )
-        kept.write.mode("overwrite").parquet(os.path.join(out_dir, f"kept/{PARTITION_COL}={part}"))
-        # per-partition overwrite (NOT append): re-running a partition after a
-        # crash-before-mark must not duplicate its lineage row (idempotence)
-        lineage_metrics(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}")
+        (
+            lineage_metrics(enriched)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(os.path.join(out_dir, "lineage"))
         )
-        manifest.mark_done(table_name, part)
 
-    if parallelism > 1 and len(todo) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    if pending and not per_partition:
+        scoped = pages.where(_ts_range_pred(pending))
+        enriched = enrich(scoped, config=config).where(F.col(PARTITION_COL).isin(pending))
+        write_partitioned(enriched)
+        for part in pending:
+            manifest.mark_done(table_name, part)
+    elif pending:
+        # each fan-out job owns its partition DIRECTORY (not a partitionBy
+        # into a shared root: concurrent jobs would collide in the output
+        # committer's _temporary staging)
+        def do_partition(part: str) -> None:
+            scoped = pages.where(_ts_range_pred([part]))
+            part_df = enrich(scoped, config=config).where(F.col(PARTITION_COL) == part)
+            kept_projection(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"kept/{PARTITION_COL}={part}")
+            )
+            lineage_metrics(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}")
+            )
+            manifest.mark_done(table_name, part)
 
-        with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            list(pool.map(do_partition, [p for _, p in todo]))
-    else:
-        for _, part in todo:
-            do_partition(part)
+        if parallelism > 1 and len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                list(pool.map(do_partition, pending))
+        else:
+            for part in pending:
+                do_partition(part)
     # partition-dir type inference would surface dt_foto as int; pin string
     return spark.read.parquet(os.path.join(out_dir, "lineage")).withColumn(
         PARTITION_COL, F.col(PARTITION_COL).cast("string")

@@ -51,7 +51,7 @@ def test_merge_history_broadcasts_fresh_side(spark):
 
 
 def test_enrich_has_single_wide_op(spark):
-    """The filter pipeline is narrow except the dedup window: exactly one
+    """The filter pipeline is narrow except the dedup pass: exactly one
     exchange (hash by sha2(text)) in the whole enriched plan."""
     from dq.pipeline import enrich
     from dq.queries import docs_as_pages
@@ -59,6 +59,32 @@ def test_enrich_has_single_wide_op(spark):
     plan = simple_plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no accidental sorts
+    # the dup flag comes back via broadcast join — the wide side never shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_enrich_exchange_is_narrow(spark):
+    """The one exchange carries only (fingerprint, url) ≈ 100 B/doc — never
+    the document row (SCALING.md §2; VERDICT r1 wrong-#1)."""
+    import re
+
+    from dq.pipeline import enrich
+    from dq.queries import docs_as_pages
+
+    plan = plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
+    # formatted plan: each node is "(n) NodeName" followed by attribute lines
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [
+        n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")
+        and "hashpartitioning" in n
+    ]
+    assert exchanges, f"no hash exchange found in plan:\n{plan}"
+    for node in exchanges:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        n_cols, cols = int(inp.group(1)), inp.group(2)
+        assert n_cols <= 3, f"exchange too wide ({n_cols} cols): {cols}"
+        assert "text#" not in cols and "html#" not in cols, cols
 
 
 def test_partition_pruning_on_partitioned_output(spark, pages, tmp_path):
