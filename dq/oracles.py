@@ -17,7 +17,10 @@ from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
 from dq.queries import (
     ANN_K,
     ANN_QUERY_MOD,
+    EMB_DIM,
     EMB_PAIR_MIN_COSINE,
+    EMB_SRP_BITS,
+    EMB_SRP_SEED,
     PRICE_POINTS,
     VALUE_RANGES,
     GATE_MISSING_DT,
@@ -118,6 +121,52 @@ def _lang_values() -> str:
     return ", ".join(
         f"('{lang}', {_sql_list(sw)})" for lang, sw in LANG_HINT_STOPWORDS.items()
     )
+
+
+def _embedding_pairs_lsh_sql() -> str:
+    """SRP-LSH candidate mining twin: integer hyperplanes generated from the
+    SAME numpy constants as dq.similarity.quantized_srp_signature, so bucket
+    membership — not just the verify predicate — is bit-identical."""
+    from dq.similarity import quantized_hyperplanes
+
+    planes = quantized_hyperplanes(EMB_DIM, EMB_SRP_BITS, EMB_SRP_SEED)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(qv, "
+        f"[{', '.join(str(int(w)) for w in planes[b])}]::BIGINT[]), p -> p[1] * p[2])) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(EMB_SRP_BITS)
+    )
+    n_chunks = EMB_SRP_BITS // 4
+    chunk_ids = ", ".join(str(c) for c in range(n_chunks))
+    t2 = EMB_PAIR_MIN_COSINE * EMB_PAIR_MIN_COSINE
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
+         CAST({bit_terms} AS BIGINT) AS sig
+  FROM q
+), c AS (
+  SELECT vec_id, ((sig >> (4 * u.chunk_id)) & 15) AS chunk, u.chunk_id
+  FROM n, unnest([{chunk_ids}]) AS u(chunk_id)
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(list_sum(list_transform(list_zip(na.qv, nb.qv), z -> z[1] * z[2])) AS BIGINT) AS qdot,
+         na.n2 AS na2, nb.n2 AS nb2
+  FROM pairs p
+  JOIN n na ON na.vec_id = p.id_a
+  JOIN n nb ON nb.vec_id = p.id_b
+)
+SELECT id_a, id_b, qdot FROM scored
+WHERE qdot > 0
+  AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE)
+      >= {t2!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -338,25 +387,7 @@ SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM base GROUP BY text
 """,
-    "embedding_pairs_exact": f"""
-WITH q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings
-), n AS (
-  SELECT vec_id, qv,
-         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
-  FROM q
-), scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS qdot,
-         a.n2 AS na2, b.n2 AS nb2
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, qdot FROM scored
-WHERE qdot > 0
-  AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE)
-      >= {EMB_PAIR_MIN_COSINE * EMB_PAIR_MIN_COSINE!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
-""",
+    "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "ann_topk_bruteforce": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0

@@ -494,15 +494,22 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_PAIR_MIN_COSINE = 0.3
+EMB_SRP_BITS = 16
+EMB_SRP_SEED = 7
+EMB_DIM = 64
 
 
 def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact quantized-cosine pair mining over the embeddings table
-    (verify tier of the embedding dedup family; DuckDB-oracled)."""
-    from dq.similarity import quantized_cosine_pairs
+    """Quantized-cosine pair mining over the embeddings table: integer
+    SRP-LSH candidates (banded equi-join, O(docs x chunks) shuffle — never
+    O(n^2)) -> exact integer cosine predicate. The DuckDB oracle reproduces
+    the candidate set bit-for-bit (integer hyperplanes, shared constants)."""
+    from dq.similarity import quantized_cosine_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantized_cosine_pairs(emb, EMB_PAIR_MIN_COSINE)
+    return quantized_cosine_pairs_lsh(
+        emb, EMB_PAIR_MIN_COSINE, dim=EMB_DIM, n_bits=EMB_SRP_BITS, seed=EMB_SRP_SEED
+    )
 
 
 def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

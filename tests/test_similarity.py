@@ -76,3 +76,42 @@ def test_cosine_self_is_one(spark):
 
     v = df.select(similarity.cosine_col(F.col("embedding"), F.col("embedding")).alias("c"))
     assert abs(v.collect()[0].c - 1.0) < 1e-12
+
+
+def test_quantized_lsh_pairs_subset_of_exact_with_full_recall_on_copies(vectors, spark):
+    """quantized_cosine_pairs_lsh: (a) every emitted pair passes the same
+    exact predicate as the n^2 verify twin, (b) identical vectors (all
+    chunks equal) are always recalled."""
+    df, _ = vectors
+    from pyspark.sql import functions as F
+
+    copies = df.where("vec_id < 6").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    base = df.unionByName(copies)
+    exact = similarity.quantized_cosine_pairs(base, 0.9, "vec_id", "embedding").toPandas()
+    lsh = similarity.quantized_cosine_pairs_lsh(
+        base, 0.9, "vec_id", "embedding", dim=DIM
+    ).toPandas()
+    exact_set = {(a, b): d for a, b, d in zip(exact["id_a"], exact["id_b"], exact["qdot"])}
+    for a, b, d in zip(lsh["id_a"], lsh["id_b"], lsh["qdot"]):
+        assert exact_set[(a, b)] == d  # subset with identical scores
+    got = set(zip(lsh["id_a"], lsh["id_b"]))
+    for i in range(6):
+        assert (i, i + 1000) in got  # identical vector -> recalled
+
+
+def test_quantized_lsh_pairs_plan_no_cartesian(vectors):
+    """The standalone pair-mining query must never plan a cartesian-class
+    join (VERDICT r1 wrong-#3)."""
+    import contextlib
+    import io
+
+    df, _ = vectors
+    out = similarity.quantized_cosine_pairs_lsh(df, 0.3, "vec_id", "embedding", dim=DIM)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
