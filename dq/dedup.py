@@ -128,6 +128,16 @@ def with_hashed_shingles(
     )
 
 
+def with_string_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """(id, string shingle array) — the cross-engine-checkable twin of
+    :func:`with_hashed_shingles` (identical sets modulo the hashing)."""
+    return df.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias(out)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "url",
@@ -198,13 +208,18 @@ def jaccard_pairs(
     id_col: str = "url",
     text_col: str = "text",
     shingle_n: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the LSH verify step).
 
-    Operates on hashed shingle sets (int64 arrays): identical Jaccard value
-    modulo 64-bit collisions, at a fraction of the shuffle and intersection
-    cost of string arrays."""
-    sh = with_hashed_shingles(df, id_col, text_col, shingle_n)
+    Default operates on hashed shingle sets (int64 arrays): identical
+    Jaccard value modulo 64-bit collisions, at a fraction of the shuffle and
+    intersection cost of string arrays — the scale path. ``hashed=False``
+    uses the raw string shingles: same value, DuckDB-reproducible
+    (list_intersect/list_distinct), used by the oracle-checked verify query.
+    """
+    maker = with_hashed_shingles if hashed else with_string_shingles
+    sh = maker(df, id_col, text_col, shingle_n)
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")

@@ -25,6 +25,11 @@ from dq.queries import (
     VALUE_RANGES,
     GATE_MISSING_DT,
     LANG_HINT_STOPWORDS,
+    PLANT_EXACT_MOD,
+    PLANT_EXACT_OFFSET,
+    PLANT_NEAR_MOD,
+    PLANT_NEAR_OFFSET,
+    PLANT_NEAR_SUFFIX,
     PRICE_BAND_EDGES,
     PRICE_BAND_LABELS,
     REMEDIATION_EXCLUDED,
@@ -36,6 +41,16 @@ from dq.scrub import SCRUB_RULES
 from dq.textstats import BPE_SPLIT_PATTERN
 
 _DT = "strftime(ts, '%Y%m%d')"
+
+# planted-dup base table (exact_dedup_survivors / ngram_jaccard_pairs share
+# it with dq.queries._docs_with_planted_dups via the PLANT_* constants)
+_PLANTED_BASE = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_EXACT_OFFSET}, text FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {PLANT_NEAR_OFFSET}, text || '{PLANT_NEAR_SUFFIX}' FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
+"""
 
 
 def _sql_list(items: list[str]) -> str:
@@ -375,17 +390,40 @@ SELECT doc_id,
        sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
 FROM documents
 """,
-    "exact_dedup_survivors": """
-WITH base AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
-  UNION ALL
-  SELECT doc_id + 2000000, text || ' appendix extra' FROM documents WHERE doc_id % 7 = 0
-)
+    "exact_dedup_survivors": f"""
+WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM base GROUP BY text
+""",
+    "ngram_jaccard_pairs": f"""
+WITH base AS ({_PLANTED_BASE}),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + {PLANT_EXACT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET}
+  FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+              ELSE [array_to_string(words, ' ')] END AS s
+  FROM w
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+            THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
 """,
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "ann_topk_bruteforce": f"""

