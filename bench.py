@@ -105,13 +105,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
     }
     # steady-state throughput at 100x the doc volume, from the scaling
-    # history (the small-corpus number above is fixed-overhead-bound)
+    # history (the small-corpus number above is fixed-overhead-bound);
+    # best-of/latest/median labeled explicitly — the host is a noisy
+    # neighbor, so best-of alone would overstate a typical run
     try:
         with open("BENCH/history.jsonl") as f:
-            recs = [json.loads(line) for line in f]
-        out["docs_per_sec_scaled"] = max(r["big"]["docs_per_sec"] for r in recs)
+            rates = sorted(json.loads(line)["big"]["docs_per_sec"] for line in f)
+        out["docs_per_sec_scaled_best"] = rates[-1]
+        out["docs_per_sec_scaled_median"] = rates[len(rates) // 2]
+        with open("BENCH/history.jsonl") as f:
+            out["docs_per_sec_scaled_latest"] = [
+                json.loads(line)["big"]["docs_per_sec"] for line in f
+            ][-1]
     except OSError:
         pass
+    # per-query round-over-round visibility
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/headline.jsonl", "a") as f:
+        f.write(json.dumps({"sf": out["sf"], "cpus": cpus, "queries": timings}) + "\n")
     return out
 
 

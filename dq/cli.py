@@ -3,11 +3,13 @@ layer (bin/src/shell/*: 5 positional args db, table, dt_foto, campo,
 formato — ColetaVolumetria.scala:11-15) plus the pipeline/scaling commands
 the north rule adds.
 
-Usage (cluster):
-    spark-submit --py-files dq.zip -m dq.cli volumetria <db> <tbl> <dt> <campo> <formato>
-    spark-submit --py-files dq.zip -m dq.cli duplicidade <db> <tbl> <dt> <campo> <formato>
-    spark-submit --py-files dq.zip -m dq.cli remediar {diario|semanal}
-    spark-submit --py-files dq.zip -m dq.cli pipeline <pages_path> <out_dir>
+Usage (cluster — spark-submit takes a SCRIPT path, it has no -m module
+flag; ship the package with --py-files and pass this file):
+    spark-submit --master yarn --py-files dq.zip dq/cli.py volumetria <db> <tbl> <dt> <campo> <formato> ...
+    spark-submit --master yarn --py-files dq.zip dq/cli.py duplicidade <db> <tbl> <dt> <campo> <formato> ...
+    spark-submit --master yarn --py-files dq.zip dq/cli.py remediar {diario|semanal} --table db.tbl=path ...
+    spark-submit --master yarn --py-files dq.zip dq/cli.py pipeline <pages_path> <out_dir>
+Local/dev: python -m dq.cli <cmd> ... (same argv contract).
 
 Paths are parquet directories here; on a cluster with an Iceberg catalog the
 same names resolve through dq.io (the only IO seam).
@@ -51,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("pages_path")
     pl.add_argument("out_dir")
     pl.add_argument("--no-resume", action="store_true")
+    rm = sub.add_parser("remediar", parents=[common])
+    rm.add_argument("mode", choices=["diario", "semanal"])
+    rm.add_argument("--history-path", required=True)
+    rm.add_argument("--failures-path", required=True)
+    rm.add_argument(
+        "--table", action="append", default=[], metavar="banco.tabela=path",
+        help="monitored-table resolution (repeatable)",
+    )
+    rm.add_argument("--today", default=None, help="yyyyMMdd override for the lookback window")
     args = ap.parse_args(argv)
 
     spark = get_spark(f"dq-{args.cmd}", master=args.master)
@@ -60,6 +71,25 @@ def main(argv: list[str] | None = None) -> int:
 
         lineage = run(spark, read_path(spark, args.pages_path), args.out_dir, resume=not args.no_resume)
         print(json.dumps({"partitions": lineage.count()}))
+        return 0
+
+    if args.cmd == "remediar":
+        from dq.remediate import remediate_volumetria
+        from dq.schema import DQ_FAILURES
+
+        mapping = dict(t.split("=", 1) for t in args.table)
+        failures = read_path(spark, args.failures_path, default_schema=DQ_FAILURES)
+        history = read_path(spark, args.history_path, default_schema=volumetry.DQ_VOLUMETRIA)
+        new_hist, new_fail = remediate_volumetria(
+            spark, failures, history,
+            lambda banco, tabela: read_path(spark, mapping[f"{banco}.{tabela}"]),
+            mode=args.mode, today=args.today,
+        )
+        # count before the staged swap invalidates new_fail's input files
+        n_open = new_fail.where("status = 0").count()
+        overwrite_table(new_hist, args.history_path)
+        overwrite_table(new_fail, args.failures_path)
+        print(json.dumps({"status": "ok", "open_failures": n_open}))
         return 0
 
     monitored = read_path(spark, args.data_path)

@@ -37,14 +37,14 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-def read_path(spark: SparkSession, path: str, default_schema=None) -> DataFrame:
-    """Read a parquet path; absent path + default_schema -> empty frame
+def read_path(spark: SparkSession, path: str, default_schema=None, fmt: str = "parquet") -> DataFrame:
+    """Read a parquet/orc path; absent path + default_schema -> empty frame
     (first run of a history table)."""
     if not os.path.exists(path):
         if default_schema is not None:
             return spark.createDataFrame([], schema=default_schema)
         raise FileNotFoundError(path)
-    return spark.read.parquet(path)
+    return spark.read.format(fmt).load(path)
 
 
 def partition_values(df: DataFrame, partition_expr) -> DataFrame:
@@ -67,15 +67,16 @@ def partition_exists(df: DataFrame, partition_expr: str, value: str) -> bool:
     return df.where(F.expr(partition_expr) == F.lit(value)).limit(1).count() > 0
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
+def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Staged INSERT OVERWRITE (S5): safe when ``df`` reads from ``path``.
 
     Spark 3 forbids overwriting a path being read; we materialize to a
     sibling staging dir then atomically swap. Iceberg makes this a
-    transactional REPLACE — this is the parquet fallback.
+    transactional REPLACE — this is the path-based fallback (fmt may be
+    ``orc`` for reference parity).
     """
     stage = path.rstrip("/") + ".staging"
-    df.write.mode("overwrite").parquet(stage)
+    df.write.mode("overwrite").format(fmt).save(stage)
     final_tmp = path.rstrip("/") + ".old"
     spark = df.sparkSession
     if os.path.exists(path):
@@ -88,9 +89,55 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     _ = spark  # session kept for API symmetry with the Iceberg backend
 
 
-def append_table(df: DataFrame, path: str) -> None:
-    """ORC/parquet append sink (S4 ≙ df.write.mode("append").insertInto)."""
-    df.write.mode("append").parquet(path)
+def append_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Append sink (S4 ≙ df.write.mode("append").insertInto). ``fmt`` may be
+    ``orc`` — the reference's only storage format is ORC+Snappy
+    (duplicidade/ColetaDuplicidade.scala:93, reference README.md:10-15)."""
+    df.write.mode("append").format(fmt).save(path)
+
+
+# ------------------------------------------------------- catalog tables -----
+# The reference's only data abstraction is NAMED tables in a metastore:
+# DROP TABLE IF EXISTS + CREATE TABLE ... AS SELECT, stored as ORC
+# (duplicidade/ColetaDuplicidade.scala:86-93, qualitativo/VivoEyes.scala:26-27).
+# These helpers exercise the real Spark catalog (saveAsTable / SQL CTAS /
+# DROP / spark.read.table); on a cluster the same calls hit Hive or Iceberg.
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def read_catalog_table(spark: SparkSession, name: str) -> DataFrame:
+    """S1 against the catalog (≙ sqlContext.table / spark.read.table)."""
+    return spark.read.table(name)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Managed-table sink (S6 via the DataFrame API)."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(name)
+
+
+def ctas(spark: SparkSession, name: str, select_sql: str, fmt: str = "parquet") -> None:
+    """SQL CTAS (S6 ≙ CREATE TABLE nome_tabela STORED AS ORC AS SELECT …,
+    ColetaDuplicidade.scala:86-93). Drop-then-create, matching the
+    reference's DROP TABLE IF EXISTS + CTAS pair (S7 + S6)."""
+    drop_table(spark, name)
+    spark.sql(f"CREATE TABLE {name} USING {fmt} AS {select_sql}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """S7 ≙ DROP TABLE IF EXISTS (ColetaDuplicidade.scala:86)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 class CheckpointManifest:

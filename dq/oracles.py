@@ -205,9 +205,14 @@ WHERE {_DT} >= '20240129' AND event_type <> 'error'
 GROUP BY event_type
 """,
     "dup_metric_text": """
+-- NULL counts as ONE distinct group (the Spark side groups by a null-safe
+-- fingerprint, so all-NULL rows form a single cluster; SQL's
+-- count(DISTINCT) would ignore them)
 SELECT CAST(count(*) AS BIGINT) AS qtde1,
-       CAST(count(DISTINCT text) AS BIGINT) AS qtde2,
-       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS diferenca
+       CAST(count(DISTINCT text)
+            + (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) AS BIGINT) AS qtde2,
+       CAST(count(*) - count(DISTINCT text)
+            - (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) AS BIGINT) AS diferenca
 FROM documents
 """,
     "dup_metric_full_row": """

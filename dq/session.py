@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("DQ_DRIVER_MEMORY", "16g"))
+        # catalog-table surface (S1/S6/S7): in-memory session catalog backed
+        # by a writable warehouse dir; a cluster deployment points this at
+        # its Hive/Iceberg warehouse instead
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("DQ_WAREHOUSE_DIR", "/tmp/dq-warehouse"),
+        )
         # Non-ANSI: NULL (not error) on overflow/bad cast, matching the
         # reference's Hive-1.x semantics (SURVEY.md §7.3 item 3).
         .config("spark.sql.ansi.enabled", "false")

@@ -67,7 +67,15 @@ def salted_join(
     to broadcast: salt the big side by a uniform hash of ``row_col`` (any
     high-cardinality column), replicate the small side across all salts,
     join on (key, salt). A hot key's rows spread over ``buckets`` tasks.
+
+    Only big-side-preserving joins are valid: the small side is REPLICATED
+    across all buckets, so right/full-outer would emit ``buckets`` copies
+    of each unmatched small-side row.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}: "
+                         "the replicated small side would duplicate unmatched rows")
     b = big.withColumn("_salt", salt_from(F.col(row_col), buckets))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

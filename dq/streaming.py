@@ -6,12 +6,14 @@ expressions as the batch pipeline (heuristics / fused NLP UDF / scrub are
 all stateless column expressions, so they drop into a streaming plan
 unchanged). The two stateful differences vs batch:
 
-- dedup: the batch window (row_number over sha2(text)) is unsupported on
-  streams; the streaming-safe equivalent is watermarked
-  ``dropDuplicates([content hash])`` — state is one 32-byte hash per doc
-  within the watermark horizon, evicted as event time advances (bounded
-  state at web scale; cross-horizon dups are caught by the batch dedup
-  pass downstream).
+- dedup: the batch survivor pick is unsupported on streams; the
+  streaming-safe equivalent is ``dropDuplicatesWithinWatermark([content
+  hash])`` — state is one 32-byte hash per doc within the watermark
+  horizon, and Spark evicts it as event time advances. (Plain
+  ``dropDuplicates([hash])`` would NOT evict: watermark eviction applies
+  only when the event-time column is part of the dedup subset, so state
+  grows unboundedly on a continuous stream.) Cross-horizon dups are caught
+  by the batch dedup pass downstream.
 - lineage: per-partition counts become a watermarked event-time window
   aggregation (append mode -> each window's lineage row is emitted once,
   exactly the idempotent-append contract of the batch manifest).
@@ -64,7 +66,9 @@ def streaming_enrich(
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
     out = out.withColumn("content_hash", F.sha2(F.col("text"), 256))
     if dedup:
-        out = out.withWatermark("warc_ts", WATERMARK).dropDuplicates(["content_hash"])
+        out = out.withWatermark("warc_ts", WATERMARK).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
     return out.withColumn(
         "keep", F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl")
     )

@@ -41,3 +41,24 @@ def test_duplicidade_cli(spark, tmp_path):
     hist = spark.read.parquet(str(tmp_path / "dhist")).collect()
     assert len(hist) == 1
     assert hist[0].qtde1 >= hist[0].qtde2
+
+
+def test_remediar_cli_flips_status(spark, tmp_path):
+    """C3 via the CLI: a failure recorded against an empty table flips to
+    status=1 once the partition exists in the remediation run's mapping."""
+    real = str(tmp_path / "events")
+    empty = str(tmp_path / "empty")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.parquet(real)
+    src.where("1=0").write.parquet(empty)
+    hist, fail = str(tmp_path / "hist"), str(tmp_path / "fail")
+    miss = _run(["volumetria", "testdata", "events", "20240105", "ts", "2",
+                 "--data-path", empty, "--history-path", hist, "--failures-path", fail])
+    assert miss.returncode == 1, miss.stderr[-2000:]
+    r = _run(["remediar", "diario", "--history-path", hist, "--failures-path", fail,
+              "--table", f"testdata.events={real}", "--today", "20240106"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"status": "ok", "open_failures": 0}
+    hrows = spark.read.parquet(hist).collect()
+    assert len(hrows) == 1 and hrows[0].fonte == "3" and hrows[0].qtde_registros > 0

@@ -53,3 +53,12 @@ def test_dup_counts_subset_columns(spark):
     df = _tbl(spark)
     r = dupcheck.dup_counts(df, cols=["k"]).collect()[0]
     assert (r.qtde1, r.qtde2, r.diferenca) == (6, 3, 3)
+
+
+def test_dup_counts_null_is_one_distinct_group(spark):
+    """NULL values form ONE distinct cluster (null-safe fingerprint); the
+    DuckDB oracle adds the same +1 on top of count(DISTINCT) — pinned here
+    so the two sides cannot drift on null-bearing corpora."""
+    df = spark.createDataFrame([("a",), (None,), (None,)], "text string")
+    row = dupcheck.dup_counts(df, cols=["text"]).collect()[0]
+    assert (row.qtde1, row.qtde2, row.diferenca) == (3, 2, 1)

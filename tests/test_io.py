@@ -44,3 +44,52 @@ def test_manifest_resume(tmp_path):
     m.mark_done("t", "b")
     m2 = dqio.CheckpointManifest(mpath)  # reload from disk
     assert m2.pending(units) == [("t", "a"), ("t", "c")]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_append_and_overwrite_formats(spark, tmp_path, fmt):
+    """S4/S5 parameterized over the reference's storage format (ORC+Snappy,
+    ColetaDuplicidade.scala:93) and the engine default (parquet)."""
+    p = str(tmp_path / f"t_{fmt}")
+    dqio.append_table(spark.range(3), p, fmt=fmt)
+    dqio.append_table(spark.range(3), p, fmt=fmt)
+    assert dqio.read_path(spark, p, fmt=fmt).count() == 6
+    dqio.overwrite_table(dqio.read_path(spark, p, fmt=fmt).where("id < 2"), p, fmt=fmt)
+    assert dqio.read_path(spark, p, fmt=fmt).count() == 4  # 2 ids x 2 appends
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_catalog_create_ctas_drop_roundtrip(spark, fmt):
+    """S1/S6/S7 against the real Spark catalog: saveAsTable, SQL CTAS
+    (drop-then-create, ≙ ColetaDuplicidade.scala:86-93), read.table, DROP."""
+    src, derived = f"dq_src_{fmt}", f"dq_ctas_{fmt}"
+    for t in (src, derived):
+        dqio.drop_table(spark, t)
+    dqio.save_as_table(spark.range(20).selectExpr("id", "id % 3 as g"), src, fmt=fmt)
+    assert dqio.table_exists(spark, src)
+    assert dqio.read_catalog_table(spark, src).count() == 20
+    dqio.ctas(spark, derived, f"SELECT g, count(*) AS n FROM {src} GROUP BY g", fmt=fmt)
+    got = {(r.g, r.n) for r in dqio.read_catalog_table(spark, derived).collect()}
+    assert got == {(0, 7), (1, 7), (2, 6)}
+    # CTAS is drop-then-create: re-running replaces, not fails (S7 + S6)
+    dqio.ctas(spark, derived, f"SELECT g, count(*) AS n FROM {src} WHERE g = 0 GROUP BY g", fmt=fmt)
+    assert dqio.read_catalog_table(spark, derived).count() == 1
+    for t in (derived, src):
+        dqio.drop_table(spark, t)
+        assert not dqio.table_exists(spark, t)
+
+
+def test_catalog_partitioned_table(spark):
+    """Managed partitioned table: partition column survives the round-trip."""
+    dqio.drop_table(spark, "dq_parts")
+    dqio.save_as_table(
+        spark.range(12).selectExpr("id", "cast(id % 2 as string) as dt_foto"),
+        "dq_parts",
+        partition_by=["dt_foto"],
+    )
+    df = dqio.read_catalog_table(spark, "dq_parts")
+    assert df.where("dt_foto = '1'").count() == 6
+    dqio.drop_table(spark, "dq_parts")
