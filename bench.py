@@ -37,6 +37,7 @@ HEADLINE = [
     "dup_metric_full_row",
     "exact_dedup_survivors",
     "minhash_dups",
+    "simhash_dups",
     "volumetria_partition_counts",
     "qualitativo_conditional_aggs",
     "qualitativo_price_bands",

@@ -268,7 +268,33 @@ def simhash_one(text: str | None) -> int:
 
 
 def simhash_batch(texts: pd.Series) -> pd.Series:
-    return pd.Series([simhash_one(t) for t in texts], index=texts.index, dtype="int64")
+    """Vectorized SimHash: per doc, token hashes -> a (tokens x 64) bit
+    matrix -> column-sum votes -> packed sign bits, all in numpy (the
+    64-iteration per-token Python loop of :func:`simhash_one` was ~10x
+    slower; simhash_one remains the oracle twin, equality pytest-pinned).
+    A per-batch token->hash cache exploits Zipfian token repetition."""
+    import numpy as np
+
+    bit_w = np.arange(64, dtype=np.uint64)
+    pow2 = np.left_shift(np.uint64(1), bit_w)
+    cache: dict[str, int] = {}
+    vals = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if not toks:
+            vals.append(0)
+            continue
+        hs = np.fromiter(
+            (cache.setdefault(tok, _token_hash(tok)) for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        ones = ((hs[:, None] >> bit_w) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+        votes = 2 * ones - len(toks)  # (+1 per set bit, -1 per clear bit)
+        vals.append(int(pow2[votes > 0].sum(dtype=np.uint64)))
+    return pd.Series(
+        np.array(vals, dtype=np.uint64).view(np.int64), index=texts.index
+    )
 
 
 @F.pandas_udf(T.LongType())

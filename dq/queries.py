@@ -244,15 +244,24 @@ def events_in_value_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.02
+
+
 def dup_metric_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier of the dup metric: qtde2 via HyperLogLog++
     (approx_count_distinct) — at 10^12 rows the exact metric's hash-agg
     shuffle is replaced by a constant-size sketch merge (rows-only check:
-    HLL estimates differ across engines by design)."""
+    HLL estimates differ across engines by design). At test scale the
+    exact count rides along so the estimate's error is visible in the
+    output and bound-asserted in pytest (|delta| <= 2*rsd*exact)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("qtde1"),
-        F.approx_count_distinct("text", 0.02).cast("bigint").alias("qtde2_approx"),
+        F.approx_count_distinct("text", HLL_RSD).cast("bigint").alias("qtde2_approx"),
+        F.count_distinct("text").cast("bigint").alias("qtde2_exact"),
+        (F.approx_count_distinct("text", HLL_RSD) - F.count_distinct("text"))
+        .cast("bigint")
+        .alias("delta"),
     )
 
 
@@ -559,26 +568,35 @@ def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the documents table into the input_hint pages shape
-    (url, warc_ts, text, lang) with a deterministic 4-day crawl window."""
+    (url, warc_ts, html, text, lang) with a deterministic 4-day crawl
+    window. html is synthesized IN the plan (native expression twin of
+    synth.render_html) so the byte-identical extraction invariant is
+    exercised by the flagship; queries that don't read html pay nothing —
+    Catalyst prunes the unused projection."""
+    from dq.synth import render_html_col
+
     docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id"))
     return docs.select(
-        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        url.alias("url"),
         (
             F.to_timestamp(F.lit("2024-03-01 00:00:00"))
             + F.make_interval(days=(F.col("doc_id") % 4).cast("int"))
         ).alias("warc_ts"),
+        render_html_col(F.col("text"), url).alias("html"),
         F.col("text"),
         F.col("lang"),
     )
 
 
 def pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full quality-filter pipeline (langid + perplexity UDFs + heuristics +
-    scrub + dedup) -> per-partition lineage counts (rows-only: UDF stages)."""
+    """Full quality-filter pipeline (extraction round-trip + langid +
+    perplexity UDFs + heuristics + scrub + dedup) -> per-partition lineage
+    counts incl. n_extraction_ok (rows-only: UDF stages)."""
     from dq.pipeline import DOCS_CONFIG, enrich, lineage_metrics
 
     pages = docs_as_pages(spark, sf_dir)
-    return lineage_metrics(enrich(pages, verify_extraction=False, config=DOCS_CONFIG)).drop(
+    return lineage_metrics(enrich(pages, verify_extraction=True, config=DOCS_CONFIG)).drop(
         "dt_processamento"
     )
 

@@ -114,6 +114,36 @@ def _degenerate_text(rng: np.random.RandomState, kind: int, lang: str) -> str:
     return "\n".join(lines)
 
 
+def render_html_col(text_col, title_col):
+    """Native Catalyst twin of :func:`render_html` (byte-identical output,
+    pinned by tests/test_extract.py): lets driver-shaped tables without an
+    html column synthesize one IN the plan, so the flagship exercises the
+    extraction round-trip (extract_text_col(html) == text) end-to-end."""
+    from pyspark.sql import functions as F
+
+    def esc(c):  # html.escape(quote=True) twin — '&' first, same order
+        for s, r in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#x27;")):
+            c = F.replace(c, F.lit(s), F.lit(r))
+        return c
+
+    pars = F.array_join(
+        F.transform(
+            F.split(esc(text_col), "\n"),
+            lambda p: F.concat(F.lit("<p>"), p, F.lit("</p>")),
+        ),
+        "",
+    )
+    doc = F.concat(
+        F.lit("<html><head><title>"),
+        esc(title_col),
+        F.lit('</title><meta charset="utf-8"><script>var x=1;</script>'
+              "<style>p{margin:0}</style></head><body><div>"),
+        pars,
+        F.lit("</div><!-- footer --></body></html>"),
+    )
+    return F.encode(doc, "UTF-8")
+
+
 def render_html(text: str, title: str) -> bytes:
     """Render text into deterministic HTML. Inverse of dq.extract.extract_text."""
     pars = "".join(f"<p>{_html.escape(p)}</p>" for p in text.split("\n"))

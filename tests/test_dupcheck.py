@@ -62,3 +62,13 @@ def test_dup_counts_null_is_one_distinct_group(spark):
     df = spark.createDataFrame([("a",), (None,), (None,)], "text string")
     row = dupcheck.dup_counts(df, cols=["text"]).collect()[0]
     assert (row.qtde1, row.qtde2, row.diferenca) == (3, 2, 1)
+
+
+def test_hll_estimate_within_bound(spark):
+    """dup_metric_approx: the HLL++ estimate stays within 2x the configured
+    relative standard deviation of the exact distinct count."""
+    from dq.queries import HLL_RSD, dup_metric_approx
+
+    row = dup_metric_approx(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.delta == row.qtde2_approx - row.qtde2_exact
+    assert abs(row.delta) <= max(2 * HLL_RSD * row.qtde2_exact, 5)
