@@ -332,6 +332,10 @@ SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY user_id
 ORDER BY cents DESC, user_id LIMIT 10
 """,
+    "salted_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
+FROM events GROUP BY event_type
+""",
     "heuristic_metrics": _heuristics_cte()
     + f"""
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,

@@ -369,6 +369,17 @@ def qualitativo_price_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(*aggs)
 
 
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact count(distinct user) per event type via the
+    two-phase entity-salted aggregation (dq.skew) — the shape a hot-domain
+    group-by takes at 10^12 docs. Result is EXACT (each entity lands in one
+    salt bucket), so the plain-SQL oracle hash-matches it."""
+    from dq.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id")
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
     ev = _t(spark, sf_dir, "events")
@@ -641,6 +652,7 @@ QUERIES = {
     "qualitativo_profile_ratios": qualitativo_profile_ratios,
     "qualitativo_price_cohorts": qualitativo_price_cohorts,
     "top_users_by_value": top_users_by_value,
+    "salted_distinct_users": salted_distinct_users,
     "revenue_by_region": revenue_by_region,
     "heuristic_metrics": heuristic_metrics,
     "scrub_pii": scrub_pii,

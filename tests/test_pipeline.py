@@ -97,3 +97,14 @@ def test_run_resume_idempotent(spark, pages, tmp_path):
     assert kept.count() == int(l1["n_kept"].sum())
     # no raw PII email survives in kept output
     assert kept.where(F.col("text").rlike(scrub.SCRUB_RULES[0][1])).count() == 0
+
+
+def test_enrich_dedup_shuffle_fallback_same_flags(spark, pages):
+    """dedup_broadcast=False (the beyond-broadcast-budget fallback) flags
+    exactly the same rows as the broadcast path."""
+    a = enrich(pages).select("url", "is_exact_dup").toPandas().sort_values("url").reset_index(drop=True)
+    b = (
+        enrich(pages, dedup_broadcast=False)
+        .select("url", "is_exact_dup").toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

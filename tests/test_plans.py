@@ -171,3 +171,17 @@ def test_broadcast_threshold_salting_interplay(spark):
     small = spark.createDataFrame([("d0", 1), ("d1", 2)], "domain string, w int")
     plan = simple_plan_of(skew.salted_join(big, small, "domain", "id", buckets=4))
     assert "CartesianProduct" not in plan
+
+
+def test_run_ts_range_predicate_pushes_to_scan(spark, pages, tmp_path):
+    """The warc_ts day-range predicate pipeline.run derives from pending
+    partitions reaches the parquet scan as a pushed filter (row-group
+    min/max skipping; on date-partitioned Iceberg it prunes partitions)."""
+    from dq.pipeline import _ts_range_pred
+
+    src = str(tmp_path / "pages_src")
+    pages.write.parquet(src)
+    scoped = spark.read.parquet(src).where(_ts_range_pred(["20240301", "20240302"]))
+    plan = plan_of(scoped.select("url"))
+    assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
+    assert "LessThan(warc_ts" in plan
