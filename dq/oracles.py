@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dq.heuristics import STOPWORDS, SYMBOL_CLASS, THRESHOLDS
 from dq.queries import (
+    ANN_IVF_CENT_MOD,
+    ANN_IVF_NPROBE,
     ANN_K,
     ANN_QUERY_MOD,
     EMB_DIM,
@@ -394,6 +396,35 @@ hits AS (
 )
 SELECT doc_id, lang AS lang_hint FROM r WHERE rn = 1
 """,
+    "repetition_metrics": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+         i -> words[i] || ' ' || words[i+1])) AS g
+  FROM w WHERE len(words) >= 2
+), a2 AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS frac
+  FROM (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2) GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+  FROM w WHERE len(words) >= 3
+), a3 AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS frac
+  FROM (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(a2.tot, 0) AS n_bigrams,
+       COALESCE(a2.frac, 0.0) AS top_bigram_frac,
+       COALESCE(a3.tot, 0) AS n_trigrams,
+       COALESCE(a3.frac, 0.0) AS top_trigram_frac
+FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""",
     "doc_fingerprints": """
 SELECT doc_id,
        sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
@@ -435,6 +466,41 @@ JOIN sh a ON a.doc_id = p.id_a
 JOIN sh b ON b.doc_id = p.id_b
 """,
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
+    "ann_topk_ivf": f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % {ANN_IVF_CENT_MOD} = 0
+), corpus_assign AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT a.vec_id, a.qv, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c.cid) AS rn
+    FROM q a CROSS JOIN cents c
+  ) WHERE rn = 1
+), query_probe AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT a.vec_id, a.qv, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c.cid) AS rn
+    FROM q a CROSS JOIN cents c
+    WHERE a.vec_id % {ANN_QUERY_MOD} = 0
+  ) WHERE rn <= {ANN_IVF_NPROBE}
+), scored AS (
+  SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qp.qv, ca.qv), z -> z[1] * z[2])) AS BIGINT) AS score
+  FROM query_probe qp JOIN corpus_assign ca USING (cid)
+  WHERE ca.vec_id <> qp.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <= {ANN_K}
+""",
     "ann_topk_bruteforce": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0

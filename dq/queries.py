@@ -452,6 +452,14 @@ def lang_hint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition fractions per doc (boilerplate /
+    repetitive-page detector): explode -> two uniform-key hash-aggs,
+    fractions divide exact ints (DuckDB-oracled)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_metrics(docs)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: sha256 over whitespace-normalized lowercase text
     (cross-engine twin of the xxhash64 scale path in textstats)."""
@@ -541,6 +549,24 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return brute_force_topk_vectorized(emb, queries, k=ANN_K)
+
+
+ANN_IVF_CENT_MOD = 50
+ANN_IVF_NPROBE = 3
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: integer coarse quantizer (deterministic sample
+    centroids, exact int squared-L2 assignment) + nprobe cell search —
+    the inverted-list scale path next to the LSH one; cell membership and
+    ranking are bit-reproduced by the DuckDB oracle."""
+    from dq.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return ivf_topk(
+        emb, queries, k=ANN_K, centroid_mod=ANN_IVF_CENT_MOD, nprobe=ANN_IVF_NPROBE
+    )
 
 
 EMB_PAIR_MIN_COSINE = 0.3
@@ -659,12 +685,14 @@ QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_hint_sql": lang_hint_sql,
+    "repetition_metrics": repetition_metrics,
     "doc_fingerprints": doc_fingerprints,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_pairs_exact": embedding_pairs_exact,
     "embedding_dups": embedding_dups,
     "pipeline_lineage": pipeline_lineage,

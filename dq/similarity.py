@@ -190,6 +190,83 @@ def quantized_cosine_pairs(
     ).select("id_a", "id_b", "qdot")
 
 
+def sq_l2_col(a, b) -> Column:
+    """Exact integer squared L2 between two quantized int64 vectors."""
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, search
+    only the query's ``nprobe`` nearest cells.
+
+    Deterministic, engine-portable formulation: centroids are the corpus
+    vectors with ``id % centroid_mod == 0`` (a fixed sample standing in for
+    k-means training — same recall mechanics, zero float iteration);
+    assignment is exact integer squared-L2 over floor(x*1000) vectors
+    (ties -> lowest centroid id), so the DuckDB oracle reproduces cell
+    membership bit-for-bit. Scale shape: centroids broadcast (small);
+    cell assignment is a narrow map; the candidate join is equi on the cell
+    id — shuffle O(docs + queries x nprobe), never O(n^2). Each corpus
+    vector lives in exactly one cell, so no candidate dedup is needed.
+    """
+    base = corpus.select(F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col)).alias("_q"))
+    cents = base.where(F.col("_id") % centroid_mod == 0).select(
+        F.col("_id").alias("_cid"), F.col("_q").alias("_cq")
+    )
+
+    def assign(df: DataFrame, idname: str, topn: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "*", sq_l2_col(df["_q"], F.col("_cq")).alias("_d2")
+        )
+        w = Window.partitionBy(idname).orderBy("_d2", "_cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= topn)
+            .drop("_rn", "_d2", "_cq")
+        )
+
+    corpus_cells = assign(base, "_id", 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_q").alias("_cv"), "_cid"
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), quantized_vec(F.col(vec_col)).alias("_q")
+    )
+    query_cells = assign(qbase, "query_id", nprobe).select(
+        "query_id", F.col("_q").alias("_qv"), "_cid"
+    )
+    scored = (
+        query_cells.join(corpus_cells, "_cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim))

@@ -90,3 +90,56 @@ def shingle_fingerprints(col, n: int = 5, cap: int = 64) -> Column:
     from dq.dedup import hashed_shingles_col
 
     return F.slice(hashed_shingles_col(_text(col), n), 1, cap)
+
+
+def word_ngrams_col(words: Column, n: int) -> Column:
+    """Space-joined word n-grams from a words-array COLUMN (pass a real
+    column, not an expression: grams extend incrementally via zip_with over
+    shifted slices so the words array is referenced O(n) times per row —
+    never once per gram; see dq.dedup.hashed_shingles_col)."""
+    g = words
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(words) >= n, F.slice(g, 1, F.size(words) - n + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style n-gram repetition: per doc, the fraction of bigrams /
+    trigrams taken by the single most frequent gram (high values flag
+    boilerplate / TV-guide-style repetitive pages).
+
+    Shape: stage the words array as a real column, build gram arrays
+    incrementally, explode once per n, two hash-aggs keyed by
+    (doc, gram) then doc — uniform keys, map-side partials; never a
+    per-doc O(g^2) array self-intersection. Fractions divide exact ints
+    (cross-engine deterministic, DuckDB-oracled).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    staged = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+
+    def top_frac(n: int, cnt_name: str, frac_name: str):
+        grams = staged.select("_id", F.explode(word_ngrams_col(F.col("_w"), n)).alias("_g"))
+        per_gram = grams.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        return per_gram.groupBy("_id").agg(
+            F.sum("_c").cast("bigint").alias(cnt_name),
+            (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(frac_name),
+        )
+    out = (
+        staged.select("_id")
+        .join(top_frac(2, "n_bigrams", "top_bigram_frac"), "_id", "left")
+        .join(top_frac(3, "n_trigrams", "top_trigram_frac"), "_id", "left")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+    )

@@ -115,3 +115,19 @@ def test_quantized_lsh_pairs_plan_no_cartesian(vectors):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_scores_exact_and_recall(vectors):
+    """IVF results carry exact integer scores (numpy-verified) and reach a
+    reasonable recall of the true top-k despite probing a subset of cells."""
+    df, vecs = vectors
+    queries = df.where("vec_id < 6")
+    got = similarity.ivf_topk(df, queries, k=3, centroid_mod=10, nprobe=2).toPandas()
+    q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    for _, r in got.iterrows():
+        assert r["score"] == int(q[r["query_id"]] @ q[r["neighbor_id"]])
+    bf = similarity.brute_force_topk(df, queries, k=3).toPandas()
+    bf_pairs = set(zip(bf["query_id"], bf["neighbor_id"]))
+    ivf_pairs = set(zip(got["query_id"], got["neighbor_id"]))
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.3  # deterministic given the fixed fixture seed

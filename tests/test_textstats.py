@@ -45,3 +45,42 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r.f for r in df.select(textstats.fingerprint64("text").alias("f")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_repetition_metrics_planted(spark):
+    """A doc that is one bigram repeated scores top_bigram_frac ~1; varied
+    text scores low; sub-bigram docs come back 0 (kept by the left join)."""
+    from dq import textstats
+
+    rows = [
+        (1, "spam ham " * 20),                      # "spam ham"-dominated
+        (2, "the quick brown fox jumps over the lazy dog near the old barn"),
+        (3, "single"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.repetition_metrics(df).collect()}
+    assert got[1].n_bigrams == 39
+    assert got[1].top_bigram_frac > 0.5  # 20/39 "spam ham"
+    assert got[2].top_bigram_frac == 1.0 / got[2].n_bigrams  # all distinct
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+    assert got[4].n_trigrams == 0
+
+
+def test_repetition_metrics_plan_splits_once(spark):
+    """The words array is staged once per doc — the gram construction must
+    not re-split the text per gram/per element (expression-subtree capture
+    hazard; CLAUDE.md perf lesson)."""
+    import contextlib
+    import io
+
+    from dq import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textstats.repetition_metrics(docs).explain(mode="extended")
+    optimized = buf.getvalue().split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    assert optimized.count("split(") <= 2  # one staging per n-gram branch
