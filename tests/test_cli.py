@@ -62,3 +62,29 @@ def test_remediar_cli_flips_status(spark, tmp_path):
     assert out == {"status": "ok", "open_failures": 0}
     hrows = spark.read.parquet(hist).collect()
     assert len(hrows) == 1 and hrows[0].fonte == "3" and hrows[0].qtde_registros > 0
+
+
+def test_spark_submit_pyfiles_contract(spark, tmp_path):
+    """The documented cluster entry works verbatim: spark-submit with the
+    dq package shipped via --py-files and dq/cli.py as the script (the
+    reference's whole shell layer is spark-submit invocations —
+    tbgd_turm_bill.sh:11; SURVEY.md §6)."""
+    import shutil
+
+    data = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(data)
+    zip_base = str(tmp_path / "dq")
+    shutil.make_archive(zip_base, "zip", root_dir="/root/repo", base_dir="dq")
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[2]", "--py-files", zip_base + ".zip",
+         "/root/repo/dq/cli.py", "volumetria", "testdata", "events", "20240105",
+         "ts", "2", "--master", "submit",
+         "--data-path", data,
+         "--history-path", str(tmp_path / "hist"),
+         "--failures-path", str(tmp_path / "fail")],
+        capture_output=True, text=True, cwd=str(tmp_path),  # not the repo: only the zip provides dq
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["status"] == "ok"
+    hist = spark.read.parquet(str(tmp_path / "hist")).collect()
+    assert len(hist) == 1 and hist[0].qtde_registros > 0
