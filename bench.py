@@ -231,6 +231,7 @@ def run_scaling(sf_dir: str) -> dict:
     # (host-quietest) with the full list alongside
     effs = [round((r["big"]["docs_per_sec"] / r["small"]["docs_per_sec"]) / 4.0, 3) for r in records]
     labels = [f"{e} (N={r['small']['cpus']})" for e, r in zip(effs, records)]
+    median_eff = sorted(effs)[len(effs) // 2]
     best_i = max(range(len(records)), key=lambda i: effs[i])
     best = records[best_i]
     report = {
@@ -243,6 +244,7 @@ def run_scaling(sf_dir: str) -> dict:
         "this_run": {"small": small, "big": big, "efficiency": round(eff, 3)},
         "all_run_efficiencies": effs,
         "all_run_labels": labels,
+        "median_efficiency": median_eff,
         "hardware_ceiling": ceiling,
         "normalized_efficiency": round(eff / ceiling["ceiling"], 3),
         "n_runs": len(records),
@@ -292,10 +294,13 @@ is a noisy neighbor; even a pure-CPU probe swings ±10% between runs).
 | local[{s['cpus']}] (N) | {s['sec']} | {s['docs_per_sec']} |
 | local[{b['cpus']}] (4N) | {b['sec']} | {b['docs_per_sec']} |
 
-**Scaling efficiency N→4N: {rep['value']:.3f}** (latest run:
+**Scaling efficiency N→4N: best {rep['value']:.3f}, median
+{rep['median_efficiency']:.3f} across all runs** (latest run:
 {rep['this_run']['efficiency']:.3f} raw,
 {rep['normalized_efficiency']:.3f} normalized to the measured hardware
-ceiling; target ≥ 0.8 per BASELINE.json). Throughput-bound stage is the
+ceiling; target ≥ 0.8 per BASELINE.json). A run can measure >1.0 — that is
+host-noise (the paired level caught a bad window), listed unfiltered for
+transparency. Throughput-bound stage is the
 Arrow-batched pandas UDF pair (langid + perplexity) — embarrassingly
 parallel, no shuffle; the only wide op is the narrow dedup pass (survivor
 window over a (sha2(text), url) projection, ~100 B/doc, uniform, unskewed;
@@ -341,6 +346,7 @@ def report_from_history(sf_dir: str) -> dict:
     records = [json.loads(line) for line in open("BENCH/history.jsonl")]
     effs = [round((r["big"]["docs_per_sec"] / r["small"]["docs_per_sec"]) / 4.0, 3) for r in records]
     labels = [f"{e} (N={r['small']['cpus']})" for e, r in zip(effs, records)]
+    median_eff = sorted(effs)[len(effs) // 2]
     best_i = max(range(len(records)), key=lambda i: effs[i])
     best, last = records[best_i], records[-1]
     last_eff = effs[-1]
@@ -354,6 +360,7 @@ def report_from_history(sf_dir: str) -> dict:
         "this_run": {"small": last["small"], "big": last["big"], "efficiency": last_eff},
         "all_run_efficiencies": effs,
         "all_run_labels": labels,
+        "median_efficiency": median_eff,
         "hardware_ceiling": last["ceiling"],
         "normalized_efficiency": round(last_eff / last["ceiling"]["ceiling"], 3),
         "n_runs": len(records),

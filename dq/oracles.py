@@ -26,6 +26,7 @@ from dq.queries import (
     PRICE_POINTS,
     VALUE_RANGES,
     GATE_MISSING_DT,
+    HOT_KEY_MIN_FRACTION,
     LANG_HINT_STOPWORDS,
     PLANT_EXACT_MOD,
     PLANT_EXACT_OFFSET,
@@ -337,6 +338,13 @@ ORDER BY cents DESC, user_id LIMIT 10
     "salted_distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
 FROM events GROUP BY event_type
+""",
+    "hot_event_types": f"""
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT g.event_type, g.n, g.n / t.c AS fraction
+FROM g, t
+WHERE g.n >= CAST(floor(t.c * {HOT_KEY_MIN_FRACTION!r}) AS BIGINT)
 """,
     "heuristic_metrics": _heuristics_cte()
     + f"""

@@ -380,6 +380,24 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(ev, ["event_type"], "user_id")
 
 
+HOT_KEY_MIN_FRACTION = 0.01
+
+
+def hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detector (dq.skew.top_keys) as a gate query: keys owning
+    >= 1% of rows, with exact counts and a deterministic double fraction
+    (bigint / bigint division — IEEE-identical cross-engine). Drives the
+    hybrid hot/cold join plan at scale."""
+    from dq.skew import top_keys
+
+    ev = _t(spark, sf_dir, "events")
+    return top_keys(ev, "event_type", HOT_KEY_MIN_FRACTION).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("fraction"),
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
     ev = _t(spark, sf_dir, "events")
@@ -679,6 +697,7 @@ QUERIES = {
     "qualitativo_price_cohorts": qualitativo_price_cohorts,
     "top_users_by_value": top_users_by_value,
     "salted_distinct_users": salted_distinct_users,
+    "hot_event_types": hot_event_types,
     "revenue_by_region": revenue_by_region,
     "heuristic_metrics": heuristic_metrics,
     "scrub_pii": scrub_pii,

@@ -116,3 +116,45 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def domain_col(url_col="url"):
+    """Domain extracted from the url (the natural hot key of a crawl)."""
+    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+
+
+def domain_running_counts(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-domain
+    cumulative document counter maintained across micro-batches (update
+    mode). The state is one (count,) tuple per domain — the shape for
+    running per-domain quality/volume monitors on a continuous crawl where
+    a windowed agg won't do (state must survive arbitrarily many windows).
+
+    State sizing at scale: one long per distinct domain (~10^7 domains ->
+    ~100 MB across the cluster, hash-partitioned by domain; a hot domain is
+    ONE state row, not a skew problem — volume concentrates in the input,
+    not the state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        import pandas as pd
+
+        (domain,) = key
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"domain": [domain], "n_docs": [total]})
+
+    return (
+        pages.withColumn("domain", domain_col())
+        .groupBy("domain")
+        .applyInPandasWithState(
+            update_fn,
+            "domain string, n_docs long",
+            "n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

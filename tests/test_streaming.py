@@ -59,3 +59,37 @@ def test_streaming_lineage_window(spark, pages, staged_pages, tmp_path):
     got = spark.sql("select * from lineage_mem order by dt_foto").collect()
     assert [r.dt_foto for r in got] == ["20240301", "20240302", "20240303", "20240305"]
     assert all(r.n_input == r.n_kept + r.n_dropped for r in got)
+
+
+def test_domain_running_counts_state_survives_batches(spark, pages, tmp_path):
+    """applyInPandasWithState: the per-domain counter accumulates ACROSS
+    micro-batches (two file drops, maxFilesPerTrigger=1), and the final
+    update per domain equals the batch ground truth."""
+    from dq.streaming import domain_col, domain_running_counts, stream_pages
+
+    in_dir = str(tmp_path / "in")
+    half = pages.count() // 2
+    pages.limit(half).write.mode("append").parquet(in_dir)
+    pages.subtract(pages.limit(half)).write.mode("append").parquet(in_dir)
+
+    counts = domain_running_counts(stream_pages(spark, in_dir, max_files_per_trigger=1))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("domain_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select domain, max(n_docs) as n from domain_counts group by domain"
+    ).toPandas().set_index("domain")["n"]
+    want = (
+        pages.select(domain_col().alias("domain"))
+        .groupBy("domain").count().toPandas().set_index("domain")["count"]
+    )
+    assert got.sort_index().astype(int).to_dict() == want.sort_index().astype(int).to_dict()
+    # state actually crossed batches: some domain must have been updated twice
+    n_updates = spark.sql("select count(*) c from domain_counts").collect()[0].c
+    assert n_updates > len(want)
