@@ -43,7 +43,9 @@ HEADLINE = [
     "qualitativo_conditional_aggs",
     "qualitativo_price_bands",
     "token_counts",
+    "repetition_metrics",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
 ]
 
 
@@ -118,17 +120,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     }
     # steady-state throughput at 100x the doc volume, from the scaling
     # history (the small-corpus number above is fixed-overhead-bound);
-    # best-of/latest/median labeled explicitly — the host is a noisy
-    # neighbor, so best-of alone would overstate a typical run
+    # keyed by parallelism level and labeled best/median/latest — the host
+    # is a noisy neighbor, so best-of alone would overstate a typical run
     try:
+        by_level: dict[int, list[float]] = {}
         with open("BENCH/history.jsonl") as f:
-            rates = sorted(json.loads(line)["big"]["docs_per_sec"] for line in f)
-        out["docs_per_sec_scaled_best"] = rates[-1]
-        out["docs_per_sec_scaled_median"] = rates[len(rates) // 2]
-        with open("BENCH/history.jsonl") as f:
-            out["docs_per_sec_scaled_latest"] = [
-                json.loads(line)["big"]["docs_per_sec"] for line in f
-            ][-1]
+            for line in f:
+                r = json.loads(line)
+                for side in ("small", "big"):
+                    by_level.setdefault(r[side]["cpus"], []).append(r[side]["docs_per_sec"])
+        out["docs_per_sec_scaled"] = {
+            f"local[{c}]": {
+                "best": max(v),
+                "median": sorted(v)[len(v) // 2],
+                "latest": v[-1],
+                "n_runs": len(v),
+            }
+            for c, v in sorted(by_level.items())
+        }
     except OSError:
         pass
     # per-query round-over-round visibility
