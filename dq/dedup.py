@@ -63,14 +63,25 @@ def non_survivor_keys(df: DataFrame, text_col: str = "text", key_col: str = "url
     where the wide side should come from storage bucketed/partitioned by
     the key so the join plans exchange-free on that side.
 
-    Requires ``key_col`` values to be unique per row (urls are).
+    Byte-identical re-crawls (same key AND same text appearing on several
+    rows) are handled: the survivor pick uses rank() — ties on the minimal
+    key all rank 1 — so such copies form ONE unit: a survivor key keeps all
+    its rows, a non-survivor key drops all of them, and the returned key
+    set is made distinct (the join-back can never fan out). The input
+    contract still expects ``key_col`` to identify content (the input_hint
+    table is keyed by url): a key carrying two DIFFERENT texts is flagged
+    whenever any of them is a non-survivor.
+
+    Plan cost: one full-corpus exchange on the fingerprint (~100 B/doc) +
+    one distinct over the non-survivor KEY SET only.
     """
     narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
     w = Window.partitionBy("_fp").orderBy(key_col)
     return (
-        narrow.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") > 1)
+        narrow.withColumn("_rk", F.rank().over(w))
+        .where(F.col("_rk") > 1)
         .select(key_col)
+        .distinct()
     )
 
 
@@ -284,11 +295,13 @@ def simhash_batch(texts: pd.Series) -> pd.Series:
         if not toks:
             vals.append(0)
             continue
-        hs = np.fromiter(
-            (cache.setdefault(tok, _token_hash(tok)) for tok in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        def h(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:  # setdefault would hash eagerly on every hit
+                v = cache[tok] = _token_hash(tok)
+            return v
+
+        hs = np.fromiter((h(tok) for tok in toks), dtype=np.uint64, count=len(toks))
         ones = ((hs[:, None] >> bit_w) & np.uint64(1)).sum(axis=0, dtype=np.int64)
         votes = 2 * ones - len(toks)  # (+1 per set bit, -1 per clear bit)
         vals.append(int(pow2[votes > 0].sum(dtype=np.uint64)))

@@ -136,8 +136,24 @@ def ctas(spark: SparkSession, name: str, select_sql: str, fmt: str = "parquet") 
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
-    """S7 ≙ DROP TABLE IF EXISTS (ColetaDuplicidade.scala:86)."""
+    """S7 ≙ DROP TABLE IF EXISTS (ColetaDuplicidade.scala:86).
+
+    Also clears an ORPHANED managed-table directory: with the in-memory
+    session catalog, a crashed session leaves the warehouse dir on disk
+    while the next session's catalog has no entry — DROP no-ops and a
+    later CTAS would refuse the non-empty location. Only a path directly
+    under the session warehouse dir is ever removed, and only when the
+    catalog does NOT know the table (a real Hive/Iceberg catalog never
+    hits this branch)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if not spark.catalog.tableExists(name):
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh = wh.removeprefix("file:")
+        orphan = os.path.join(wh, name.split(".")[-1].lower())
+        if wh and os.path.isdir(orphan):
+            import shutil
+
+            shutil.rmtree(orphan)
 
 
 class CheckpointManifest:

@@ -27,6 +27,7 @@ from dq.queries import (
     VALUE_RANGES,
     GATE_MISSING_DT,
     HOT_KEY_MIN_FRACTION,
+    JACCARD_SHINGLE_N,
     LANG_HINT_STOPWORDS,
     PLANT_EXACT_MOD,
     PLANT_EXACT_OFFSET,
@@ -458,9 +459,9 @@ pairs AS (
   FROM base
 ), sh AS (
   SELECT doc_id,
-         CASE WHEN len(words) >= 3
-              THEN list_distinct(list_transform(range(1, len(words) - 1),
-                   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+         CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
+              THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
               ELSE [array_to_string(words, ' ')] END AS s
   FROM w
 )

@@ -151,24 +151,25 @@ def enrich(
 
 def lineage_metrics(enriched: DataFrame) -> DataFrame:
     """Per-partition lineage row (DQ_LINEAGE shape): input/kept/dropped/
-    scrubbed/dup counts — one hash-agg pass, map-side partials. When the
-    extraction check ran (html present), n_extraction_ok is included."""
-    aggs = [
+    scrubbed/dup counts — one hash-agg pass, map-side partials.
+    n_extraction_ok is ALWAYS present (NULL when the extraction check did
+    not run): a conditional column would make the accumulated lineage
+    parquet directory schema-unstable across runs with/without html."""
+    extraction = (
+        F.sum(F.col("extraction_ok").cast("long")).cast("bigint")
+        if "extraction_ok" in enriched.columns
+        else F.lit(None).cast("bigint")
+    )
+    return enriched.groupBy(PARTITION_COL).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_input"),
         F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),
         F.sum(F.col("pii_found").cast("long")).cast("bigint").alias("n_scrubbed"),
         F.sum(F.col("is_exact_dup").cast("long")).cast("bigint").alias("n_exact_dups"),
-    ]
-    if "extraction_ok" in enriched.columns:
-        aggs.append(
-            F.sum(F.col("extraction_ok").cast("long")).cast("bigint").alias("n_extraction_ok")
-        )
-    aggs += [
+        extraction.alias("n_extraction_ok"),
         F.date_format(F.current_date(), "yyyyMMdd").alias("dt_processamento"),
         F.lit(1).cast("bigint").alias("status"),
-    ]
-    return enriched.groupBy(PARTITION_COL).agg(*aggs)
+    )
 
 
 def _ts_range_pred(parts: list[str], ts_col: str = "warc_ts") -> F.Column:

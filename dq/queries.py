@@ -251,9 +251,19 @@ def dup_metric_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier of the dup metric: qtde2 via HyperLogLog++
     (approx_count_distinct) — at 10^12 rows the exact metric's hash-agg
     shuffle is replaced by a constant-size sketch merge (rows-only check:
-    HLL estimates differ across engines by design). At test scale the
-    exact count rides along so the estimate's error is visible in the
-    output and bound-asserted in pytest (|delta| <= 2*rsd*exact)."""
+    HLL estimates differ across engines by design). Sketch-ONLY: the exact
+    count this tier exists to avoid lives in dup_metric_approx_check."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("qtde1"),
+        F.approx_count_distinct("text", HLL_RSD).cast("bigint").alias("qtde2_approx"),
+    )
+
+
+def dup_metric_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-SF validation twin of the sketch tier: estimate, exact and
+    delta side by side (pytest bounds |delta| <= 2*rsd*exact). NOT the
+    scale path — it pays the exact-distinct shuffle on purpose."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("qtde1"),
@@ -494,6 +504,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planted-dup construction constants (oracles build SQL from these too)
 PLANT_EXACT_MOD, PLANT_EXACT_OFFSET = 5, 1_000_000
 PLANT_NEAR_MOD, PLANT_NEAR_OFFSET, PLANT_NEAR_SUFFIX = 7, 2_000_000, " appendix extra"
+JACCARD_SHINGLE_N = 3  # the oracle SQL is generated from this too
 
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +567,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = _docs_with_planted_dups(spark, sf_dir)
-    return jaccard_pairs(base, pairs, id_col="doc_id", text_col="text", hashed=False)
+    return jaccard_pairs(
+        base, pairs, id_col="doc_id", text_col="text",
+        shingle_n=JACCARD_SHINGLE_N, hashed=False,
+    )
 
 
 # --------------------------------------------------------- similarity -------
@@ -685,6 +699,7 @@ QUERIES = {
     "dup_metric_full_row": dup_metric_full_row,
     "dup_by_source": dup_by_source,
     "dup_metric_approx": dup_metric_approx,
+    "dup_metric_approx_check": dup_metric_approx_check,
     "asof_latest_order": asof_latest_order,
     "events_in_value_ranges": events_in_value_ranges,
     "junta_consolidate": junta_consolidate,

@@ -302,6 +302,60 @@ def quantized_srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 7) -> C
     return out.cast("long")
 
 
+def _chunk_array(bit_preds: list[Column], bits_per_chunk: int) -> Column:
+    """Banded-signature chunk values from per-bit predicates, built so each
+    bit's (expensive) projection expression appears EXACTLY ONCE in the
+    whole array (chunk_c = sum_j bit[c*k+j] << j). The naive form — embed
+    the full signature expression into every shifted array element —
+    re-evaluates all n_bits dot products once per chunk (expression-subtree
+    capture; CLAUDE.md perf lesson), measured at n_chunks x n_bits
+    aggregate nodes in the optimized plan."""
+    chunks = []
+    for c in range(len(bit_preds) // bits_per_chunk):
+        val = None
+        for j in range(bits_per_chunk):
+            term = F.when(bit_preds[c * bits_per_chunk + j], F.lit(1 << j)).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        chunks.append(val.cast("long"))
+    return F.array(*chunks)
+
+
+def _quantized_srp_bit_preds(qcol: Column, dim: int, n_bits: int, seed: int) -> list[Column]:
+    """Integer SRP bit predicates over a STAGED quantized column (pass a
+    column reference, not a quantization expression, or the quantized_vec
+    subtree is re-evaluated per bit)."""
+    planes = quantized_hyperplanes(dim, n_bits, seed)
+    preds = []
+    for b in range(n_bits):
+        weights = F.array(*[F.lit(int(w)) for w in planes[b]])
+        proj = F.aggregate(
+            F.zip_with(qcol, weights, lambda x, w: x * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        preds.append(proj >= 0)
+    return preds
+
+
+def _srp_bit_preds(vcol: Column, dim: int, n_bits: int, seed: int) -> list[Column]:
+    """Float SRP bit predicates (sign of <v, h_b>) — the non-oracled twin."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    preds = []
+    for b in range(n_bits):
+        weights = F.array(*[F.lit(float(w)) for w in planes[b]])
+        proj = F.aggregate(
+            F.zip_with(vcol, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        preds.append(proj >= 0)
+    return preds
+
+
+def _quantized_srp_chunk_array(qcol: Column, dim: int, n_bits: int, bits_per_chunk: int, seed: int) -> Column:
+    return _chunk_array(_quantized_srp_bit_preds(qcol, dim, n_bits, seed), bits_per_chunk)
+
+
 def quantized_cosine_pairs_lsh(
     df: DataFrame,
     min_cosine: float,
@@ -322,8 +376,6 @@ def quantized_cosine_pairs_lsh(
     duplicates is 1; lower-cosine pairs are sampled by bucket collision —
     deterministic, and bit-reproduced by the DuckDB oracle (integer SRP).
     """
-    n_chunks = n_bits // bits_per_chunk
-    sig = quantized_srp_signature(F.col(vec_col), dim, n_bits, seed)
     base = df.select(
         F.col(id_col).alias("_id"),
         quantized_vec(F.col(vec_col)).alias("_q"),
@@ -333,17 +385,10 @@ def quantized_cosine_pairs_lsh(
             F.transform("_q", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
         ),
     )
-    chunks = df.select(
-        F.col(id_col).alias("_id"),
+    chunks = base.select(
+        "_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(sig, c * bits_per_chunk).bitwiseAND(
-                        F.lit((1 << bits_per_chunk) - 1)
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
+            _quantized_srp_chunk_array(F.col("_q"), dim, n_bits, bits_per_chunk, seed)
         ).alias("chunk_id", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -412,17 +457,11 @@ def lsh_topk(
     bits_per = n_bits // n_chunks
 
     def chunked(df: DataFrame, idname: str) -> DataFrame:
-        sig = srp_signature(F.col(vec_col), dim, n_bits, seed)
         return df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"_{idname}_v"),
             F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(sig, c * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
-                        for c in range(n_chunks)
-                    ]
-                )
+                _chunk_array(_srp_bit_preds(F.col(vec_col), dim, n_bits, seed), bits_per)
             ).alias("chunk_id", "chunk"),
         )
 
@@ -457,17 +496,11 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates +
     exact cosine verify (the near-dup tier above MinHash text dedup)."""
     bits_per = 4
-    sig = srp_signature(F.col(vec_col), dim, n_bits, seed)
     chunks = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(sig, c * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
-                    for c in range(n_bits // bits_per)
-                ]
-            )
+            _chunk_array(_srp_bit_preds(F.col(vec_col), dim, n_bits, seed), bits_per)
         ).alias("chunk_id", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")

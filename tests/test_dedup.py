@@ -111,3 +111,30 @@ def test_jaccard_hashed_equals_string(spark, dup_docs):
         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(h, s)
+
+
+def test_non_survivor_keys_handles_recrawled_rows(spark):
+    """Byte-identical re-crawls (same url AND text twice) form one unit:
+    the survivor url keeps all its rows, the flag join cannot fan out."""
+    from dq.pipeline import enrich
+
+    rows = [
+        ("https://a.example/p", "2024-03-01 01:00:00", "identical body text one", "en"),
+        ("https://a.example/p", "2024-03-02 01:00:00", "identical body text one", "en"),  # re-crawl
+        ("https://b.example/p", "2024-03-01 02:00:00", "identical body text one", "en"),  # true dup
+        ("https://c.example/p", "2024-03-01 03:00:00", "identical body text one", "en"),
+        ("https://c.example/p", "2024-03-02 03:00:00", "identical body text one", "en"),  # dup, re-crawled
+        ("https://d.example/p", "2024-03-01 04:00:00", "some other text entirely", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string, lang string").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    got = dedup.non_survivor_keys(df).toPandas()
+    assert sorted(got["url"]) == ["https://b.example/p", "https://c.example/p"]
+    out = enrich(df, verify_extraction=False).select("url", "is_exact_dup").toPandas()
+    assert len(out) == 6  # no join fan-out
+    flags = out.groupby("url")["is_exact_dup"].agg(["all", "any"])
+    assert not flags.loc["https://a.example/p", "any"]  # survivor keeps ALL copies
+    assert flags.loc["https://b.example/p", "all"]
+    assert flags.loc["https://c.example/p", "all"]      # every copy dropped
+    assert not flags.loc["https://d.example/p", "any"]

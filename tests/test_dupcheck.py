@@ -67,8 +67,8 @@ def test_dup_counts_null_is_one_distinct_group(spark):
 def test_hll_estimate_within_bound(spark):
     """dup_metric_approx: the HLL++ estimate stays within 2x the configured
     relative standard deviation of the exact distinct count."""
-    from dq.queries import HLL_RSD, dup_metric_approx
+    from dq.queries import HLL_RSD, dup_metric_approx_check
 
-    row = dup_metric_approx(spark, "/root/testdata/sf0.001").collect()[0]
+    row = dup_metric_approx_check(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.delta == row.qtde2_approx - row.qtde2_exact
     assert abs(row.delta) <= max(2 * HLL_RSD * row.qtde2_exact, 5)

@@ -93,3 +93,22 @@ def test_catalog_partitioned_table(spark):
     df = dqio.read_catalog_table(spark, "dq_parts")
     assert df.where("dt_foto = '1'").count() == 6
     dqio.drop_table(spark, "dq_parts")
+
+
+def test_ctas_survives_orphaned_warehouse_dir(spark):
+    """A crashed session leaves the managed dir without a catalog entry;
+    drop_table clears the orphan so CTAS succeeds instead of refusing the
+    non-empty location."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "dq_orphan")
+    shutil.rmtree(orphan, ignore_errors=True)
+    dqio.drop_table(spark, "dq_orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("leftover")
+    dqio.ctas(spark, "dq_orphan", "SELECT 1 AS x")
+    assert dqio.read_catalog_table(spark, "dq_orphan").count() == 1
+    dqio.drop_table(spark, "dq_orphan")
+    assert not dqio.table_exists(spark, "dq_orphan")

@@ -57,7 +57,10 @@ def test_enrich_has_single_wide_op(spark):
     from dq.queries import docs_as_pages
 
     plan = simple_plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
-    assert plan.count("Exchange hashpartitioning") == 1
+    # 2 narrow exchanges: the full-corpus (sha2, url) survivor window + the
+    # distinct over the non-survivor KEY SET only (fan-out guard). Both are
+    # width-asserted in test_enrich_exchange_is_narrow.
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange rangepartitioning" not in plan  # no accidental sorts
     # the dup flag comes back via broadcast join — the wide side never shuffles
     assert "SortMergeJoin" not in plan
