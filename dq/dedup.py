@@ -341,3 +341,45 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------- incremental (cross-run) --
+
+
+def incremental_non_survivor_keys(
+    df: DataFrame,
+    ledger_fps: DataFrame | None,
+    text_col: str = "text",
+    key_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run exact dedup against a fingerprint LEDGER (the state an
+    incremental crawl pipeline carries between runs — CCNet/Dolma-style).
+
+    Returns ``(non_survivor_keys, new_ledger_fps)``:
+    - a key is a non-survivor if it loses the within-batch rank() pick OR
+      its fingerprint already exists in the ledger (content seen in any
+      prior run — the whole batch copy set drops);
+    - ``new_ledger_fps`` is this batch's distinct fingerprints not yet in
+      the ledger; append them to the ledger table after the batch commits
+      (idempotent: re-appending after a crash only adds rows the distinct
+      ledger read collapses).
+
+    Scale shape: everything is narrow — the ledger is ONE 32-byte hash per
+    distinct document ever seen, both joins are fp-keyed (uniform,
+    unskewable); the document row still never enters an exchange. At
+    10^12 docs the ledger join is the dominant exchange (~32 TB total,
+    amortized across runs) — bucket the ledger table by fp to make the
+    per-run join exchange-free on the ledger side.
+    """
+    narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
+    w = Window.partitionBy("_fp").orderBy(key_col)
+    ranked = narrow.withColumn("_rk", F.rank().over(w))
+    batch_fps = narrow.select("_fp").distinct()
+    if ledger_fps is None:
+        dups = ranked.where(F.col("_rk") > 1)
+        return dups.select(key_col).distinct(), batch_fps.select(F.col("_fp").alias("fp"))
+    prior = ledger_fps.select(F.col("fp").alias("_fp")).distinct().withColumn("_seen", F.lit(True))
+    j = ranked.join(prior, "_fp", "left")
+    dups = j.where((F.col("_rk") > 1) | F.coalesce(F.col("_seen"), F.lit(False)))
+    new_fps = batch_fps.join(prior, "_fp", "left_anti")
+    return dups.select(key_col).distinct(), new_fps.select(F.col("_fp").alias("fp"))

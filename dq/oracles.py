@@ -33,6 +33,7 @@ from dq.queries import (
     PLANT_EXACT_OFFSET,
     PLANT_NEAR_MOD,
     PLANT_NEAR_OFFSET,
+    PCT_POINTS,
     PLANT_NEAR_SUFFIX,
     PRICE_BAND_EDGES,
     PRICE_BAND_LABELS,
@@ -331,6 +332,24 @@ GROUP BY 1, 2
         for i, p in enumerate(PRICE_POINTS)
     )
     + " FROM lineitem GROUP BY l_returnflag",
+    "qualitativo_percentiles": "\n".join(
+        [
+            """
+WITH r AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY floor(l_extendedprice * 100)) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,"""
+        ]
+        + [
+            f"       CAST(max(CASE WHEN rn = CAST(ceil({p!r} * n) AS BIGINT) THEN c END) AS BIGINT) AS p{tag}_cents"
+            + ("," if i < len(PCT_POINTS) - 1 else "")
+            for i, (tag, p) in enumerate(PCT_POINTS)
+        ]
+        + ["FROM r GROUP BY l_returnflag"]
+    ),
     "top_users_by_value": """
 SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY user_id

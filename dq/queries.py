@@ -408,6 +408,32 @@ def hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCT_POINTS = [(25, 0.25), (50, 0.5), (75, 0.75)]
+
+
+def qualitativo_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of price cents per returnflag (profiling
+    tier). Formulated as row_number == ceil(p*n) EXPLICITLY on both engines
+    — built-in quantile functions interpolate with engine-specific float
+    rounding, so cross-engine hash equality needs the discrete pick spelled
+    out; the picked value is an exact bigint."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = (
+        li.select(F.col("l_returnflag"), _cents("l_extendedprice").alias("_c"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("_c")
+        ))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")), F.col("_c"))
+        ).cast("bigint").alias(f"p{tag}_cents")
+        for tag, p in PCT_POINTS
+    ]
+    return ranked.groupBy("l_returnflag").agg(*aggs)
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + LIMIT top-k (O1/O3), deterministic tie-break."""
     ev = _t(spark, sf_dir, "events")
@@ -710,6 +736,7 @@ QUERIES = {
     "qualitativo_conditional_aggs": qualitativo_conditional_aggs,
     "qualitativo_profile_ratios": qualitativo_profile_ratios,
     "qualitativo_price_cohorts": qualitativo_price_cohorts,
+    "qualitativo_percentiles": qualitativo_percentiles,
     "top_users_by_value": top_users_by_value,
     "salted_distinct_users": salted_distinct_users,
     "hot_event_types": hot_event_types,

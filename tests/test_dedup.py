@@ -138,3 +138,29 @@ def test_non_survivor_keys_handles_recrawled_rows(spark):
     assert flags.loc["https://b.example/p", "all"]
     assert flags.loc["https://c.example/p", "all"]      # every copy dropped
     assert not flags.loc["https://d.example/p", "any"]
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-run ledger: batch-2 copies of batch-1 content are flagged even
+    though unique within batch 2; the ledger accumulates idempotently."""
+    ledger_path = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text"), ("u3", "alpha text")],
+        "url string, text string",
+    )
+    dups1, fps1 = dedup.incremental_non_survivor_keys(b1, None)
+    assert {r.url for r in dups1.collect()} == {"u3"}
+    fps1.write.mode("append").parquet(ledger_path)
+
+    b2 = spark.createDataFrame(
+        [("u4", "alpha text"), ("u5", "gamma text"), ("u6", "gamma text")],
+        "url string, text string",
+    )
+    ledger = spark.read.parquet(ledger_path)
+    dups2, fps2 = dedup.incremental_non_survivor_keys(b2, ledger)
+    # u4 = cross-run dup (alpha seen in batch 1); u6 = within-batch dup
+    assert {r.url for r in dups2.collect()} == {"u4", "u6"}
+    new = {r.fp for r in fps2.collect()}
+    assert len(new) == 1  # only gamma is new content
+    fps2.write.mode("append").parquet(ledger_path)
+    assert spark.read.parquet(ledger_path).distinct().count() == 3
