@@ -75,12 +75,24 @@ def non_survivor_keys(df: DataFrame, text_col: str = "text", key_col: str = "url
     Plan cost: one full-corpus exchange on the fingerprint (~100 B/doc) +
     one distinct over the non-survivor KEY SET only.
     """
+    return non_survivor_units(df, text_col, key_col).select(key_col).distinct()
+
+
+def non_survivor_units(df: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """Non-survivor (key, fingerprint) UNITS of the narrow dedup pass.
+
+    Joining back on BOTH columns (the caller recomputes sha2(text) on the
+    wide side — a narrow per-row expression, no exchange) drops exactly the
+    losing copies: a key that carries two different texts keeps the row
+    whose content survives, instead of losing all its rows the way a
+    key-only join would. Output is distinct — the join-back cannot fan out.
+    """
     narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
     w = Window.partitionBy("_fp").orderBy(key_col)
     return (
         narrow.withColumn("_rk", F.rank().over(w))
         .where(F.col("_rk") > 1)
-        .select(key_col)
+        .select("_fp", key_col)
         .distinct()
     )
 
@@ -374,7 +386,10 @@ def incremental_non_survivor_keys(
     narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
     w = Window.partitionBy("_fp").orderBy(key_col)
     ranked = narrow.withColumn("_rk", F.rank().over(w))
-    batch_fps = narrow.select("_fp").distinct()
+    # batch fingerprints from the SURVIVOR rows of the ranked frame: reuses
+    # the window's _fp partitioning (no second full-corpus scan/exchange —
+    # an independent narrow.distinct() would recompute sha2 over every doc)
+    batch_fps = ranked.where(F.col("_rk") == 1).select("_fp").distinct()
     if ledger_fps is None:
         dups = ranked.where(F.col("_rk") > 1)
         return dups.select(key_col).distinct(), batch_fps.select(F.col("_fp").alias("fp"))

@@ -141,15 +141,17 @@ def drop_table(spark: SparkSession, name: str) -> None:
     Also clears an ORPHANED managed-table directory: with the in-memory
     session catalog, a crashed session leaves the warehouse dir on disk
     while the next session's catalog has no entry — DROP no-ops and a
-    later CTAS would refuse the non-empty location. Only a path directly
-    under the session warehouse dir is ever removed, and only when the
-    catalog does NOT know the table (a real Hive/Iceberg catalog never
-    hits this branch)."""
+    later CTAS would refuse the non-empty location. The cleanup runs ONLY
+    when the catalog did not know the table BEFORE the drop (so it never
+    touches data DROP itself manages or intentionally preserves, e.g. an
+    external table's files) and ONLY for an unqualified name (a qualified
+    db.table must not resolve to the default database's directory)."""
+    known = spark.catalog.tableExists(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    if not spark.catalog.tableExists(name):
+    if not known and "." not in name:
         wh = spark.conf.get("spark.sql.warehouse.dir", "")
         wh = wh.removeprefix("file:")
-        orphan = os.path.join(wh, name.split(".")[-1].lower())
+        orphan = os.path.join(wh, name.lower())
         if wh and os.path.isdir(orphan):
             import shutil
 

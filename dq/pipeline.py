@@ -131,18 +131,23 @@ def enrich(
     # on a NARROW (sha2(text), url) projection: the shuffle carries ~100 B/doc
     # as SCALING.md §2 claims — the enriched row (text + text_scrubbed +
     # metrics, KBs/doc) never enters an exchange. The flag comes back via a
-    # join on url: broadcast by default (non-survivors are a minority of a
-    # snapshot); dedup_broadcast=False falls back to a shuffle join whose
-    # narrow side still carries only urls — pair it with input storage
-    # bucketed by url for an exchange-free wide side.
-    from dq.dedup import non_survivor_keys
+    # join on (url, fingerprint) — the wide side recomputes sha2(text)
+    # in-plan (narrow, no exchange), so a url carrying two different texts
+    # only loses its losing copy. Broadcast by default (non-survivors are a
+    # minority of a snapshot); dedup_broadcast=False falls back to a shuffle
+    # join whose narrow side still carries only (url, hash) — pair it with
+    # input storage bucketed by url for an exchange-free wide side.
+    from dq.dedup import non_survivor_units
 
-    dup_keys = non_survivor_keys(df, "text", "url").withColumn("_is_dup", F.lit(True))
+    dup_units = non_survivor_units(df, "text", "url").withColumn("_is_dup", F.lit(True))
     if dedup_broadcast:
-        dup_keys = F.broadcast(dup_keys)
-    out = out.join(dup_keys, "url", "left").withColumn(
-        "is_exact_dup", F.coalesce(F.col("_is_dup"), F.lit(False))
-    ).drop("_is_dup")
+        dup_units = F.broadcast(dup_units)
+    out = (
+        out.withColumn("_fp", F.sha2(F.col("text"), 256))
+        .join(dup_units, ["_fp", "url"], "left")
+        .withColumn("is_exact_dup", F.coalesce(F.col("_is_dup"), F.lit(False)))
+        .drop("_is_dup", "_fp")
+    )
     return out.withColumn(
         "keep",
         F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl") & ~F.col("is_exact_dup"),

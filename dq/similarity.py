@@ -279,27 +279,23 @@ def quantized_hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     return np.floor(_hyperplanes(dim, n_bits, seed) * 1000).astype(np.int64)
 
 
+def _pack_bits(bit_preds: list[Column]) -> Column:
+    out = None
+    for b, pred in enumerate(bit_preds):
+        term = F.when(pred, F.lit(1 << b)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
 def quantized_srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 7) -> Column:
     """Integer SRP signature: bit b = (<floor(v*1000), floor(h_b*1000)> >= 0).
 
     All-integer dot products — no float summation-order hazard, so DuckDB
     reproduces the exact bucket assignment (unlike the float
-    :func:`srp_signature`, which is rows-only checkable)."""
-    planes = quantized_hyperplanes(dim, n_bits, seed)
-    qv = quantized_vec(vec)
-    bits = []
-    for b in range(n_bits):
-        weights = F.array(*[F.lit(int(w)) for w in planes[b]])
-        proj = F.aggregate(
-            F.zip_with(qv, weights, lambda x, w: x * w),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out.cast("long")
+    :func:`srp_signature`, which is rows-only checkable). Shares the bit
+    projections with the chunked path — any hyperplane/sign change edits
+    ONE place. Pass a staged quantized column where plan width matters."""
+    return _pack_bits(_quantized_srp_bit_preds(quantized_vec(vec), dim, n_bits, seed))
 
 
 def _chunk_array(bit_preds: list[Column], bits_per_chunk: int) -> Column:
@@ -423,21 +419,9 @@ def quantized_cosine_pairs_lsh(
 
 def srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 7) -> Column:
     """Sign-random-projection signature as ONE native expression: each bit is
-    sign(<v, h_b>) with the hyperplane baked in as literal weights."""
-    planes = _hyperplanes(dim, n_bits, seed)
-    bits = []
-    for b in range(n_bits):
-        weights = F.array(*[F.lit(float(w)) for w in planes[b]])
-        proj = F.aggregate(
-            F.zip_with(_vec(vec), weights, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out.cast("long")
+    sign(<v, h_b>) with the hyperplane baked in as literal weights (shared
+    with the chunked candidate paths via :func:`_srp_bit_preds`)."""
+    return _pack_bits(_srp_bit_preds(_vec(vec), dim, n_bits, seed))
 
 
 def lsh_topk(

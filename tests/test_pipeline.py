@@ -108,3 +108,21 @@ def test_enrich_dedup_shuffle_fallback_same_flags(spark, pages):
         .select("url", "is_exact_dup").toPandas().sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_url_with_two_texts_keeps_unique_content(spark):
+    """The (url, fingerprint) unit join drops only the losing COPY: a url
+    that also carries globally-unique content keeps that row."""
+    rows = [
+        ("https://a.example/p", "2024-03-01 01:00:00", "dolor sit amet " * 30, "en"),
+        ("https://x.example/p", "2024-03-01 02:00:00", "unique survivor prose " * 30, "en"),
+        ("https://x.example/p", "2024-03-01 03:00:00", "dolor sit amet " * 30, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = enrich(df, verify_extraction=False).select("url", "text", "is_exact_dup").toPandas()
+    assert len(out) == 3
+    x_rows = out[out["url"] == "https://x.example/p"]
+    assert not x_rows[x_rows["text"].str.startswith("unique")]["is_exact_dup"].iloc[0]
+    assert x_rows[x_rows["text"].str.startswith("dolor")]["is_exact_dup"].iloc[0]

@@ -57,10 +57,11 @@ def test_enrich_has_single_wide_op(spark):
     from dq.queries import docs_as_pages
 
     plan = simple_plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
-    # 2 narrow exchanges: the full-corpus (sha2, url) survivor window + the
-    # distinct over the non-survivor KEY SET only (fan-out guard). Both are
-    # width-asserted in test_enrich_exchange_is_narrow.
-    assert plan.count("Exchange hashpartitioning") == 2
+    # ONE narrow exchange: the full-corpus (sha2, url) survivor window; the
+    # fan-out-guard distinct groups on (_fp, url), a superset of the window
+    # partitioning, so it reuses the same exchange. Width asserted in
+    # test_enrich_exchange_is_narrow.
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no accidental sorts
     # the dup flag comes back via broadcast join — the wide side never shuffles
     assert "SortMergeJoin" not in plan
