@@ -27,10 +27,21 @@ from pyspark.sql import types as T
 # ------------------------------------------------------------------ exact --
 
 
+def fingerprint_col(text: Column) -> Column:
+    """Null-safe content fingerprint: sha2 over the text with NULLs mapped
+    to a zero-byte sentinel. sha2(NULL) is NULL, and NULL join keys drop
+    silently in the equi-join-back — a NULL-text copy could never be
+    flagged as a duplicate (VERDICT r2 ADVICE). With the sentinel, all
+    NULL-text rows form one ordinary cluster. (A real text equal to the
+    one-byte sentinel would co-cluster with NULLs — a non-issue for any
+    text corpus, and deterministic either way.)"""
+    return F.sha2(F.coalesce(text, F.lit("\x00")), 256)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
     """Keep one deterministic survivor per identical text: the minimal
     ``key_col`` (row_number over the fingerprint cluster — SURVEY.md §2.5)."""
-    fp = F.sha2(F.col(text_col), 256)
+    fp = fingerprint_col(F.col(text_col))
     w = Window.partitionBy(fp).orderBy(F.col(key_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -48,7 +59,7 @@ def exact_dup_flag(text_col: str = "text", key_col: str = "url") -> Column:
     :func:`non_survivor_keys` + broadcast join-back instead, so its one
     exchange carries ~100 B/doc (hash + key), per SCALING.md §2.
     """
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(key_col))
+    w = Window.partitionBy(fingerprint_col(F.col(text_col))).orderBy(F.col(key_col))
     return F.row_number().over(w) > 1
 
 
@@ -86,8 +97,10 @@ def non_survivor_units(df: DataFrame, text_col: str = "text", key_col: str = "ur
     losing copies: a key that carries two different texts keeps the row
     whose content survives, instead of losing all its rows the way a
     key-only join would. Output is distinct — the join-back cannot fan out.
+    The fingerprint is null-safe (:func:`fingerprint_col`): NULL-text copies
+    cluster and drop like any other content.
     """
-    narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
+    narrow = df.select(fingerprint_col(F.col(text_col)).alias("_fp"), F.col(key_col))
     w = Window.partitionBy("_fp").orderBy(key_col)
     return (
         narrow.withColumn("_rk", F.rank().over(w))
@@ -383,7 +396,7 @@ def incremental_non_survivor_keys(
     amortized across runs) — bucket the ledger table by fp to make the
     per-run join exchange-free on the ledger side.
     """
-    narrow = df.select(F.sha2(F.col(text_col), 256).alias("_fp"), F.col(key_col))
+    narrow = df.select(fingerprint_col(F.col(text_col)).alias("_fp"), F.col(key_col))
     w = Window.partitionBy("_fp").orderBy(key_col)
     ranked = narrow.withColumn("_rk", F.rank().over(w))
     # batch fingerprints from the SURVIVOR rows of the ranked frame: reuses

@@ -52,11 +52,15 @@ def test_merge_history_broadcasts_fresh_side(spark):
 
 def test_enrich_has_single_wide_op(spark):
     """The filter pipeline is narrow except the dedup pass: exactly one
-    exchange (hash by sha2(text)) in the whole enriched plan."""
+    exchange (hash by sha2(text)) in the whole enriched plan (forced-
+    broadcast form — the single-job plan whose shape "auto" reproduces with
+    the narrow pass cached instead of inlined)."""
     from dq.pipeline import enrich
     from dq.queries import docs_as_pages
 
-    plan = simple_plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
+    plan = simple_plan_of(
+        enrich(docs_as_pages(spark, SF), verify_extraction=False, dedup_broadcast=True)
+    )
     # ONE narrow exchange: the full-corpus (sha2, url) survivor window; the
     # fan-out-guard distinct groups on (_fp, url), a superset of the window
     # partitioning, so it reuses the same exchange. Width asserted in
@@ -67,6 +71,34 @@ def test_enrich_has_single_wide_op(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_enrich_auto_gates_dedup_broadcast(spark):
+    """dedup_broadcast="auto" (the default) picks the join-back strategy
+    from the MEASURED unit count: broadcast under the budget, shuffle_hash
+    above it (VERDICT r2 wrong-#1 — broadcast-always does not survive
+    day-scale arithmetic)."""
+    from dq.pipeline import enrich
+    from dq.queries import docs_as_pages
+
+    pages = docs_as_pages(spark, SF)
+    below = simple_plan_of(enrich(pages, verify_extraction=False))
+    assert "BroadcastHashJoin" in below
+    assert "SortMergeJoin" not in below
+    # over the budget the engine no longer FORCES a broadcast; emulate the
+    # at-scale statistics (a 250 GB unit set is never size-eligible) by
+    # disabling size-based auto-broadcast, and assert the planned fallback
+    # is the sort-free shuffle_hash join
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        above = simple_plan_of(
+            enrich(pages, verify_extraction=False, broadcast_max_units=-1)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin [_fp" not in above
+    assert "ShuffledHashJoin [_fp" in above
+
+
 def test_enrich_exchange_is_narrow(spark):
     """The one exchange carries only (fingerprint, url) ≈ 100 B/doc — never
     the document row (SCALING.md §2; VERDICT r1 wrong-#1)."""
@@ -75,7 +107,9 @@ def test_enrich_exchange_is_narrow(spark):
     from dq.pipeline import enrich
     from dq.queries import docs_as_pages
 
-    plan = plan_of(enrich(docs_as_pages(spark, SF), verify_extraction=False))
+    plan = plan_of(
+        enrich(docs_as_pages(spark, SF), verify_extraction=False, dedup_broadcast=True)
+    )
     # formatted plan: each node is "(n) NodeName" followed by attribute lines
     nodes = re.split(r"\n(?=\(\d+\) )", plan)
     exchanges = [
