@@ -332,19 +332,27 @@ GROUP BY 1, 2
         for i, p in enumerate(PRICE_POINTS)
     )
     + " FROM lineitem GROUP BY l_returnflag",
+    # histogram cumulative pick — the window runs over O(distinct cents)
+    # histogram rows, mirroring the Spark shape (same discrete value as the
+    # row_number formulation: first bucket whose cum count reaches ceil(p*n))
     "qualitativo_percentiles": "\n".join(
         [
             """
-WITH r AS (
+WITH h AS (
   SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
-         row_number() OVER (PARTITION BY l_returnflag ORDER BY floor(l_extendedprice * 100)) AS rn,
-         count(*) OVER (PARTITION BY l_returnflag) AS n
-  FROM lineitem
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, c,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
 )
 SELECT l_returnflag,"""
         ]
         + [
-            f"       CAST(max(CASE WHEN rn = CAST(ceil({p!r} * n) AS BIGINT) THEN c END) AS BIGINT) AS p{tag}_cents"
+            f"       CAST(min(CASE WHEN cum >= CAST(ceil({p!r} * n) AS BIGINT) THEN c END) AS BIGINT) AS p{tag}_cents"
             + ("," if i < len(PCT_POINTS) - 1 else "")
             for i, (tag, p) in enumerate(PCT_POINTS)
         ]

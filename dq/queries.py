@@ -413,25 +413,38 @@ PCT_POINTS = [(25, 0.25), (50, 0.5), (75, 0.75)]
 
 def qualitativo_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles of price cents per returnflag (profiling
-    tier). Formulated as row_number == ceil(p*n) EXPLICITLY on both engines
-    — built-in quantile functions interpolate with engine-specific float
-    rounding, so cross-engine hash equality needs the discrete pick spelled
-    out; the picked value is an exact bigint."""
+    tier). Built-in quantile functions interpolate with engine-specific
+    float rounding, so cross-engine hash equality needs the discrete pick
+    spelled out; the picked value is an exact bigint.
+
+    Shape (VERDICT r2 wrong-#2): the pick runs over a per-flag VALUE
+    HISTOGRAM, not the row set — groupBy(flag, cents).count() is a uniform
+    hash-agg with map-side partials, and only the tiny histogram (O(distinct
+    cents), ~25k rows regardless of corpus size) enters the cumulative-sum
+    window. The previous row_number() form funneled every row through 3
+    reducers (one per flag) — THE skew shape at 100x. The discrete pick is
+    unchanged: value of the first histogram bucket whose cumulative count
+    reaches ceil(p*n) == the value at sorted row ceil(p*n)."""
     li = _t(spark, sf_dir, "lineitem")
-    ranked = (
+    hist = (
         li.select(F.col("l_returnflag"), _cents("l_extendedprice").alias("_c"))
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("_c")
-        ))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag", "_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy("l_returnflag").orderBy("_c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_n", F.sum("_cnt").over(Window.partitionBy("l_returnflag")))
     aggs = [
-        F.max(
-            F.when(F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")), F.col("_c"))
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(F.lit(p) * F.col("_n")), F.col("_c"))
         ).cast("bigint").alias(f"p{tag}_cents")
         for tag, p in PCT_POINTS
     ]
-    return ranked.groupBy("l_returnflag").agg(*aggs)
+    return cum.groupBy("l_returnflag").agg(*aggs)
 
 
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,12 +561,20 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic survivor per duplicate cluster (window row_number ≙
-    §2.5) + cluster size; planted exact dups guarantee clusters exist."""
+    §2.5) + cluster size; planted exact dups guarantee clusters exist.
+
+    The survivor pick runs on a NARROW (fingerprint, doc_id) projection —
+    sha2 grouping ≡ text grouping, so the result is unchanged while the
+    exchange carries ~40 B/doc instead of the full document text (VERDICT
+    r2 wrong-#3; same lesson as the pipeline's dedup pass, dq/dedup.py)."""
+    from dq.dedup import fingerprint_col
+
     base = _docs_with_planted_dups(spark, sf_dir)
-    w = Window.partitionBy("text").orderBy("doc_id")
+    narrow = base.select(fingerprint_col(F.col("text")).alias("_fp"), "doc_id")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
     return (
-        base.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text")))
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("_fp")))
         .where(F.col("_rn") == 1)
         .select(F.col("doc_id").alias("survivor_id"), F.col("n_copies").cast("bigint").alias("n_copies"))
     )

@@ -125,6 +125,36 @@ def test_enrich_exchange_is_narrow(spark):
         assert "text#" not in cols and "html#" not in cols, cols
 
 
+def test_percentiles_window_over_histogram_not_rows(spark):
+    """qualitativo_percentiles must aggregate to a per-flag value histogram
+    BEFORE any window: the old row_number() form sorted the whole table on
+    3 reducers (VERDICT r2 wrong-#2). The Window's subtree (text below it
+    in the simple plan) must therefore contain a HashAggregate."""
+    from dq.queries import qualitativo_percentiles
+
+    plan = simple_plan_of(qualitativo_percentiles(spark, SF))
+    assert "row_number" not in plan
+    below_window = plan[plan.rindex("Window") :]
+    assert "HashAggregate" in below_window
+
+
+def test_exact_dedup_survivors_narrow_exchange(spark):
+    """The survivor window runs over a (fingerprint, doc_id) projection —
+    document text never enters an exchange (VERDICT r2 wrong-#3)."""
+    import re
+
+    from dq.queries import exact_dedup_survivors
+
+    plan = plan_of(exact_dedup_survivors(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")]
+    assert exchanges, f"no exchange found in plan:\n{plan}"
+    for node in exchanges:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), inp.group(2)
+
+
 def test_partition_pruning_on_partitioned_output(spark, pages, tmp_path):
     """kept/ is written partitioned by dt_foto; an equality predicate must
     prune at the directory level (PartitionFilters, not a post-filter)."""
