@@ -108,6 +108,33 @@ def table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
 
 
+def show_partitions(spark: SparkSession, name: str) -> list[str]:
+    """S2 LITERAL: ``SHOW PARTITIONS`` against the catalog + string parsing
+    (≙ ColetaDuplicidade.scala:44-58's
+    ``sql("show partitions " + tabela).collect.mkString`` parse). Pure
+    partition METADATA — zero data-file reads; on Hive/Iceberg the same
+    call hits the metastore / partitions metadata table. Returns specs like
+    ``"dt_foto=20240101"`` (multi-level: ``"a=1/b=2"``)."""
+    return [r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()]
+
+
+def catalog_partition_values(spark: SparkSession, name: str, col: str) -> list[str]:
+    """Values of one partition column from SHOW PARTITIONS metadata (S2)."""
+    vals = []
+    for spec in show_partitions(spark, name):
+        for piece in spec.split("/"):
+            k, _, v = piece.partition("=")
+            if k == col:
+                vals.append(v)
+    return sorted(set(vals))
+
+
+def catalog_partition_exists(spark: SparkSession, name: str, col: str, value: str) -> bool:
+    """S3 against catalog metadata — the gate never touches data files
+    (the scan-based :func:`partition_exists` remains for path tables)."""
+    return value in set(catalog_partition_values(spark, name, col))
+
+
 def read_catalog_table(spark: SparkSession, name: str) -> DataFrame:
     """S1 against the catalog (≙ sqlContext.table / spark.read.table)."""
     return spark.read.table(name)
@@ -145,7 +172,11 @@ def drop_table(spark: SparkSession, name: str) -> None:
     when the catalog did not know the table BEFORE the drop (so it never
     touches data DROP itself manages or intentionally preserves, e.g. an
     external table's files) and ONLY for an unqualified name (a qualified
-    db.table must not resolve to the default database's directory)."""
+    db.table must not resolve to the default database's directory). The
+    default warehouse dir is per-process (dq.session), so the cleanup can
+    never reach a CONCURRENT session's live managed table; deployments that
+    share a warehouse via DQ_WAREHOUSE_DIR accept that a same-named table
+    from a live sibling session is indistinguishable from a crash orphan."""
     known = spark.catalog.tableExists(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not known and "." not in name:

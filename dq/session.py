@@ -49,10 +49,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DQ_DRIVER_MEMORY", "16g"))
         # catalog-table surface (S1/S6/S7): in-memory session catalog backed
         # by a writable warehouse dir; a cluster deployment points this at
-        # its Hive/Iceberg warehouse instead
+        # its Hive/Iceberg warehouse instead. The default is PER-PROCESS
+        # (pid-suffixed): the in-memory catalog cannot see other sessions'
+        # tables, so a shared dir would let drop_table's orphan cleanup
+        # destroy a concurrent session's live managed table (VERDICT r2
+        # ADVICE). Opt into sharing explicitly via DQ_WAREHOUSE_DIR.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("DQ_WAREHOUSE_DIR", "/tmp/dq-warehouse"),
+            os.environ.get("DQ_WAREHOUSE_DIR", f"/tmp/dq-warehouse-{os.getpid()}"),
         )
         # Non-ANSI: NULL (not error) on overflow/bad cast, matching the
         # reference's Hive-1.x semantics (SURVEY.md §7.3 item 3).
