@@ -19,6 +19,9 @@ from dq.queries import (
     ANN_IVF_NPROBE,
     ANN_K,
     ANN_QUERY_MOD,
+    INCR_BATCH_MOD,
+    INCR_RECRAWL_MOD,
+    INCR_RECRAWL_OFFSET,
     EMB_DIM,
     EMB_PAIR_MIN_COSINE,
     EMB_SRP_BITS,
@@ -85,14 +88,17 @@ _LINES = "regexp_split_to_array(text, '\\n')"
 _STOPS = _sql_list(STOPWORDS)
 
 
-def _heuristics_cte() -> str:
-    """Per-doc metric CTE mirroring dq.heuristics.with_heuristic_metrics."""
+def _heuristics_cte(from_sql: str = "documents", id_col: str = "doc_id") -> str:
+    """Per-doc metric CTE mirroring dq.heuristics.with_heuristic_metrics,
+    parameterized over the source relation and row key so the SAME metric
+    SQL serves both the documents-table query and the composed pipeline
+    oracle (pipeline_keep_sql keys by url over a pages CTE)."""
     stop_hits = f"list_filter(words, x -> list_contains({_STOPS}, lower(x)))"
     return f"""
-WITH base AS (
-  SELECT doc_id, text, {_WORDS} AS words, {_LINES} AS lines FROM documents
+base AS (
+  SELECT {id_col}, text, {_WORDS} AS words, {_LINES} AS lines FROM {from_sql}
 ), m AS (
-  SELECT doc_id,
+  SELECT {id_col},
     CAST(len(words) AS BIGINT) AS n_words,
     CASE WHEN len(words) > 0
          THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
@@ -117,8 +123,8 @@ WITH base AS (
 )"""
 
 
-def _keep_pred() -> str:
-    t = THRESHOLDS
+def _keep_pred(t: dict | None = None) -> str:
+    t = t or THRESHOLDS
     return (
         f"(n_words >= {t['min_words']} AND n_words <= {t['max_words']}"
         f" AND mean_word_len >= {t['min_mean_word_len']!r} AND mean_word_len <= {t['max_mean_word_len']!r}"
@@ -186,6 +192,34 @@ SELECT id_a, id_b, qdot FROM scored
 WHERE qdot > 0
   AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE)
       >= {t2!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
+"""
+
+
+def _pipeline_keep_sql() -> str:
+    """Composed flagship oracle: heuristics + scrub + exact-dedup gates over
+    the docs_as_pages shape, keyed by url — hash-checks the pipeline's
+    decision WIRING, not just its pieces. The dedup twin of the engine's
+    (fingerprint, url) unit join: with unique urls, a row is a non-survivor
+    iff its url is not the minimal url of its text cluster."""
+    from dq.pipeline import DOCS_CONFIG
+
+    keep = _keep_pred(DOCS_CONFIG.thresholds)
+    return f"""
+WITH pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+), {_heuristics_cte(from_sql="pages", id_col="url")},
+s AS (
+  SELECT url, {_scrub_chain("text")} <> text AS pii_found FROM pages
+), d AS (
+  SELECT url, url <> min(url) OVER (PARTITION BY text) AS is_exact_dup FROM pages
+)
+SELECT m.url,
+       {keep} AS keep_heuristic,
+       d.is_exact_dup,
+       s.pii_found,
+       ({keep} AND NOT d.is_exact_dup) AS keep
+FROM m JOIN s USING (url) JOIN d USING (url)
 """
 
 
@@ -374,7 +408,8 @@ SELECT g.event_type, g.n, g.n / t.c AS fraction
 FROM g, t
 WHERE g.n >= CAST(floor(t.c * {HOT_KEY_MIN_FRACTION!r}) AS BIGINT)
 """,
-    "heuristic_metrics": _heuristics_cte()
+    "heuristic_metrics": "WITH "
+    + _heuristics_cte()
     + f"""
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
        n_distinct_stops, alpha_word_ratio,
@@ -500,6 +535,28 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sh a ON a.doc_id = p.id_a
 JOIN sh b ON b.doc_id = p.id_b
+""",
+    "pipeline_keep_sql": _pipeline_keep_sql(),
+    # ledger twin on raw text (sha2 is content-injective for the oracle's
+    # purposes): batch-2 non-survivor = within-batch rank loser OR content
+    # present in batch 1 (the ledger holds exactly b1's distinct fps).
+    # documents.text has no NULLs (the engine's sentinel cluster and SQL's
+    # NULL-dropping IN would otherwise diverge).
+    "incremental_dedup_batch2": f"""
+WITH b1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+), b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {INCR_RECRAWL_OFFSET}, text FROM documents
+  WHERE doc_id % {INCR_RECRAWL_MOD} = 0
+), r AS (
+  SELECT doc_id, text, rank() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+  FROM b2
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+FROM r
+WHERE rk > 1 OR text IN (SELECT text FROM b1)
 """,
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "ann_topk_ivf": f"""
