@@ -7,7 +7,7 @@ Usage (cluster — spark-submit takes a SCRIPT path, it has no -m module
 flag; ship the package with --py-files and pass this file):
     spark-submit --master yarn --py-files dq.zip dq/cli.py volumetria <db> <tbl> <dt> <campo> <formato> ...
     spark-submit --master yarn --py-files dq.zip dq/cli.py duplicidade <db> <tbl> <dt> <campo> <formato> ...
-    spark-submit --master yarn --py-files dq.zip dq/cli.py remediar {diario|semanal} --table db.tbl=path ...
+    spark-submit --master yarn --py-files dq.zip dq/cli.py remediar {diario|semanal} --config config.json [--table db.tbl=path ...]
     spark-submit --master yarn --py-files dq.zip dq/cli.py pipeline <pages_path> <out_dir>
 Local/dev: python -m dq.cli <cmd> ... (same argv contract).
 
@@ -59,9 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     rm.add_argument("--failures-path", required=True)
     rm.add_argument(
         "--table", action="append", default=[], metavar="banco.tabela=path",
-        help="monitored-table resolution (repeatable)",
+        help="monitored-table resolution (repeatable; overrides --config tables)",
     )
     rm.add_argument("--today", default=None, help="yyyyMMdd override for the lookback window")
+    rm.add_argument(
+        "--config", default=None, metavar="config.json",
+        help="JSON config (≙ the reference's config.global.conf layer): "
+        '{"remediation_excluded": ["tabela", ...], '
+        '"tables": {"banco.tabela": "path", ...}}',
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(f"dq-{args.cmd}", master=args.master)
@@ -77,13 +83,23 @@ def main(argv: list[str] | None = None) -> int:
         from dq.remediate import remediate_volumetria
         from dq.schema import DQ_FAILURES
 
-        mapping = dict(t.split("=", 1) for t in args.table)
+        # config file first (C5, ≙ config.global.conf:2-5), CLI --table
+        # entries override; exclusion list is config-driven, defaulting to
+        # the built-in constant when no config is given
+        cfg = json.load(open(args.config)) if args.config else {}
+        mapping = dict(cfg.get("tables", {}))
+        mapping.update(t.split("=", 1) for t in args.table)
+        excluded = set(cfg.get("remediation_excluded", []))
+        if not args.config:
+            from dq.queries import REMEDIATION_EXCLUDED
+
+            excluded = set(REMEDIATION_EXCLUDED)
         failures = read_path(spark, args.failures_path, default_schema=DQ_FAILURES)
         history = read_path(spark, args.history_path, default_schema=volumetry.DQ_VOLUMETRIA)
         new_hist, new_fail = remediate_volumetria(
             spark, failures, history,
             lambda banco, tabela: read_path(spark, mapping[f"{banco}.{tabela}"]),
-            mode=args.mode, today=args.today,
+            mode=args.mode, today=args.today, excluded_tables=excluded,
         )
         # count before the staged swap invalidates new_fail's input files
         n_open = new_fail.where("status = 0").count()

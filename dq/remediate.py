@@ -81,7 +81,13 @@ def remediate_volumetria(
 
     new_history, new_failures = history, failures
     for f in manifest:
-        monitored = table_loader(f.banco, f.tabela)
+        try:
+            monitored = table_loader(f.banco, f.tabela)
+        except LookupError:
+            # no mapping for this monitored table: leave the failure open
+            # (status stays 0, visible in the open-failure count) instead
+            # of aborting the whole remediation run on one unmapped entry
+            continue
         pexpr = partition_expr_for(f.var_nome_campo, f.var_formato_dt_foto)
         if not partition_exists(monitored, pexpr, f.dt_foto):
             continue  # hole still there; failure row stays open

@@ -64,6 +64,38 @@ def test_remediar_cli_flips_status(spark, tmp_path):
     assert len(hrows) == 1 and hrows[0].fonte == "3" and hrows[0].qtde_registros > 0
 
 
+def test_remediar_cli_config_exclusion_and_unmapped(spark, tmp_path):
+    """C5 config-driven: the exclusion set and table mappings come from a
+    JSON config file (no code edits), and a failure whose table has no
+    mapping is SKIPPED (left open, visible in open_failures) instead of
+    aborting the whole run with a KeyError (VERDICT r2 ADVICE)."""
+    from dq.schema import DQ_FAILURES
+
+    real = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(real)
+    fail = str(tmp_path / "fail")
+    spark.createDataFrame(
+        [
+            ("testdata", "events", "20240105", "ts", "2", 0),   # mapped → flips
+            ("testdata", "skipme", "20240105", "ts", "2", 0),   # excluded → open
+            ("testdata", "nomap", "20240105", "ts", "2", 0),    # unmapped → open
+        ],
+        schema=DQ_FAILURES,
+    ).write.parquet(fail)
+    cfg = str(tmp_path / "config.json")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"remediation_excluded": ["skipme"], "tables": {"testdata.events": real}}, f
+        )
+    r = _run(["remediar", "diario", "--history-path", str(tmp_path / "hist"),
+              "--failures-path", fail, "--config", cfg, "--today", "20240106"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"status": "ok", "open_failures": 2}
+    rows = {(x.tabela, x.status) for x in spark.read.parquet(fail).collect()}
+    assert rows == {("events", 1), ("skipme", 0), ("nomap", 0)}
+
+
 def test_spark_submit_pyfiles_contract(spark, tmp_path):
     """The documented cluster entry works verbatim: spark-submit with the
     dq package shipped via --py-files and dq/cli.py as the script (the
