@@ -349,7 +349,7 @@ efficiency by the SAME-WINDOW pure-CPU hardware ceiling. Evidence is
 reported at BOTH probe levels (best + median over {rep['n_runs']} run(s);
 per-run values unfiltered below):
 
-| probe N→4N | docs/s @N (best) | docs/s @4N (best) | best eff | best norm | median eff | median norm | runs |
+| probe N→4N | docs/s @N (best run) | docs/s @4N (best run) | best eff | best norm | median eff | median norm | runs |
 |---|---|---|---|---|---|---|---|
 {level_table}
 

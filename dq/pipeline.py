@@ -129,7 +129,10 @@ def _attach_dup_flag(
     r2 wrong-#1). The count job runs the narrow pass once and caches the
     (tiny) non-survivor set, so total scan work matches the single-job
     form. True/False force the choice without the count (plan-shape tests
-    and bucketed-storage deployments). The non-broadcast path hints
+    and bucketed-storage deployments). Each auto call leaves its (small)
+    unit set cached until the session ends — a long-lived service issuing
+    many runs should `spark.catalog.clearCache()` between them. The
+    non-broadcast path hints
     shuffle_hash: the units side builds the per-partition hash map — no
     sort of the wide side; pair it with input storage bucketed by url for
     an exchange-free wide side.
@@ -202,6 +205,7 @@ def enrich_sql_only(
     df: DataFrame,
     config: PipelineConfig | None = None,
     dedup_scope: DataFrame | None = None,
+    dedup_broadcast: bool | str = "auto",
 ) -> DataFrame:
     """The UDF-free tier of :func:`enrich`: heuristics + scrub + exact-dedup
     gates only — every stage a native expression with a DuckDB twin, so the
@@ -215,7 +219,7 @@ def enrich_sql_only(
     out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
     out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
-    out = _attach_dup_flag(out, dedup_scope if dedup_scope is not None else df)
+    out = _attach_dup_flag(out, dedup_scope if dedup_scope is not None else df, dedup_broadcast)
     return out.withColumn("keep", F.col("keep_heuristic") & ~F.col("is_exact_dup"))
 
 

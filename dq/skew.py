@@ -85,9 +85,9 @@ def salted_join(
 
 
 def top_keys(df: DataFrame, key: str, min_fraction: float = 0.01) -> DataFrame:
-    """Hot-key detector: keys owning >= min_fraction of rows (drives a
-    hybrid plan: broadcast-join the hot keys' rows, shuffle the cold rest).
-    One pass, algebraic aggs only."""
+    """Hot-key detector: keys owning >= min_fraction of rows (drives
+    :func:`hybrid_hot_cold_join`: broadcast-join the hot keys' rows,
+    shuffle the cold rest). One pass, algebraic aggs only."""
     total = df.count()
     return (
         df.groupBy(key)
@@ -95,3 +95,44 @@ def top_keys(df: DataFrame, key: str, min_fraction: float = 0.01) -> DataFrame:
         .where(F.col("n") >= F.lit(int(total * min_fraction)))
         .withColumn("fraction", F.col("n") / F.lit(total))
     )
+
+
+def hybrid_hot_cold_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    min_fraction: float = 0.01,
+    how: str = "inner",
+) -> DataFrame:
+    """Hybrid plan driven by the hot-key detector: big-side rows whose key
+    owns >= ``min_fraction`` of the table join via BROADCAST of the small
+    side's hot-key subset — the hot rows never shuffle at all — while the
+    cold remainder takes the ordinary shuffle join, whose worst per-key
+    reducer volume is now bounded by ``min_fraction`` of the table. The
+    hot-key set itself is tiny by construction (at most 1/min_fraction
+    keys), so both the split tag and the hot small-subset broadcast are
+    free of wide exchanges.
+
+    Exact for big-side-preserving joins: the hot/cold slices partition the
+    big side, and each big row meets the full set of its key's small rows
+    in exactly one slice. Same join-type restriction as
+    :func:`salted_join` (the small side's hot subset is broadcast, so
+    right/full-outer would lose or duplicate unmatched small rows).
+
+    vs AQE skew-join: AQE splits oversized SMJ partitions at runtime but
+    still sorts and shuffles every row; this shape removes the hot rows
+    from the exchange entirely — use it when the skew is stable/known
+    (crawl domains), AQE as the backstop for the residue.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(f"hybrid_hot_cold_join supports {sorted(allowed)}, not {how!r}: "
+                         "the broadcast hot subset would mishandle unmatched small rows")
+    hot_keys = F.broadcast(top_keys(big, key, min_fraction).select(key))
+    tagged = big.join(
+        hot_keys.withColumn("_hot", F.lit(True)), key, "left"
+    )  # broadcast tag join: the big side does not shuffle here
+    hot_rows = tagged.where(F.col("_hot").isNotNull()).drop("_hot")
+    cold_rows = tagged.where(F.col("_hot").isNull()).drop("_hot")
+    small_hot = F.broadcast(small.join(hot_keys, key, "left_semi"))
+    return hot_rows.join(small_hot, key, how).unionByName(cold_rows.join(small, key, how))

@@ -58,6 +58,10 @@ def test_enrich_has_single_wide_op(spark):
     from dq.pipeline import enrich
     from dq.queries import docs_as_pages
 
+    # earlier tests' auto-mode runs leave the dedup unit set cached, and the
+    # CacheManager would substitute it into this plan, hiding the exchange
+    # this test asserts — clear to assert the cold single-job shape
+    spark.catalog.clearCache()
     plan = simple_plan_of(
         enrich(docs_as_pages(spark, SF), verify_extraction=False, dedup_broadcast=True)
     )
@@ -101,28 +105,33 @@ def test_enrich_auto_gates_dedup_broadcast(spark):
 
 def test_enrich_exchange_is_narrow(spark):
     """The one exchange carries only (fingerprint, url) ≈ 100 B/doc — never
-    the document row (SCALING.md §2; VERDICT r1 wrong-#1)."""
+    the document row (SCALING.md §2; VERDICT r1 wrong-#1). Holds for both
+    the full UDF pipeline and the SQL-only tier."""
     import re
 
-    from dq.pipeline import enrich
+    from dq.pipeline import enrich, enrich_sql_only
     from dq.queries import docs_as_pages
 
-    plan = plan_of(
-        enrich(docs_as_pages(spark, SF), verify_extraction=False, dedup_broadcast=True)
-    )
-    # formatted plan: each node is "(n) NodeName" followed by attribute lines
-    nodes = re.split(r"\n(?=\(\d+\) )", plan)
-    exchanges = [
-        n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")
-        and "hashpartitioning" in n
-    ]
-    assert exchanges, f"no hash exchange found in plan:\n{plan}"
-    for node in exchanges:
-        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
-        assert inp, node
-        n_cols, cols = int(inp.group(1)), inp.group(2)
-        assert n_cols <= 3, f"exchange too wide ({n_cols} cols): {cols}"
-        assert "text#" not in cols and "html#" not in cols, cols
+    spark.catalog.clearCache()  # same cache-substitution hazard as above
+    pages = docs_as_pages(spark, SF)
+    for enriched in (
+        enrich(pages, verify_extraction=False, dedup_broadcast=True),
+        enrich_sql_only(pages, dedup_broadcast=True),
+    ):
+        plan = plan_of(enriched)
+        # formatted plan: each node is "(n) NodeName" + attribute lines
+        nodes = re.split(r"\n(?=\(\d+\) )", plan)
+        exchanges = [
+            n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")
+            and "hashpartitioning" in n
+        ]
+        assert exchanges, f"no hash exchange found in plan:\n{plan}"
+        for node in exchanges:
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp, node
+            n_cols, cols = int(inp.group(1)), inp.group(2)
+            assert n_cols <= 3, f"exchange too wide ({n_cols} cols): {cols}"
+            assert "text#" not in cols and "html#" not in cols, cols
 
 
 def test_percentiles_window_over_histogram_not_rows(spark):
@@ -239,6 +248,33 @@ def test_broadcast_threshold_salting_interplay(spark):
     small = spark.createDataFrame([("d0", 1), ("d1", 2)], "domain string, w int")
     plan = simple_plan_of(skew.salted_join(big, small, "domain", "id", buckets=4))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_storage_joins_without_wide_side_exchange(spark):
+    """SCALING.md §2: when the pages table is bucketed by the join key, the
+    beyond-broadcast dedup join-back needs NO exchange on the wide side —
+    only the (tiny) units side shuffles to match the bucketing. Demonstrated
+    on a bucketed saveAsTable: the non-broadcast join plans exactly one
+    exchange, and it is not the bucketed side."""
+    from dq import io as dqio
+
+    dqio.drop_table(spark, "dq_bucketed_pages")
+    spark.range(1000).selectExpr("cast(id as string) as url", "id as v").write.bucketBy(
+        8, "url"
+    ).sortBy("url").mode("overwrite").saveAsTable("dq_bucketed_pages")
+    pages = spark.read.table("dq_bucketed_pages")
+    units = spark.range(100).selectExpr("cast(id as string) as url").withColumn(
+        "_is_dup", F.lit(True)
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = simple_plan_of(pages.join(units.hint("shuffle_hash"), "url", "left"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SelectedBucketsCount" in plan  # the wide side reads its buckets
+    dqio.drop_table(spark, "dq_bucketed_pages")
 
 
 def test_run_ts_range_predicate_pushes_to_scan(spark, pages, tmp_path):

@@ -55,6 +55,45 @@ def test_top_keys_detects_hot(spark, skewed):
     assert hot[0].fraction == pytest.approx(0.9)
 
 
+def test_hybrid_hot_cold_join_exact(spark, skewed):
+    """Hybrid split equals the plain join, inner and left (unmatched hot
+    and cold big rows both survive a left join)."""
+    small = spark.createDataFrame(
+        [("hot.example.com", 1), ("cold0.example.org", 2), ("absent.example", 3)],
+        "domain string, w int",
+    )
+    for how in ("inner", "left"):
+        got = skew.hybrid_hot_cold_join(skewed, small, "domain", 0.5, how=how)
+        want = skewed.join(small, "domain", how)
+        assert sorted(map(tuple, got.select("id", "domain", "w").collect())) == sorted(
+            map(tuple, want.select("id", "domain", "w").collect())
+        )
+
+
+def test_hybrid_hot_cold_join_rejects_small_preserving(spark, skewed):
+    small = spark.createDataFrame([("hot.example.com", 1)], "domain string, w int")
+    with pytest.raises(ValueError, match="hybrid_hot_cold_join supports"):
+        skew.hybrid_hot_cold_join(skewed, small, "domain", 0.5, how="right")
+
+
+def test_hybrid_hot_cold_join_hot_slice_broadcasts(spark, skewed):
+    """Plan shape: the hot slice joins via broadcast (its rows never enter
+    a join exchange); no cartesian anywhere."""
+    import contextlib
+    import io
+
+    small = spark.createDataFrame(
+        [("hot.example.com", 1), ("cold0.example.org", 2)], "domain string, w int"
+    )
+    out = skew.hybrid_hot_cold_join(skewed, small, "domain", 0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salt_deterministic(spark, skewed):
     a = skewed.select("id", skew.salt_from(F.col("user"), 8).alias("s")).collect()
     b = skewed.select("id", skew.salt_from(F.col("user"), 8).alias("s")).collect()
