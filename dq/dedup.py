@@ -368,6 +368,69 @@ def simhash_near_dups(
     )
 
 
+# ------------------------------------------------------------- clustering --
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the clustering
+    tier between near-dup PAIR mining (MinHash/SimHash/embedding LSH emit
+    pairs) and survivor selection (keep min-id per CLUSTER, drop the rest):
+    transitively linked docs must dedup as one group, not as independent
+    edges.
+
+    Semi-naive min-label propagation: every vertex repeatedly adopts the
+    minimum component id among itself and its neighbors until a fixpoint —
+    O(diameter) rounds of one edge-join + vertex-min hash-agg each.
+    Near-dup graphs are star-like (copies link to their original), so 2-3
+    rounds close in practice; ``max_iter`` bounds adversarial chains. Each
+    round's labels are materialized with an eager localCheckpoint — the
+    label frame appears TWICE per round (neighbor lookup + self), so
+    without lineage truncation the logical plan doubles every round and
+    analysis time goes exponential (caching alone does not cut lineage).
+    On a production cluster set a reliable ``spark.checkpoint.dir`` and
+    switch to ``checkpoint()`` (localCheckpoint does not survive executor
+    loss); for genuinely deep components swap the round body for the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce") — the same join primitive with provably
+    O(log n) rounds.
+
+    Returns (id, component) for every vertex that appears in ``pairs``;
+    ``component`` is the minimum vertex id of the cluster (deterministic).
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        edges.select("src").distinct().withColumn("comp", F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp.select(F.col("src").alias("dst"), "comp"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nbr"))
+        )
+        new = (
+            comp.join(nbr_min, "src", "left")
+            .select("src", F.least(F.col("comp"), F.coalesce("_nbr", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(comp.select("src", F.col("comp").alias("_old")), "src")
+            .where(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp.select(F.col("src").alias("id"), "comp")
+
+
 # ------------------------------------------------- incremental (cross-run) --
 
 

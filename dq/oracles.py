@@ -22,6 +22,7 @@ from dq.queries import (
     INCR_BATCH_MOD,
     INCR_RECRAWL_MOD,
     INCR_RECRAWL_OFFSET,
+    NEAR_CLUSTER_MIN_JACCARD,
     EMB_DIM,
     EMB_PAIR_MIN_COSINE,
     EMB_SRP_BITS,
@@ -192,6 +193,40 @@ SELECT id_a, id_b, qdot FROM scored
 WHERE qdot > 0
   AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE)
       >= {t2!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    """Exact 3-gram Jaccard for the planted dup pairs (string shingles) —
+    used standalone and nested as the edge source of near_dup_clusters."""
+    return f"""
+WITH base AS ({_PLANTED_BASE}),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + {PLANT_EXACT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET}
+  FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
+              THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
+              ELSE [array_to_string(words, ' ')] END AS s
+  FROM w
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+            THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
 """
 
 
@@ -507,35 +542,27 @@ SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM base GROUP BY text
 """,
-    "ngram_jaccard_pairs": f"""
-WITH base AS ({_PLANTED_BASE}),
-pairs AS (
-  SELECT doc_id AS id_a, doc_id + {PLANT_EXACT_OFFSET} AS id_b
-  FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
-  UNION ALL
-  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET}
-  FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
-), w AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
-  FROM base
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
-              THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
-                   i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
-              ELSE [array_to_string(words, ' ')] END AS s
-  FROM w
+    "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+    # connected components over the verified pair graph — recursive CTE
+    # twin of the engine's iterative min-label propagation (cluster id =
+    # min reachable vertex id; edge set identical because the jaccard
+    # doubles are bit-identical cross-engine)
+    "near_dup_clusters": f"""
+WITH RECURSIVE jp AS ({{jaccard}}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp WHERE jaccard >= {{thresh}}
+  UNION
+  SELECT id_b, id_a FROM jp WHERE jaccard >= {{thresh}}
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
 )
-SELECT p.id_a, p.id_b,
-       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
-            THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s)))
-            ELSE 0.0 END AS jaccard
-FROM pairs p
-JOIN sh a ON a.doc_id = p.id_a
-JOIN sh b ON b.doc_id = p.id_b
-""",
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""".format(jaccard=_ngram_jaccard_sql(), thresh=repr(NEAR_CLUSTER_MIN_JACCARD)),
     "pipeline_keep_sql": _pipeline_keep_sql(),
     # ledger twin on raw text (sha2 is content-injective for the oracle's
     # purposes): batch-2 non-survivor = within-batch rank loser OR content

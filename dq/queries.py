@@ -620,6 +620,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_CLUSTER_MIN_JACCARD = 0.7
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS over the verified pair graph: the
+    planted pairs' exact n-gram Jaccard (already oracled math) filtered at
+    >= 0.7, then connected components via iterative min-label propagation
+    (dq.dedup.connected_components); cluster id = min doc_id of the
+    component. A doc with both an exact and a near copy forms one 3-doc
+    cluster — the tier survivor selection needs (pairs alone would dedup
+    transitively-linked docs as independent edges). DuckDB reproduces the
+    components with a recursive CTE: an ORACLED iterative algorithm."""
+    from dq.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= NEAR_CLUSTER_MIN_JACCARD
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+    )
+
+
 # --------------------------------------------------------- similarity -------
 
 
@@ -816,6 +840,7 @@ QUERIES = {
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "near_dup_clusters": near_dup_clusters,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_pairs_exact": embedding_pairs_exact,

@@ -140,6 +140,28 @@ def test_non_survivor_keys_handles_recrawled_rows(spark):
     assert not flags.loc["https://d.example/p", "any"]
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation finds transitive clusters: a 4-chain collapses
+    to one component (needs >1 round), islands stay separate, and the
+    component id is the deterministic minimum vertex id."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 12-vertex path graph (diameter 11) still converges within the
+    iteration bound and labels every vertex with the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Cross-run ledger: batch-2 copies of batch-1 content are flagged even
     though unique within batch 2; the ledger accumulates idempotently."""
