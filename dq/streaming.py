@@ -118,6 +118,60 @@ def run_stream(
     return writer.start()
 
 
+def run_stream_with_ledger(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    ledger_path: str,
+    config: PipelineConfig | None = None,
+    available_now: bool = True,
+):
+    """Continuous ingest with CROSS-RUN exact dedup: each micro-batch runs
+    the incremental fingerprint-ledger dedup
+    (dq.dedup.incremental_non_survivor_keys) inside ``foreachBatch``, drops
+    the losers, appends kept docs to the output and the batch's NEW
+    fingerprints to the durable ledger.
+
+    Complements ``dropDuplicatesWithinWatermark`` (whose state is bounded
+    by the watermark horizon): the ledger catches re-crawls arbitrarily far
+    apart, and its state lives on storage (32 B/distinct doc, fp-bucketable)
+    instead of in the streaming state store. Replay safety: a crashed batch
+    re-runs under the same batchId; re-appending its fingerprints is
+    harmless because every ledger read distinct-collapses, and the
+    within-batch survivor pick is deterministic. The kept-output parquet
+    append can duplicate a replayed batch's rows — on Iceberg/Delta commit
+    kept+ledger in one transaction keyed by batchId for exactly-once.
+    """
+    import os
+
+    from dq.dedup import incremental_non_survivor_keys
+
+    enriched = streaming_enrich(stream_pages(spark, in_path), config, dedup=False)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        ledger = (
+            spark.read.parquet(ledger_path) if os.path.exists(ledger_path) else None
+        )
+        dups, new_fps = incremental_non_survivor_keys(batch_df, ledger)
+        kept = (
+            batch_df.join(dups, "url", "left_anti")
+            .where(F.col("keep"))
+            .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
+        )
+        kept.write.mode("append").parquet(out_path)
+        new_fps.write.mode("append").parquet(ledger_path)
+
+    writer = (
+        enriched.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def domain_col(url_col="url"):
     """Domain extracted from the url (the natural hot key of a crawl)."""
     return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)

@@ -29,6 +29,54 @@ def test_stream_matches_batch_keep_counts(spark, pages, staged_pages, tmp_path):
     assert [(r.dt_foto, r["count"]) for r in have] == [(r.dt_foto, r["count"]) for r in want]
 
 
+def test_stream_ledger_dedup_across_runs(spark, tmp_path):
+    """Cross-RUN dedup through the durable fingerprint ledger: a second
+    stream run sees a re-crawl of run-1 content under a new url and drops
+    it — beyond the watermark horizon dropDuplicatesWithinWatermark covers.
+    The ledger accumulates exactly one fingerprint per distinct content."""
+    from dq.pipeline import PipelineConfig
+    from dq import heuristics
+
+    permissive = PipelineConfig(
+        target_lang=None,
+        max_perplexity=float("inf"),
+        thresholds={
+            **heuristics.THRESHOLDS,
+            "min_words": 0, "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
+            "max_symbol_ratio": 1.0, "min_stop_ratio": 0.0,
+            "min_distinct_stops": 0, "max_dup_line_ratio": 1.0,
+            "max_ellipsis_line_ratio": 1.0, "min_alpha_word_ratio": 0.0,
+        },
+    )
+    in_dir = str(tmp_path / "in")
+    out, ck, ledger = (str(tmp_path / d) for d in ("out", "ck", "ledger"))
+    alpha = "alpha content prose " * 10
+    beta = "beta content prose " * 10
+
+    def drop(name, rows):
+        df = spark.createDataFrame(rows, "url string, warc_ts string, text string").withColumn(
+            "warc_ts", F.to_timestamp("warc_ts")
+        ).withColumn("html", F.lit(None).cast("binary")).withColumn("lang", F.lit("en"))
+        df.select("url", "warc_ts", "html", "text", "lang").write.parquet(f"{in_dir}/{name}")
+
+    drop("d1", [("u://1", "2024-03-01 01:00:00", alpha),
+                ("u://2", "2024-03-01 02:00:00", beta),
+                ("u://3", "2024-03-01 03:00:00", alpha)])  # within-batch dup
+    # the file source does not recurse into per-drop subdirs: glob them
+    q1 = streaming.run_stream_with_ledger(spark, f"{in_dir}/*", out, ck, ledger, config=permissive)
+    q1.awaitTermination(120)
+    kept1 = {r.url for r in spark.read.parquet(out).collect()}
+    assert kept1 == {"u://1", "u://2"}
+    # run 2: new file with fresh content + a re-crawl of alpha
+    drop("d2", [("u://4", "2024-03-10 01:00:00", "gamma content prose " * 10),
+                ("u://5", "2024-03-10 02:00:00", alpha)])
+    q2 = streaming.run_stream_with_ledger(spark, f"{in_dir}/*", out, ck, ledger, config=permissive)
+    q2.awaitTermination(120)
+    kept2 = {r.url for r in spark.read.parquet(out).collect()}
+    assert kept2 == {"u://1", "u://2", "u://4"}  # the alpha re-crawl dropped
+    assert spark.read.parquet(ledger).distinct().count() == 3  # alpha, beta, gamma
+
+
 def test_stream_resume_no_duplicates(spark, staged_pages, tmp_path):
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     q1 = streaming.run_stream(spark, staged_pages, out, ck)
