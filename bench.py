@@ -359,10 +359,10 @@ neighbor; even the pure-CPU probe swings ±10% between runs, and a run can
 measure >1.0 when the paired level caught a bad window).
 
 **Headline: raw N→4N efficiency {rep['value']:.3f} at N={rep['small']['cpus']}
-(target ≥ 0.8 per BASELINE.json).** The N=2→8 pair sits below this host's
-SMT/bandwidth-collapse knee and measures the ENGINE; the N=4→16 pair
-crosses the knee, so its raw value is capped by the hardware ceiling — its
-normalized value is the engine signal there. Throughput-bound stage is the
+(target ≥ 0.8 per BASELINE.json).** The lowest probe level sits below this
+host's SMT/bandwidth-collapse knee and measures the ENGINE; higher levels
+cross the knee, so their raw values are capped by the hardware ceiling —
+their normalized values are the engine signal. Throughput-bound stage is the
 Arrow-batched pandas UDF pair (langid + perplexity) — embarrassingly
 parallel, no shuffle; the only wide op is the narrow dedup pass (survivor
 window over a (sha2(text), url) projection, ~100 B/doc, uniform, unskewed;

@@ -84,16 +84,20 @@ def main(argv: list[str] | None = None) -> int:
         from dq.schema import DQ_FAILURES
 
         # config file first (C5, ≙ config.global.conf:2-5), CLI --table
-        # entries override; exclusion list is config-driven, defaulting to
-        # the built-in constant when no config is given
+        # entries override; the built-in exclusion constant applies unless
+        # the config EXPLICITLY carries a remediation_excluded key (so a
+        # tables-only config cannot silently disable the protection — an
+        # explicit empty list does, deliberately)
+        from dq.queries import REMEDIATION_EXCLUDED
+
         cfg = json.load(open(args.config)) if args.config else {}
         mapping = dict(cfg.get("tables", {}))
         mapping.update(t.split("=", 1) for t in args.table)
-        excluded = set(cfg.get("remediation_excluded", []))
-        if not args.config:
-            from dq.queries import REMEDIATION_EXCLUDED
-
-            excluded = set(REMEDIATION_EXCLUDED)
+        excluded = (
+            set(cfg["remediation_excluded"])
+            if "remediation_excluded" in cfg
+            else set(REMEDIATION_EXCLUDED)
+        )
         failures = read_path(spark, args.failures_path, default_schema=DQ_FAILURES)
         history = read_path(spark, args.history_path, default_schema=volumetry.DQ_VOLUMETRIA)
         new_hist, new_fail = remediate_volumetria(

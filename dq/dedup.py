@@ -409,6 +409,7 @@ def connected_components(
         edges.select("src").distinct().withColumn("comp", F.col("src"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(comp.select(F.col("src").alias("dst"), "comp"), "dst")
@@ -428,13 +429,22 @@ def connected_components(
         comp = new
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning split clusters would make survivor selection
+        # keep extra copies with no signal — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the graph has components "
+            "deeper than max_iter — raise max_iter, or switch to the "
+            "large-star/small-star alternation for O(log n) rounds"
+        )
     return comp.select(F.col("src").alias("id"), "comp")
 
 
 # ------------------------------------------------- incremental (cross-run) --
 
 
-def incremental_non_survivor_keys(
+def incremental_non_survivor_units(
     df: DataFrame,
     ledger_fps: DataFrame | None,
     text_col: str = "text",
@@ -443,14 +453,18 @@ def incremental_non_survivor_keys(
     """Cross-run exact dedup against a fingerprint LEDGER (the state an
     incremental crawl pipeline carries between runs — CCNet/Dolma-style).
 
-    Returns ``(non_survivor_keys, new_ledger_fps)``:
-    - a key is a non-survivor if it loses the within-batch rank() pick OR
-      its fingerprint already exists in the ledger (content seen in any
-      prior run — the whole batch copy set drops);
-    - ``new_ledger_fps`` is this batch's distinct fingerprints not yet in
-      the ledger; append them to the ledger table after the batch commits
-      (idempotent: re-appending after a crash only adds rows the distinct
-      ledger read collapses).
+    Returns ``(non_survivor_units, new_ledger_fps)``:
+    - a (fingerprint, key) UNIT is a non-survivor if it loses the
+      within-batch rank() pick OR its fingerprint already exists in the
+      ledger (content seen in any prior run — the whole batch copy set
+      drops). Callers drop rows by joining on BOTH columns (recompute the
+      fingerprint in-plan on the wide side), so a key that also carries
+      unique content keeps that row — same unit semantics as
+      :func:`non_survivor_units`;
+    - ``new_ledger_fps`` is this batch's distinct SURVIVING fingerprints
+      not yet in the ledger; append them to the ledger table after the
+      batch commits (idempotent: re-appending after a crash only adds rows
+      the distinct ledger read collapses).
 
     Scale shape: everything is narrow — the ledger is ONE 32-byte hash per
     distinct document ever seen, both joins are fp-keyed (uniform,
@@ -468,9 +482,26 @@ def incremental_non_survivor_keys(
     batch_fps = ranked.where(F.col("_rk") == 1).select("_fp").distinct()
     if ledger_fps is None:
         dups = ranked.where(F.col("_rk") > 1)
-        return dups.select(key_col).distinct(), batch_fps.select(F.col("_fp").alias("fp"))
+        return (
+            dups.select("_fp", key_col).distinct(),
+            batch_fps.select(F.col("_fp").alias("fp")),
+        )
     prior = ledger_fps.select(F.col("fp").alias("_fp")).distinct().withColumn("_seen", F.lit(True))
     j = ranked.join(prior, "_fp", "left")
     dups = j.where((F.col("_rk") > 1) | F.coalesce(F.col("_seen"), F.lit(False)))
     new_fps = batch_fps.join(prior, "_fp", "left_anti")
-    return dups.select(key_col).distinct(), new_fps.select(F.col("_fp").alias("fp"))
+    return dups.select("_fp", key_col).distinct(), new_fps.select(F.col("_fp").alias("fp"))
+
+
+def incremental_non_survivor_keys(
+    df: DataFrame,
+    ledger_fps: DataFrame | None,
+    text_col: str = "text",
+    key_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Key-level view of :func:`incremental_non_survivor_units` (a key is
+    flagged when ANY of its units loses) — for callers whose keys identify
+    content 1:1; row-dropping callers should use the unit form so a key
+    that also carries unique content keeps that row."""
+    units, new_fps = incremental_non_survivor_units(df, ledger_fps, text_col, key_col)
+    return units.select(key_col).distinct(), new_fps

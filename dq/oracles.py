@@ -237,11 +237,12 @@ def _pipeline_keep_sql() -> str:
     (fingerprint, url) unit join: with unique urls, a row is a non-survivor
     iff its url is not the minimal url of its text cluster."""
     from dq.pipeline import DOCS_CONFIG
+    from dq.queries import PAGES_URL_PREFIX, PAGES_URL_SEP
 
     keep = _keep_pred(DOCS_CONFIG.thresholds)
     return f"""
 WITH pages AS (
-  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+  SELECT '{PAGES_URL_PREFIX}' || source || '{PAGES_URL_SEP}' || CAST(doc_id AS VARCHAR) AS url, text
   FROM documents
 ), {_heuristics_cte(from_sql="pages", id_col="url")},
 s AS (

@@ -175,8 +175,7 @@ def enrich(
         out = out.withColumn("text_extracted", extract_text_col(F.col("html"))).withColumn(
             "extraction_ok", F.col("text_extracted").eqNullSafe(F.col("text"))
         )
-    out = heuristics.with_heuristic_metrics(out)
-    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
+    out = _native_stages(out, cfg)
     nlp = nlp_udf(F.col("text"))
     out = (
         out.withColumn("_nlp", nlp)
@@ -190,8 +189,6 @@ def enrich(
         F.col("lang_pred") == F.lit(cfg.target_lang) if cfg.target_lang else F.lit(True),
     )
     out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
-    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
-    out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
     out = _attach_dup_flag(
         out, dedup_scope if dedup_scope is not None else df, dedup_broadcast, broadcast_max_units
     )
@@ -199,6 +196,17 @@ def enrich(
         "keep",
         F.col("keep_heuristic") & F.col("keep_lang") & F.col("keep_ppl") & ~F.col("is_exact_dup"),
     )
+
+
+def _native_stages(out: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The SQL-expressible stage chain shared verbatim by :func:`enrich`
+    and :func:`enrich_sql_only` (one definition — the oracle-checked
+    pipeline_keep_sql wiring IS the wiring the UDF pipeline runs):
+    heuristic metrics + keep_heuristic + scrub + pii flag."""
+    out = heuristics.with_heuristic_metrics(out)
+    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
+    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
+    return out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
 
 
 def enrich_sql_only(
@@ -214,11 +222,7 @@ def enrich_sql_only(
     is ``keep_heuristic AND NOT is_exact_dup``; the UDF tiers (langid,
     perplexity) stack on top in :func:`enrich`."""
     cfg = config or PipelineConfig()
-    out = with_partition(df)
-    out = heuristics.with_heuristic_metrics(out)
-    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
-    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
-    out = out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
+    out = _native_stages(with_partition(df), cfg)
     out = _attach_dup_flag(out, dedup_scope if dedup_scope is not None else df, dedup_broadcast)
     return out.withColumn("keep", F.col("keep_heuristic") & ~F.col("is_exact_dup"))
 

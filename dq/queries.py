@@ -706,6 +706,12 @@ def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- full pipeline ----
 
 
+# url construction for the documents→pages mapping — the oracle twin
+# (dq/oracles._pipeline_keep_sql) builds its SQL from these same constants
+PAGES_URL_PREFIX = "doc://"
+PAGES_URL_SEP = "/"
+
+
 def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the documents table into the input_hint pages shape
     (url, warc_ts, html, text, lang) with a deterministic 4-day crawl
@@ -716,7 +722,9 @@ def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dq.synth import render_html_col
 
     docs = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id"))
+    url = F.concat(
+        F.lit(PAGES_URL_PREFIX), F.col("source"), F.lit(PAGES_URL_SEP), F.col("doc_id")
+    )
     return docs.select(
         url.alias("url"),
         (

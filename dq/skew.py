@@ -123,12 +123,21 @@ def hybrid_hot_cold_join(
     still sorts and shuffles every row; this shape removes the hot rows
     from the exchange entirely — use it when the skew is stable/known
     (crawl domains), AQE as the backstop for the residue.
+
+    Scan cost: the hot-key set is materialized ONCE (localCheckpoint —
+    it is tiny by construction, and without it the detector aggregation
+    would re-run inside each of the two broadcast uses), so the big side
+    is read twice for detection + tagging and once more per slice under
+    the union — cache/checkpoint ``big`` upstream when it is not a cheap
+    columnar scan, or feed a pre-computed key list via ``top_keys``.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
     if how.lower() not in allowed:
         raise ValueError(f"hybrid_hot_cold_join supports {sorted(allowed)}, not {how!r}: "
                          "the broadcast hot subset would mishandle unmatched small rows")
-    hot_keys = F.broadcast(top_keys(big, key, min_fraction).select(key))
+    hot_keys = F.broadcast(
+        top_keys(big, key, min_fraction).select(key).localCheckpoint(eager=True)
+    )
     tagged = big.join(
         hot_keys.withColumn("_hot", F.lit(True)), key, "left"
     )  # broadcast tag join: the big side does not shuffle here

@@ -143,19 +143,27 @@ def run_stream_with_ledger(
     append can duplicate a replayed batch's rows — on Iceberg/Delta commit
     kept+ledger in one transaction keyed by batchId for exactly-once.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
-    from dq.dedup import incremental_non_survivor_keys
+    from dq.dedup import fingerprint_col, incremental_non_survivor_units
 
     enriched = streaming_enrich(stream_pages(spark, in_path), config, dedup=False)
 
     def process_batch(batch_df, batch_id: int) -> None:
-        ledger = (
-            spark.read.parquet(ledger_path) if os.path.exists(ledger_path) else None
-        )
-        dups, new_fps = incremental_non_survivor_keys(batch_df, ledger)
+        # first-batch probe must work on any Hadoop filesystem (s3a/hdfs
+        # paths would always fail a driver-local os.path check and silently
+        # disable the ledger) — let the storage layer answer
+        try:
+            ledger = spark.read.parquet(ledger_path)
+        except AnalysisException:
+            ledger = None
+        units, new_fps = incremental_non_survivor_units(batch_df, ledger)
+        # drop by (fingerprint, url) UNIT, not by url: a url that carries a
+        # duplicate text AND unique text loses only the losing copy — same
+        # semantics as the batch join-back (dq.dedup.non_survivor_units)
         kept = (
-            batch_df.join(dups, "url", "left_anti")
+            batch_df.withColumn("_fp", fingerprint_col(F.col("text")))
+            .join(units, ["_fp", "url"], "left_anti")
             .where(F.col("keep"))
             .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
         )

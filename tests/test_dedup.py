@@ -162,6 +162,18 @@ def test_connected_components_deep_chain_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_iter before fixpoint must fail loudly — silently
+    split clusters would make survivor selection keep extra copies."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Cross-run ledger: batch-2 copies of batch-1 content are flagged even
     though unique within batch 2; the ledger accumulates idempotently."""
