@@ -1,0 +1,196 @@
+"""Line-level corpus operators: FineWeb/CCNet-style global line dedup and
+C4-style line quality filtering.
+
+These are training-data-pipeline additions beyond the reference's operator
+set (same family as dq.dedup / dq.heuristics; reference scope is table-level
+DQ only, ColetaDuplicidade.scala / ColetaQualitativo.scala). Published
+semantics they follow:
+
+- Global line dedup (FineWeb / CCNet "dedup by line over the whole dump"):
+  a line occurring in >= LINE_DUP_MIN_DOCS distinct documents is boilerplate
+  (nav bars, cookie banners, footers) and is removed from EVERY document,
+  preserving the relative order of the surviving lines.
+- C4 line rules (Raffel et al. 2020 §2.2): drop lines with fewer than
+  C4_MIN_WORDS_PER_LINE words, lines not ending in terminal punctuation,
+  and lines containing boilerplate phrases (cookie/javascript/copyright...).
+
+The test corpus is CONSTRUCTED deterministically from the ``documents``
+table (the raw table is one line per doc with no cross-doc repeats):
+header boilerplate + the doc body (+ footer boilerplate for every
+FOOTER_MOD-th doc), all driven by the shared constants below — the DuckDB
+oracles in dq.oracles generate their SQL from the SAME constants, so the
+two engines cannot drift.
+
+Scale shapes (100 TB notes):
+- line_dedup_global's hot-line aggregation shuffles only (xxhash64(line),
+  doc_id) — 16 B/line, never the line text; count_distinct partials
+  combine map-side. The hot SET itself is bounded by corpus_lines /
+  LINE_DUP_MIN_DOCS but in practice is tiny (boilerplate repeats across
+  thousands of docs), so the removal join-back is count-gated exactly like
+  the pipeline's dedup join-back (dq.pipeline._attach_dup_flag): under the
+  budget the hot fingerprints broadcast as a plain array and the removal
+  is a NARROW array filter — the documents never shuffle at all; over
+  budget it falls back to posexplode + anti-join + order-preserving
+  regroup (the one text-width exchange, same as FineWeb's reconstruction).
+- c4_line_filter is pure whole-stage-codegen column work: zero exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+BOILERPLATE_LINES = [
+    "Subscribe to our newsletter for updates",
+    "This site uses cookies to improve your experience.",
+    "Copyright 2024 Example Media. All rights reserved.",
+    "Home | About | Contact",
+]
+FOOTER_MOD = 3          # every 3rd doc also carries a footer boilerplate line
+BODY_PERIOD_MOD = 2     # every 2nd doc's body is terminated with '.'
+LINE_DUP_MIN_DOCS = 3   # a line in >= this many distinct docs is boilerplate
+
+C4_MIN_WORDS_PER_LINE = 4
+C4_TERMINAL_RE = r"[.!?]$"  # Java ∩ re ∩ RE2 ∩ DuckDB dialect subset
+# applied to lower(line); alternation kept lowercase, no lookaround
+C4_BANNED_PHRASES = ["cookie", "javascript", "subscribe", "copyright",
+                     "all rights reserved"]
+C4_BANNED_RE = "|".join(C4_BANNED_PHRASES)
+
+# hot-fingerprint broadcast budget, in distinct boilerplate LINES: 8 B per
+# fingerprint → 1M fps ≈ 8 MB array. Web-scale boilerplate vocabularies are
+# orders of magnitude smaller (each entry repeats across >= min_docs docs).
+HOT_LINES_BROADCAST_MAX = 1_000_000
+
+
+def multiline_docs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, lines) test corpus: header boilerplate + body (+ footer).
+
+    Header rotates through BOILERPLATE_LINES by doc_id; every
+    BODY_PERIOD_MOD-th body gains a terminal '.'; every FOOTER_MOD-th doc
+    gains a second (differently rotated) boilerplate line.
+    """
+    n = len(BOILERPLATE_LINES)
+    boiler = F.array(*[F.lit(s) for s in BOILERPLATE_LINES])
+    did = F.col(id_col)
+    header = F.element_at(boiler, (did % n + 1).cast("int"))
+    body = F.when(did % BODY_PERIOD_MOD == 0,
+                  F.concat(F.col(text_col), F.lit("."))).otherwise(F.col(text_col))
+    footer = F.element_at(boiler, ((did + 1) % n + 1).cast("int"))
+    lines = F.when(did % FOOTER_MOD == 0, F.array(header, body, footer)).otherwise(
+        F.array(header, body)
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), lines.alias("lines"))
+
+
+def _reassemble(kept: Column) -> Column:
+    return F.array_join(kept, "\n")
+
+
+def line_dedup_global(
+    base: DataFrame,
+    min_docs: int = LINE_DUP_MIN_DOCS,
+    mode: str = "auto",
+    broadcast_max_lines: int = HOT_LINES_BROADCAST_MAX,
+) -> DataFrame:
+    """Remove lines occurring in >= ``min_docs`` distinct docs, everywhere.
+
+    ``base`` is (doc_id, lines: array<string>). Returns
+    (doc_id, n_lines, n_dropped, text_clean) with surviving lines joined by
+    '\\n' in original order.
+
+    ``mode``: "broadcast" filters each doc's lines array against the
+    collected hot-fingerprint array (narrow — docs never shuffle);
+    "shuffle" posexplodes and anti-joins on the 8-byte fingerprint, then
+    regroups by doc_id (the scale fallback); "auto" counts the hot set
+    (one extra tiny job over the cached agg) and picks. Both paths are
+    bit-identical; xxhash64 is a join/filter KEY only — grouping by
+    fingerprint ≡ grouping by line, so the DuckDB oracle groups by the
+    line itself and the outputs still match.
+    """
+    lines_exploded = base.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("fp", F.xxhash64("line"))
+    hot = (
+        lines_exploded.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+
+    if mode == "auto":
+        hot = hot.persist()
+        use_broadcast = hot.count() <= broadcast_max_lines
+    else:
+        use_broadcast = mode == "broadcast"
+
+    with_counts = base.withColumn("n_lines", F.size("lines").cast("bigint"))
+    if use_broadcast:
+        # one-row array of hot fps, broadcast: removal is a narrow filter
+        hot_arr = hot.agg(
+            F.coalesce(F.collect_list("fp"), F.array().cast("array<bigint>")).alias("_hot")
+        )
+        kept = F.filter(
+            F.col("lines"), lambda l: ~F.coalesce(
+                F.array_contains(F.col("_hot"), F.xxhash64(l)), F.lit(False)
+            )
+        )
+        return with_counts.crossJoin(F.broadcast(hot_arr)).select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.size(kept)).cast("bigint").alias("n_dropped"),
+            _reassemble(kept).alias("text_clean"),
+        )
+
+    kept_rows = lines_exploded.join(hot.hint("shuffle_hash"), "fp", "left_anti")
+    regrouped = kept_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        _reassemble(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            )
+        ).alias("_clean"),
+    )
+    return (
+        with_counts.select("doc_id", "n_lines")
+        .join(regrouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint").alias("n_dropped"),
+            F.coalesce("_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def _line_words(line: Column) -> Column:
+    return F.filter(F.split(line, r"\s+"), lambda w: w != F.lit(""))
+
+
+def c4_line_filter(base: DataFrame) -> DataFrame:
+    """C4 line rules over (doc_id, lines): per-rule hit counts + the text
+    rebuilt from the lines that pass ALL rules. Pure codegen — no shuffle.
+
+    Rules (each counted independently; keep = none fire):
+    short        < C4_MIN_WORDS_PER_LINE words
+    unterminated no [.!?] line ending
+    banned       boilerplate phrase (C4_BANNED_RE) in lower(line)
+    """
+    lines = F.col("lines")
+    short = lambda l: F.size(_line_words(l)) < C4_MIN_WORDS_PER_LINE  # noqa: E731
+    unterminated = lambda l: ~l.rlike(C4_TERMINAL_RE)  # noqa: E731
+    banned = lambda l: F.lower(l).rlike(C4_BANNED_RE)  # noqa: E731
+    kept = F.filter(lines, lambda l: ~short(l) & ~unterminated(l) & ~banned(l))
+    return base.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, short)).cast("bigint").alias("n_short"),
+        F.size(F.filter(lines, unterminated)).cast("bigint").alias("n_unterminated"),
+        F.size(F.filter(lines, banned)).cast("bigint").alias("n_banned"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        _reassemble(kept).alias("text_c4"),
+    )

@@ -83,6 +83,121 @@ def _scrub_chain(col: str) -> str:
     return out
 
 
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _boiler_case(expr: str) -> str:
+    """CASE over ``expr`` (a 0..n-1 rotation) -> BOILERPLATE_LINES[i]."""
+    from dq.lines import BOILERPLATE_LINES
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{_sq(s)}'" for i, s in enumerate(BOILERPLATE_LINES)
+    )
+    return f"CASE {expr} {whens} END"
+
+
+def _multiline_pieces() -> tuple[str, str, str]:
+    """(header, body, footer) SQL exprs mirroring dq.lines.multiline_docs."""
+    from dq.lines import BODY_PERIOD_MOD, BOILERPLATE_LINES
+
+    n = len(BOILERPLATE_LINES)
+    header = _boiler_case(f"doc_id % {n}")
+    body = f"CASE WHEN doc_id % {BODY_PERIOD_MOD} = 0 THEN text || '.' ELSE text END"
+    footer = _boiler_case(f"(doc_id + 1) % {n}")
+    return header, body, footer
+
+
+def _line_dedup_sql() -> str:
+    from dq.lines import FOOTER_MOD, LINE_DUP_MIN_DOCS
+
+    header, body, footer = _multiline_pieces()
+    n_lines = f"CASE WHEN d.doc_id % {FOOTER_MOD} = 0 THEN 3 ELSE 2 END"
+    return f"""
+WITH l AS (
+  SELECT doc_id, 1 AS pos, {header} AS line FROM documents
+  UNION ALL SELECT doc_id, 2 AS pos, {body} AS line FROM documents
+  UNION ALL SELECT doc_id, 3 AS pos, {footer} AS line FROM documents
+            WHERE doc_id % {FOOTER_MOD} = 0
+), hot AS (
+  SELECT line FROM l GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}
+), kept AS (
+  SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM hot)
+), re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST({n_lines} AS BIGINT) AS n_lines,
+       CAST({n_lines} - COALESCE(re.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(re.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+"""
+
+
+def _c4_line_filter_sql() -> str:
+    from dq.lines import (
+        C4_BANNED_RE,
+        C4_MIN_WORDS_PER_LINE,
+        C4_TERMINAL_RE,
+        FOOTER_MOD,
+    )
+
+    header, body, footer = _multiline_pieces()
+    short = (
+        "len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> ''))"
+        f" < {C4_MIN_WORDS_PER_LINE}"
+    )
+    unterminated = f"NOT regexp_matches(l, '{_sq(C4_TERMINAL_RE)}')"
+    banned = f"regexp_matches(lower(l), '{_sq(C4_BANNED_RE)}')"
+    # keep = none of the three rules fire
+    kept = (
+        f"list_filter(lines, l -> NOT ({short})"
+        f" AND regexp_matches(l, '{_sq(C4_TERMINAL_RE)}') AND NOT ({banned}))"
+    )
+    return f"""
+WITH ml AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {FOOTER_MOD} = 0
+              THEN [{header}, {body}, {footer}]
+              ELSE [{header}, {body}] END AS lines
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(lines, l -> {short})) AS BIGINT) AS n_short,
+  CAST(len(list_filter(lines, l -> {unterminated})) AS BIGINT) AS n_unterminated,
+  CAST(len(list_filter(lines, l -> {banned})) AS BIGINT) AS n_banned,
+  CAST(len({kept}) AS BIGINT) AS n_kept,
+  COALESCE(array_to_string({kept}, chr(10)), '') AS text_c4
+FROM ml
+"""
+
+
+def _tfidf_sql() -> str:
+    from dq.textstats import TFIDF_TOP_K
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), d AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term
+), r AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INT) AS term_rank
+  FROM t JOIN d USING (term)
+)
+SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= {TFIDF_TOP_K}
+"""
+
+
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
@@ -537,6 +652,9 @@ SELECT doc_id,
        sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
 FROM documents
 """,
+    "tfidf_top_terms": _tfidf_sql(),
+    "line_dedup_global": _line_dedup_sql(),
+    "c4_line_filter": _c4_line_filter_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,

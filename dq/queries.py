@@ -527,6 +527,36 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_metrics(docs)
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k salient terms, integer-deterministic TF-IDF ordering
+    (tf DESC, df ASC, term ASC — rarity ranking without floats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs)
+
+
+def line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/CCNet-style corpus-level line dedup over the constructed
+    multi-line corpus (dq.lines.multiline_docs): lines present in >=
+    LINE_DUP_MIN_DOCS distinct docs (the planted boilerplate) are removed
+    from every doc; surviving lines keep their order. Count-gated
+    broadcast: at test scale the hot set broadcasts and the docs never
+    shuffle; the anti-join fallback covers adversarial corpora."""
+    from dq import lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return lines.line_dedup_global(lines.multiline_docs(docs))
+
+
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line rules (min words / terminal punctuation / banned phrases)
+    over the same multi-line corpus — per-rule hit counts + rebuilt text.
+    Pure whole-stage-codegen column work, zero exchanges."""
+    from dq import lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return lines.c4_line_filter(lines.multiline_docs(docs))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: sha256 over whitespace-normalized lowercase text
     (cross-engine twin of the xxhash64 scale path in textstats)."""
@@ -844,6 +874,9 @@ QUERIES = {
     "lang_hint_sql": lang_hint_sql,
     "repetition_metrics": repetition_metrics,
     "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
+    "line_dedup_global": line_dedup_global,
+    "c4_line_filter": c4_line_filter,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,

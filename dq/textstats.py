@@ -108,6 +108,42 @@ def word_ngrams_col(words: Column, n: int) -> Column:
     )
 
 
+TFIDF_TOP_K = 3  # dq.oracles generates the twin SQL from this
+
+
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = TFIDF_TOP_K):
+    """Per-doc top-k salient terms by (tf DESC, df ASC, term ASC) — the
+    integer-deterministic TF-IDF ordering (ln(N/df) is monotone-decreasing
+    in df for fixed N, so ranking by tf then rarity needs NO floats: the
+    cross-engine hash check stays exact).
+
+    Shape: one explode → (doc, term) hash-agg (uniform keys, map-side
+    partials) → term-level df agg over those rows (vocabulary-sized, no
+    second scan of the text) → join tf rows with the df table on term
+    (AQE broadcasts the vocabulary side when it fits) → per-doc top-k
+    window (doc_id keys are uniform — no reducer skew). Term strings are
+    short tokens; the text column never enters an exchange.
+    """
+    words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    terms = df.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
+        "_id", F.explode("_w").alias("term")
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("term_rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "df", "term_rank")
+    )
+
+
 def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style n-gram repetition: per doc, the fraction of bigrams /
     trigrams taken by the single most frequent gram (high values flag

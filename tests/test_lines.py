@@ -1,0 +1,105 @@
+"""Line-level operators: global line dedup (FineWeb-style), C4 line rules,
+TF-IDF top terms — semantics on planted corpora + both dedup paths equal."""
+
+from pyspark.sql import functions as F
+
+from dq import lines
+from dq.textstats import tfidf_top_terms
+
+BOILER = "every doc has this nav bar"
+
+
+def _corpus(spark):
+    # docs 1..4 share BOILER (4 >= min_docs); unique bodies; doc 4 is
+    # boilerplate-only; body order around the boilerplate must survive
+    rows = [
+        (1, [BOILER, "alpha body one", "omega tail one"]),
+        (2, ["beta body two", BOILER]),
+        (3, ["gamma body three", BOILER, "gamma tail three"]),
+        (4, [BOILER]),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+
+
+def test_line_dedup_semantics_and_order(spark):
+    out = {
+        r.doc_id: r
+        for r in lines.line_dedup_global(_corpus(spark), min_docs=3).collect()
+    }
+    assert out[1].text_clean == "alpha body one\nomega tail one"
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 1)
+    assert out[2].text_clean == "beta body two"
+    assert out[3].text_clean == "gamma body three\ngamma tail three"
+    assert out[4].text_clean == ""  # fully-boilerplate doc survives as a row
+    assert (out[4].n_lines, out[4].n_dropped) == (1, 1)
+
+
+def test_line_dedup_paths_identical(spark):
+    base = _corpus(spark)
+    rows = lambda m: sorted(  # noqa: E731
+        lines.line_dedup_global(base, min_docs=3, mode=m).collect()
+    )
+    assert rows("broadcast") == rows("shuffle")
+
+
+def test_line_dedup_below_threshold_keeps_all(spark):
+    out = lines.line_dedup_global(_corpus(spark), min_docs=5).collect()
+    assert all(r.n_dropped == 0 for r in out)
+    assert BOILER in {r.text_clean for r in out}  # doc 4 kept verbatim
+
+
+def test_c4_line_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    "a good long sentence that terminates properly.",  # kept
+                    "too short.",  # short (2 words)
+                    "this line has plenty of words but no terminal",  # unterminated
+                    "we use cookies on this site to track you.",  # banned
+                ],
+            )
+        ],
+        "doc_id bigint, lines array<string>",
+    )
+    r = lines.c4_line_filter(df).collect()[0]
+    assert (r.n_lines, r.n_short, r.n_unterminated, r.n_banned, r.n_kept) == (
+        4, 1, 1, 1, 1,
+    )
+    assert r.text_c4 == "a good long sentence that terminates properly."
+
+
+def test_multiline_docs_construction(spark):
+    docs = spark.createDataFrame([(0, "body zero"), (1, "body one")],
+                                 "doc_id bigint, text string")
+    out = {r.doc_id: r.lines for r in lines.multiline_docs(docs).collect()}
+    # doc 0: header idx 0, body gets '.', footer idx 1 (0 % FOOTER_MOD == 0)
+    assert out[0] == [
+        lines.BOILERPLATE_LINES[0], "body zero.", lines.BOILERPLATE_LINES[1]
+    ]
+    # doc 1: header idx 1, no '.', no footer
+    assert out[1] == [lines.BOILERPLATE_LINES[1], "body one"]
+
+
+def test_tfidf_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common zebra"),   # tf(rare)=2 beats all
+            (2, "common common apple"),      # tf tie apple/... df breaks
+            (3, "common apple"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    top = {
+        (r.doc_id, r.term_rank): (r.term, r.tf, r.df) for r in out
+    }
+    assert top[(1, 1)] == ("rare", 2, 1)
+    # doc 1 rank 2: common/zebra both tf=1 -> rarer zebra (df 1 < df 3) wins
+    assert top[(1, 2)] == ("zebra", 1, 1)
+    # doc 2: common tf=2 first; then apple (tf 1)
+    assert top[(2, 1)] == ("common", 2, 3)
+    assert top[(2, 2)] == ("apple", 1, 2)
+    # doc 3: tf tie common/apple -> apple df=2 < common df=3
+    assert top[(3, 1)] == ("apple", 1, 2)

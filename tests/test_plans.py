@@ -164,6 +164,37 @@ def test_exact_dedup_survivors_narrow_exchange(spark):
         assert "text#" not in inp.group(2), inp.group(2)
 
 
+def test_c4_line_filter_no_exchange(spark):
+    """C4 line rules are pure column work: the whole query must plan with
+    ZERO exchanges (scan -> project, fully codegen)."""
+    from dq.queries import c4_line_filter
+
+    plan = plan_of(c4_line_filter(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_line_dedup_hot_agg_exchange_is_narrow(spark):
+    """line_dedup_global's only shuffle (hot-line counting) carries the
+    8-byte fingerprint + doc_id — never the line text; in broadcast mode
+    the documents themselves never shuffle (dq/lines.py scale notes)."""
+    import re
+
+    from dq import lines
+    from dq.queries import _t
+
+    base = lines.multiline_docs(_t(spark, SF, "documents"))
+    plan = plan_of(lines.line_dedup_global(base, mode="broadcast"))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        if "hashpartitioning" in node:
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp, node
+            assert int(inp.group(1)) <= 2, node
+            assert "line#" not in inp.group(2) and "lines#" not in inp.group(2), node
+
+
 def test_partition_pruning_on_partitioned_output(spark, pages, tmp_path):
     """kept/ is written partitioned by dt_foto; an equality predicate must
     prune at the directory level (PartitionFilters, not a post-filter)."""
