@@ -198,6 +198,126 @@ SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= {TFIDF_TOP_K}
 """
 
 
+def _url_expr() -> str:
+    """SQL expr mirroring dq.urlstats.url_docs' constructed url."""
+    from dq.urlstats import (
+        BANNED_MOD,
+        BANNED_PATH_TOKENS,
+        COLD_DOMAINS,
+        HOT_DOMAIN,
+        HOT_MOD,
+        HOT_REM,
+        QUERY_MOD,
+    )
+
+    cold_whens = " ".join(
+        f"WHEN {i} THEN '{_sq(d)}'" for i, d in enumerate(COLD_DOMAINS)
+    )
+    domain = (
+        f"CASE WHEN doc_id % {HOT_MOD} < {HOT_REM} THEN '{_sq(HOT_DOMAIN)}' "
+        f"ELSE CASE doc_id % {len(COLD_DOMAINS)} {cold_whens} END END"
+    )
+    tok_whens = " ".join(
+        f"WHEN {i} THEN '{_sq(t)}'" for i, t in enumerate(BANNED_PATH_TOKENS)
+    )
+    seg = (
+        f"CASE WHEN doc_id % {BANNED_MOD} = 0 "
+        f"THEN (CASE doc_id % {len(BANNED_PATH_TOKENS)} {tok_whens} END) || '/' "
+        f"ELSE '' END"
+    )
+    query = f"CASE WHEN doc_id % {QUERY_MOD} = 0 THEN '?utm_source=feed' ELSE '' END"
+    return (
+        f"'https://' || {domain} || '/' || {seg} || 'item-' || "
+        f"CAST(doc_id AS VARCHAR) || {query}"
+    )
+
+
+def _domain_hot_stats_sql() -> str:
+    from dq.urlstats import DOMAIN_RE, HOT_SHARE_PCT
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_url_expr()} AS url, lang FROM documents
+), per AS (
+  SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM u GROUP BY 1
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+SELECT domain, n_docs, n_langs,
+       CAST(floor(n_docs * 10000 / total) AS BIGINT) AS share_bp,
+       (n_docs * 100 >= {HOT_SHARE_PCT} * total) AS is_hot
+FROM per, t
+"""
+
+
+def _url_rules_filter_sql() -> str:
+    from dq.urlstats import BANNED_PATH_TOKENS, BLOCKED_DOMAINS, DOMAIN_RE
+
+    blocked_list = ", ".join(f"'{_sq(d)}'" for d in BLOCKED_DOMAINS)
+    banned_re = "/(" + "|".join(BANNED_PATH_TOKENS) + ")/"
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_url_expr()} AS url FROM documents
+), f AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+         regexp_replace(url, '{DOMAIN_RE}', '', 'g') AS path
+  FROM u
+)
+SELECT doc_id, url, domain,
+       (domain IN ({blocked_list})) AS is_blocked_domain,
+       regexp_matches(path, '{_sq(banned_re)}') AS has_banned_path,
+       regexp_matches(url, '\\?') AS has_query,
+       (NOT domain IN ({blocked_list})
+        AND NOT regexp_matches(path, '{_sq(banned_re)}')
+        AND NOT regexp_matches(url, '\\?')) AS keep
+FROM f
+"""
+
+
+def _contamination_sql() -> str:
+    from dq.contamination import BENCH_DOC_MOD, CONTAM_FLAG_BP, CONTAM_NGRAM_N
+
+    n = CONTAM_NGRAM_N
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(words) >= {n} THEN "
+        f"list_transform(range(1, len(words) - {n} + 2), i -> {gram}) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM w
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_DOC_MOD} = 0
+), ev AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, grams
+  FROM g WHERE doc_id % {BENCH_DOC_MOD} <> 0
+), hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM ev) e
+  JOIN bench USING (gram)
+  GROUP BY e.doc_id
+), scored AS (
+  SELECT ev.doc_id, ev.n_grams, COALESCE(hits.n_hits, 0) AS n_hits
+  FROM ev LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, n_grams, n_hits,
+       CAST(CASE WHEN n_grams > 0
+                 THEN floor(n_hits * 10000 / n_grams) ELSE 0 END AS BIGINT)
+         AS contamination_bp,
+       (CASE WHEN n_grams > 0
+             THEN floor(n_hits * 10000 / n_grams) ELSE 0 END)
+         >= {CONTAM_FLAG_BP} AS is_contaminated
+FROM scored
+"""
+
+
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
@@ -655,6 +775,9 @@ FROM documents
     "tfidf_top_terms": _tfidf_sql(),
     "line_dedup_global": _line_dedup_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
+    "domain_hot_stats": _domain_hot_stats_sql(),
+    "url_rules_filter": _url_rules_filter_sql(),
+    "contamination_scores": _contamination_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,

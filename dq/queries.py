@@ -557,6 +557,38 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.c4_line_filter(lines.multiline_docs(docs))
 
 
+def domain_hot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-domain (skew-key) detection over the constructed URL corpus
+    (dq.urlstats.url_docs): per-domain doc share in exact basis points +
+    the is_hot flag that feeds dq.skew's salting decisions. Shuffles only
+    (domain, count partials); total is a 1-row broadcast."""
+    from dq import urlstats
+
+    docs = _t(spark, sf_dir, "documents")
+    return urlstats.domain_stats(urlstats.url_docs(docs))
+
+
+def url_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb URL rules (blocklisted domain / banned path token /
+    tracking query string) over the same URL corpus — per-rule flags +
+    keep decision. Pure codegen, zero exchanges (plan-asserted)."""
+    from dq import urlstats
+
+    docs = _t(spark, sf_dir, "documents")
+    return urlstats.url_blocklist_filter(urlstats.url_docs(docs))
+
+
+def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detector: every BENCH_DOC_MOD-th doc forms
+    the benchmark suite; remaining docs score the fraction of their 5-grams
+    found in it (GPT-3/PaLM decontamination semantics). Benchmark gram
+    fingerprints broadcast; corpus text never shuffles."""
+    from dq import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.contamination_scores(docs)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: sha256 over whitespace-normalized lowercase text
     (cross-engine twin of the xxhash64 scale path in textstats)."""
@@ -877,6 +909,9 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "line_dedup_global": line_dedup_global,
     "c4_line_filter": c4_line_filter,
+    "domain_hot_stats": domain_hot_stats,
+    "url_rules_filter": url_rules_filter,
+    "contamination_scores": contamination_scores,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,

@@ -1,0 +1,135 @@
+"""URL/domain analytics: hot-domain detection and URL-rule filtering.
+
+Training-data-pipeline additions beyond the reference's table-level DQ scope
+(same family as dq.skew's hot-key gates; the north-star pipeline calls out
+"salted keys for hot domains" — these operators are the *detection* side that
+feeds dq.skew's mitigation side). Published semantics they follow:
+
+- Hot-domain detection (CCNet / RefinedWeb crawl analytics): a domain holding
+  >= HOT_SHARE_PCT % of the corpus is a skew key — exactly the shape that
+  melts a url/domain-partitioned shuffle and the input to salting decisions.
+- URL rules (C4 §2.2 / RefinedWeb §3.1 URL filtering): drop documents from
+  blocklisted domains, with flagged path tokens (ads/tracker/signup), or
+  carrying tracking query strings.
+
+The driver-gate tables carry no url column, so the test corpus is
+CONSTRUCTED deterministically from ``documents`` (url_docs below) with a
+planted ~40% hot domain, rotating cold domains, and planted blocked/banned/
+query URLs — all driven by the shared constants; dq.oracles generates the
+DuckDB twins from the SAME constants so the engines cannot drift.
+
+Scale shapes (100 TB notes):
+- domain_stats shuffles only (domain, partial counts) — the domain
+  cardinality of a web crawl is ~10^7-10^8, far under the row count, and
+  count partials combine map-side. The total-row count used for the share
+  test is a 1-row broadcast cross join, not a second scan wide path.
+- url_blocklist_filter is pure whole-stage-codegen column work over the url
+  string: zero exchanges (plan-asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+HOT_DOMAIN = "news.hot-example.com"
+COLD_DOMAINS = [
+    "blog.alpha.example",
+    "docs.beta.example",
+    "shop.gamma.example",
+    "forum.delta.example",
+    "wiki.epsilon.example",
+]
+HOT_MOD = 10
+HOT_REM = 4          # doc_id % HOT_MOD < HOT_REM -> hot domain (~40% of docs)
+
+BLOCKED_DOMAINS = ["shop.gamma.example"]
+BANNED_PATH_TOKENS = ["ads", "tracker", "signup"]
+BANNED_MOD = 5       # every BANNED_MOD-th doc gets a banned path segment
+QUERY_MOD = 4        # every QUERY_MOD-th doc's url carries ?utm_source=feed
+
+HOT_SHARE_PCT = 10   # a domain with >= this % of docs is a hot (skew) key
+
+# Java ∩ Python-re ∩ RE2 ∩ DuckDB dialect subset (no lookaround)
+DOMAIN_RE = r"https?://([^/?#]+)"
+QUERY_FLAG_RE = r"\?"
+
+
+def url_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, lang) test corpus with planted skew + rule hits.
+
+    domain: HOT_DOMAIN for doc_id % HOT_MOD < HOT_REM, else rotates through
+    COLD_DOMAINS; every BANNED_MOD-th doc gains a banned path token
+    (rotating); every QUERY_MOD-th doc gains a tracking query string.
+    """
+    did = F.col(id_col)
+    cold = F.array(*[F.lit(d) for d in COLD_DOMAINS])
+    domain = F.when(did % HOT_MOD < HOT_REM, F.lit(HOT_DOMAIN)).otherwise(
+        F.element_at(cold, (did % len(COLD_DOMAINS) + 1).cast("int"))
+    )
+    banned = F.array(*[F.lit(t) for t in BANNED_PATH_TOKENS])
+    seg = F.when(
+        did % BANNED_MOD == 0,
+        F.concat(F.element_at(banned, (did % len(BANNED_PATH_TOKENS) + 1).cast("int")),
+                 F.lit("/")),
+    ).otherwise(F.lit(""))
+    query = F.when(did % QUERY_MOD == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), domain, F.lit("/"), seg,
+                   F.lit("item-"), did.cast("string"), query)
+    return docs.select(F.col(id_col).alias("doc_id"), url.alias("url"), "lang")
+
+
+def domain_col(url: Column | None = None) -> Column:
+    return F.regexp_extract(url if url is not None else F.col("url"), DOMAIN_RE, 1)
+
+
+def domain_stats(base: DataFrame, hot_share_pct: int = HOT_SHARE_PCT) -> DataFrame:
+    """Per-domain corpus share + hot-key flag.
+
+    (domain, n_docs, n_langs, share_bp, is_hot): share_bp is exact-integer
+    basis points floor(10000 * n_docs / total); is_hot compares integers
+    (n_docs * 100 >= pct * total) — no float crosses the engine boundary
+    except the final derived columns, which divide exact integers.
+    """
+    per = base.groupBy(domain_col().alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_langs",
+            F.floor(F.col("n_docs") * 10000 / F.col("_total")).cast("bigint").alias("share_bp"),
+            (F.col("n_docs") * 100 >= F.lit(hot_share_pct) * F.col("_total")).alias("is_hot"),
+        )
+    )
+
+
+def url_blocklist_filter(base: DataFrame) -> DataFrame:
+    """C4/RefinedWeb URL rules: per-doc rule flags + keep decision.
+
+    blocked  domain in BLOCKED_DOMAINS
+    banned   a BANNED_PATH_TOKENS segment in the path
+    tracked  url carries a query string
+    keep = none fire. Pure codegen — no shuffle (plan-asserted).
+    """
+    dom = domain_col()
+    path = F.regexp_replace(F.col("url"), DOMAIN_RE, "")
+    blocked = dom.isin(BLOCKED_DOMAINS)
+    banned_re = "/(" + "|".join(BANNED_PATH_TOKENS) + ")/"
+    banned = path.rlike(banned_re)
+    tracked = F.col("url").rlike(QUERY_FLAG_RE)
+    return base.select(
+        "doc_id",
+        "url",
+        dom.alias("domain"),
+        blocked.alias("is_blocked_domain"),
+        banned.alias("has_banned_path"),
+        tracked.alias("has_query"),
+        (~blocked & ~banned & ~tracked).alias("keep"),
+    )

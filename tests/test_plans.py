@@ -195,6 +195,33 @@ def test_line_dedup_hot_agg_exchange_is_narrow(spark):
             assert "line#" not in inp.group(2) and "lines#" not in inp.group(2), node
 
 
+def test_url_rules_filter_no_exchange(spark):
+    """URL rules are pure column work over the url string: zero exchanges."""
+    from dq.queries import url_rules_filter
+
+    plan = plan_of(url_rules_filter(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_no_text_in_exchange(spark):
+    """Contamination scoring exchanges carry only (doc_id, fp/count) —
+    the document text never shuffles; the benchmark side is broadcast."""
+    import re
+
+    from dq.queries import contamination_scores
+
+    plan = plan_of(contamination_scores(spark, SF))
+    assert "BroadcastExchange" in plan, plan  # bench fp set broadcast
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        if "hashpartitioning" in node:
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp, node
+            assert "text#" not in inp.group(2) and "gram#" not in inp.group(2), node
+
+
 def test_partition_pruning_on_partitioned_output(spark, pages, tmp_path):
     """kept/ is written partitioned by dt_foto; an equality predicate must
     prune at the directory level (PartitionFilters, not a post-filter)."""

@@ -1,0 +1,89 @@
+"""URL/domain analytics + benchmark-contamination semantics on planted data."""
+
+from pyspark.sql import functions as F
+
+from dq import contamination, urlstats
+
+
+def test_url_docs_construction(spark):
+    docs = spark.createDataFrame(
+        [(0, "en"), (3, "pt"), (5, "en"), (8, "de")], "doc_id bigint, lang string"
+    )
+    out = {r.doc_id: r.url for r in urlstats.url_docs(docs).collect()}
+    # doc 0: hot (0 % 10 < 4), banned seg (0 % 5 == 0, token idx 0), query (0 % 4 == 0)
+    assert out[0] == f"https://{urlstats.HOT_DOMAIN}/ads/item-0?utm_source=feed"
+    # doc 3: hot (3 < 4), no seg, no query
+    assert out[3] == f"https://{urlstats.HOT_DOMAIN}/item-3"
+    # doc 5: cold idx 0, banned seg (5 % 5 == 0, token idx 5%3=2)
+    assert out[5] == f"https://{urlstats.COLD_DOMAINS[0]}/signup/item-5"
+    # doc 8: cold idx 3, query (8 % 4 == 0)
+    assert out[8] == f"https://{urlstats.COLD_DOMAINS[3]}/item-8?utm_source=feed"
+
+
+def test_domain_stats_hot_flag_and_share(spark):
+    # 6 docs on hot.example, 2 on a.example, 2 on b.example -> hot >= 10%
+    rows = [(i, f"https://hot.example/p{i}", "en") for i in range(6)]
+    rows += [(10, "https://a.example/x", "en"), (11, "https://a.example/y", "pt")]
+    rows += [(12, "https://b.example/x", "en"), (13, "https://b.example/y", "en")]
+    base = spark.createDataFrame(rows, "doc_id bigint, url string, lang string")
+    out = {r.domain: r for r in urlstats.domain_stats(base, hot_share_pct=50).collect()}
+    assert out["hot.example"].n_docs == 6
+    assert out["hot.example"].is_hot  # 6*100 >= 50*10
+    assert not out["a.example"].is_hot
+    assert out["hot.example"].share_bp == 6000
+    assert out["a.example"].n_langs == 2
+
+
+def test_url_blocklist_rules(spark):
+    blocked = urlstats.BLOCKED_DOMAINS[0]
+    base = spark.createDataFrame(
+        [
+            (1, f"https://{blocked}/item-1"),          # blocked domain
+            (2, "https://ok.example/ads/item-2"),      # banned path
+            (3, "https://ok.example/item-3?utm=x"),    # query string
+            (4, "https://ok.example/item-4"),          # clean
+            (5, "https://ok.example/adsitem-5"),       # 'ads' NOT a segment
+        ],
+        "doc_id bigint, url string",
+    )
+    out = {r.doc_id: r for r in urlstats.url_blocklist_filter(base).collect()}
+    assert out[1].is_blocked_domain and not out[1].keep
+    assert out[2].has_banned_path and not out[2].keep
+    assert out[3].has_query and not out[3].keep
+    assert out[4].keep
+    assert out[5].keep and not out[5].has_banned_path
+
+
+def test_contamination_planted_overlap(spark):
+    m = contamination.BENCH_DOC_MOD
+    bench_text = "alpha beta gamma delta epsilon zeta eta"  # doc 0 -> benchmark
+    rows = [
+        (0, bench_text),
+        # doc 1: contains the benchmark's first 5-gram once, 3 grams total
+        (1, "alpha beta gamma delta epsilon other other"),
+        # doc 2: disjoint vocabulary
+        (2, "one two three four five six seven"),
+        # doc 3: too short to form a 5-gram
+        (3, "tiny doc"),
+        # doc m: also benchmark (excluded from output)
+        (m, "unrelated benchmark text present here today now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in contamination.contamination_scores(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_grams == 3 and out[1].n_hits == 1
+    assert out[1].contamination_bp == 3333
+    assert out[2].n_hits == 0 and not out[2].is_contaminated
+    assert out[3].n_grams == 0 and out[3].contamination_bp == 0
+    assert out[1].is_contaminated  # 3333 >= 2000
+
+
+def test_contamination_full_copy_flagged(spark):
+    m = contamination.BENCH_DOC_MOD
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id bigint, text string"
+    )
+    assert m != 1
+    r = contamination.contamination_scores(docs).collect()[0]
+    assert r.doc_id == 1 and r.contamination_bp == 10000 and r.is_contaminated
