@@ -48,6 +48,11 @@ HEADLINE = [
     "repetition_metrics",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "line_dedup_global",         # round-3 line/corpus tier
+    "c4_line_filter",
+    "tfidf_top_terms",
+    "contamination_scores",
+    "domain_hot_stats",
 ]
 
 

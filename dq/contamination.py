@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dq.textstats import word_ngrams_col
+from dq.dedup import tokens_col
 
 # ---- shared constants (dq.oracles generates SQL from these) ----------------
 
@@ -41,13 +41,33 @@ CONTAM_NGRAM_N = 5     # overlap unit: 5-word grams (GPT-3 used 13-gram; the
 CONTAM_FLAG_BP = 2000  # flag a doc when >= 20% of its grams are benchmark
 
 
-def _grams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, grams) with the words array materialized as a real column
-    first — word_ngrams_col references it O(n) times (see its docstring)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda w: w != F.lit(""))
-    return docs.select(F.col(id_col).alias("doc_id"), words.alias("_w")).select(
-        "doc_id", word_ngrams_col(F.col("_w"), CONTAM_NGRAM_N).alias("grams")
+def _gram_fps(docs: DataFrame, id_col: str, text_col: str,
+              n: int = CONTAM_NGRAM_N) -> DataFrame:
+    """(doc_id, n_grams, _fps): int64 gram fingerprints built INCREMENTALLY
+    (token hashes once, then xxhash64(prev, next) per zip_with level — the
+    dq.dedup.hashed_shingles_col shape). The string-gram formulation
+    (word_ngrams_col under explode) duplicates the words subtree per
+    zip_with level once CollapseProject inlines the staging: at n=5 the
+    optimized plan held 47 copies of split() and the query cost 6 s at
+    sf0.1 — measured; this shape holds one. n_grams is arithmetic
+    (len - n + 1), not a second evaluation of the gram array. The scheme
+    is a membership KEY only and is applied identically to both sides, so
+    the string-joining DuckDB oracle still matches.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_w")
+    ).select("doc_id", F.transform("_w", lambda t: F.xxhash64(t)).alias("_h"))
+    h = F.col("_h")
+    g = h
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(h, j + 1, F.size(h)), lambda a, b: F.xxhash64(a, b))
+    fps = F.when(F.size(h) >= n, F.slice(g, 1, F.size(h) - n + 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return staged.select(
+        "doc_id",
+        F.greatest(F.size(h) - (n - 1), F.lit(0)).cast("bigint").alias("n_grams"),
+        fps.alias("_fps"),
     )
 
 
@@ -55,10 +75,17 @@ def benchmark_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Distinct 8-byte gram fingerprints of the benchmark slice."""
     bench = docs.where(F.col(id_col) % BENCH_DOC_MOD == 0)
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into a size(arr) > 0 filter below the Generate, and pushing
+    # it through the staging Projects inlines the whole gram tree (22
+    # split() copies in the optimized plan, ~2.4x wall on this query —
+    # measured). The outer variant infers nothing; the null rows from
+    # empty arrays are dropped by the cheap post-Generate filter here and
+    # by the inner fp join on the corpus side.
     return (
-        _grams(bench, id_col, text_col)
-        .select(F.explode("grams").alias("gram"))
-        .select(F.xxhash64("gram").alias("fp"))
+        _gram_fps(bench, id_col, text_col)
+        .select(F.explode_outer("_fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
         .distinct()
     )
 
@@ -79,12 +106,9 @@ def contamination_scores(
     """
     bench = benchmark_fingerprints(docs, id_col, text_col)
     eval_docs = docs.where(F.col(id_col) % BENCH_DOC_MOD != 0)
-    per_doc = _grams(eval_docs, id_col, text_col).select(
-        "doc_id", F.size("grams").cast("bigint").alias("n_grams"), "grams"
-    )
+    per_doc = _gram_fps(eval_docs, id_col, text_col)
     hits = (
-        per_doc.select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", F.xxhash64("gram").alias("fp"))
+        per_doc.select("doc_id", F.explode_outer("_fps").alias("fp"))
         .join(F.broadcast(bench), "fp")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_n_hits"))
@@ -94,7 +118,7 @@ def contamination_scores(
         F.floor(F.col("n_hits") * 10000 / F.col("n_grams")),
     ).otherwise(F.lit(0)).cast("bigint")
     return (
-        per_doc.drop("grams")
+        per_doc.drop("_fps")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",

@@ -189,9 +189,16 @@ def minhash_signatures(
     nested-array expression forces Catalyst to re-evaluate the shingle
     construction k times per row and blows up codegen compile time).
     """
+    # explode_outer, NOT explode: InferFiltersFromGenerate rewrites a plain
+    # explode into a size(_sh) > 0 filter below the Generate and pushes it
+    # through the shingle projection, INLINING the whole zip_with shingle
+    # tree into the filter (the optimized plan held 192 split() copies,
+    # 20 in one Filter node — measured; explode_outer infers nothing).
+    # _sh is never empty (short docs fall back to the whole-text hash), so
+    # the null-guard filter below is a no-op kept for shape safety.
     exploded = with_hashed_shingles(df, id_col, text_col, shingle_n).select(
-        F.col("_id").alias("doc"), F.explode("_sh").alias("_h")
-    )
+        F.col("_id").alias("doc"), F.explode_outer("_sh").alias("_h")
+    ).where(F.col("_h").isNotNull())
     # re-hash the 8-byte shingle hash per seed, NOT the shingle string:
     # k string hashes/shingle -> 1 string hash + k long hashes (~4x faster),
     # and the explode shuffles longs instead of 3-word strings
