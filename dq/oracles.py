@@ -318,6 +318,63 @@ FROM scored
 """
 
 
+def _stratified_sample_sql() -> str:
+    from dq.sampling import (
+        LCG_ADD,
+        LCG_MUL,
+        SAMPLE_MOD,
+        STRATA_BP,
+        STRATA_DEFAULT_BP,
+    )
+
+    whens = " ".join(
+        f"WHEN '{_sq(k)}' THEN {v}" for k, v in sorted(STRATA_BP.items())
+    )
+    rate = f"CASE lang {whens} ELSE {STRATA_DEFAULT_BP} END"
+    bucket = f"(doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD}"
+    return f"""
+SELECT doc_id, lang,
+       CAST({bucket} AS BIGINT) AS sample_bucket,
+       CAST({rate} AS BIGINT) AS keep_rate_bp,
+       ({bucket} < {rate}) AS sampled
+FROM documents
+"""
+
+
+def _domain_cap_sql() -> str:
+    from dq.sampling import DOMAIN_CAP_K
+    from dq.urlstats import DOMAIN_RE
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_url_expr()} AS url FROM documents
+), d AS (
+  SELECT doc_id, regexp_extract(url, '{DOMAIN_RE}', 1) AS domain FROM u
+), r AS (
+  SELECT doc_id, domain,
+         CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)
+           AS domain_rank
+  FROM d
+)
+SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= {DOMAIN_CAP_K}
+"""
+
+
+def _token_packing_sql() -> str:
+    from dq.sampling import PACK_TOKEN_BUDGET
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin_id
+FROM t
+"""
+
+
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
@@ -778,6 +835,9 @@ FROM documents
     "domain_hot_stats": _domain_hot_stats_sql(),
     "url_rules_filter": _url_rules_filter_sql(),
     "contamination_scores": _contamination_sql(),
+    "stratified_sample": _stratified_sample_sql(),
+    "domain_cap_quota": _domain_cap_sql(),
+    "token_budget_packing": _token_packing_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,

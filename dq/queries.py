@@ -589,6 +589,41 @@ def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination.contamination_scores(docs)
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/ROOTS-style mixture sampling: per-language keep rates applied
+    via a deterministic key hash (LCG bucket, cross-engine exact) — zero
+    exchanges, reproducible under retry/resume."""
+    from dq import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs).select(
+        "doc_id", "lang", "sample_bucket", "keep_rate_bp", "sampled"
+    )
+
+
+def domain_cap_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style domain balancing over the constructed URL corpus:
+    keep the DOMAIN_CAP_K smallest doc_ids per domain via the skew-proof
+    two-phase top-K (hot domains fan out over salt buckets in phase 1)."""
+    from dq import sampling, urlstats
+
+    docs = _t(spark, sf_dir, "documents")
+    base = urlstats.url_docs(docs).select(
+        "doc_id", urlstats.domain_col().alias("domain")
+    )
+    return sampling.domain_cap_sample(base).select("doc_id", "domain", "domain_rank")
+
+
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style streaming sequence packing: bin_id per doc from the
+    exclusive token prefix sum in doc_id order, computed as a two-level
+    distributed scan (bucket partials + one tiny bucket-level window)."""
+    from dq import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.token_budget_packing(docs)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: sha256 over whitespace-normalized lowercase text
     (cross-engine twin of the xxhash64 scale path in textstats)."""
@@ -912,6 +947,9 @@ QUERIES = {
     "domain_hot_stats": domain_hot_stats,
     "url_rules_filter": url_rules_filter,
     "contamination_scores": contamination_scores,
+    "stratified_sample": stratified_sample,
+    "domain_cap_quota": domain_cap_quota,
+    "token_budget_packing": token_budget_packing,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,

@@ -1,0 +1,171 @@
+"""Corpus curation: deterministic sampling, domain balancing, token packing.
+
+Training-data-pipeline additions beyond the reference's table-level DQ scope
+(reference: volumetry/duplicity metrics only). Published semantics followed:
+
+- Stratified deterministic sampling (The Pile / ROOTS mixture weights): each
+  language keeps a fixed fraction of its documents, chosen by a hash of the
+  document key — reproducible across runs/retries (never rand()), and any
+  subset of the data can be sampled independently (no global state).
+- Domain balancing (RefinedWeb §3.2 / C4 host quotas): cap the number of
+  documents any single domain contributes, keeping the K smallest doc_ids
+  (deterministic preference), so hot hosts can't dominate the mixture.
+- Token-budget packing (GPT-style sequence packing, streaming semantics):
+  walk documents in doc_id order, accumulate token counts, and emit the
+  training-bin id floor(prefix_tokens_exclusive / budget) per document —
+  the distributed prefix-sum shape.
+
+Scale shapes (100 TB notes):
+- hash_sample / stratified_sample are pure codegen filters: ZERO exchanges
+  (plan-asserted); the hash is derived from the key column so resume and
+  retry re-derive identical samples.
+- domain_cap_sample is the two-phase top-K: phase 1 ranks within
+  (domain, salt(doc_id)) — a hot domain fans out over ``buckets`` reducers
+  and every global-top-K row survives its bucket (the K smallest of the
+  domain are each among the K smallest of their own bucket); phase 2 ranks
+  the <= K*buckets survivors per domain — reducer volume bounded by
+  K*buckets rows per domain regardless of domain size. Never a raw
+  window over the unbounded domain partition.
+- token_budget_packing is a two-level distributed scan: range-bucket by
+  doc_id, per-bucket token sums (tiny agg, map-side partials), ONE window
+  over the bucket-level table (rows/BUCKET_SIZE entries — at 10^12 docs
+  and 10^5-doc buckets that is 10^7 16-byte rows ~ 160 MB on one reducer;
+  acceptable, and the level can be repeated for another 10^5x headroom),
+  then an equi-join back on bucket id and a window partitioned BY bucket
+  (bounded rows per reducer) for the intra-bucket prefix. The document
+  text never shuffles — only (doc_id, n_tokens, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dq.skew import salt_from
+from dq.textstats import whitespace_token_count
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+SAMPLE_MOD = 10_000          # hash buckets == basis points
+# per-language keep rates in basis points (mixture weights); _default for
+# languages not listed.
+STRATA_BP = {"en": 6000, "zh": 3000, "es": 3000, "de": 1500, "fr": 1500}
+STRATA_DEFAULT_BP = 500
+
+# test-scale mixer: a 64-bit LCG step on the integer key, exactly
+# representable in both engines (values stay far under 2^63 for gate-scale
+# doc_ids; the scale path swaps in xxhash64(url) — Spark-only, same contract)
+LCG_MUL = 2654435761
+LCG_ADD = 40503
+
+DOMAIN_CAP_K = 25            # max docs any one domain contributes
+DOMAIN_CAP_BUCKETS = 8       # phase-1 fan-out for hot domains
+
+PACK_TOKEN_BUDGET = 512      # tokens per training bin
+PACK_BUCKET_SIZE = 100       # docs per scan bucket (10^5 at real scale)
+
+
+def lcg_bucket(key: Column) -> Column:
+    """Deterministic SAMPLE_MOD-bucket assignment from an integer key."""
+    return F.pmod(key * LCG_MUL + LCG_ADD, F.lit(SAMPLE_MOD))
+
+
+def hash_bucket(key: Column) -> Column:
+    """Scale-path bucket assignment (xxhash64 — any column type; Spark-only,
+    so the oracle-checked queries use :func:`lcg_bucket` on doc_id)."""
+    return F.pmod(F.xxhash64(key), F.lit(SAMPLE_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = STRATA_DEFAULT_BP,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Keep each stratum's configured fraction, chosen by key hash.
+
+    Returns the input rows + (sample_bucket, keep_rate_bp, sampled). Pure
+    codegen filter — zero exchanges; deterministic under retry/resume.
+    """
+    rates = STRATA_BP if rates_bp is None else rates_bp
+    b = lcg_bucket(F.col(id_col)) if bucket is None else bucket
+    rate = F.lit(default_bp)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.select(
+        "*",
+        b.cast("bigint").alias("sample_bucket"),
+        rate.cast("bigint").alias("keep_rate_bp"),
+        (b < rate).alias("sampled"),
+    )
+
+
+def domain_cap_sample(
+    base: DataFrame,
+    key_col: str = "domain",
+    order_col: str = "doc_id",
+    k: int = DOMAIN_CAP_K,
+    buckets: int = DOMAIN_CAP_BUCKETS,
+) -> DataFrame:
+    """Exact first-K-per-key quota, skew-proof (two-phase top-K).
+
+    Keeps the ``k`` smallest ``order_col`` values per ``key_col`` with ties
+    impossible (order_col is unique). Output: input columns + domain_rank.
+    """
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(order_col)
+    phase1 = (
+        base.withColumn("_salt", salt_from(F.col(order_col), buckets))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        phase1.withColumn("domain_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("domain_rank") <= k)
+    )
+
+
+def token_budget_packing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = PACK_TOKEN_BUDGET,
+    bucket_size: int = PACK_BUCKET_SIZE,
+) -> DataFrame:
+    """Streaming-pack documents into ``budget``-token training bins.
+
+    In ``id_col`` order, bin_id = floor(exclusive_prefix_tokens / budget)
+    — the document that crosses a budget boundary starts in the bin its
+    first token lands in (split-allowed streaming semantics; greedy
+    whole-doc packing is a different, inherently sequential contract).
+    Output: (doc_id, n_tokens, bin_id). Two-level distributed scan — see
+    the module docstring for the 100 TB shape.
+    """
+    narrow = docs.select(
+        F.col(id_col).alias("doc_id"),
+        whitespace_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).cast("bigint").alias("_bkt"),
+    )
+    per_bucket = narrow.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bkt_tokens"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bkt_tokens").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_in = (
+        Window.partitionBy("_bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        narrow.join(offsets, "_bkt")
+        .withColumn("_intra", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("_offset") + F.col("_intra")) / budget)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )

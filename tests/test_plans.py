@@ -222,6 +222,49 @@ def test_contamination_no_text_in_exchange(spark):
             assert "text#" not in inp.group(2) and "gram#" not in inp.group(2), node
 
 
+def test_stratified_sample_no_exchange(spark):
+    """Deterministic sampling is a pure codegen filter: zero exchanges."""
+    from dq.queries import stratified_sample
+
+    plan = plan_of(stratified_sample(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_cap_phase1_salted_window(spark):
+    """The two-phase top-K must never window over the raw domain partition:
+    the first (inner) window partitions by (domain, salt)."""
+    import re
+
+    from dq.queries import domain_cap_quota
+
+    plan = plan_of(domain_cap_quota(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    windows = [
+        n for n in nodes
+        if n.split("\n")[0].rstrip().endswith(("Window", "WindowGroupLimit"))
+    ]
+    assert len(windows) >= 2, plan
+    # the phase-1 (salted) window must exist alongside the phase-2 one
+    assert any("_salt" in n for n in windows), plan
+
+
+def test_token_packing_no_text_in_exchange(spark):
+    """The scan's exchanges carry (doc_id, n_tokens, bucket) — never text;
+    the only unpartitioned window is over the tiny bucket-level table."""
+    import re
+
+    from dq.queries import token_budget_packing
+
+    plan = plan_of(token_budget_packing(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), node
+
+
 def test_partition_pruning_on_partitioned_output(spark, pages, tmp_path):
     """kept/ is written partitioned by dt_foto; an equality predicate must
     prune at the directory level (PartitionFilters, not a post-filter)."""
