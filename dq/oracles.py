@@ -375,6 +375,38 @@ FROM t
 """
 
 
+def _quality_classifier_sql() -> str:
+    from dq.classifier import (
+        KEEP_TAU_MICRO,
+        POLY_MOD,
+        POLY_MUL,
+        TOXIC_WEIGHT_MICRO,
+        WEIGHT_SPAN,
+    )
+    from dq.scrub import TOXIC_WORDS
+
+    tox = ", ".join(f"'{_sq(t)}'" for t in TOXIC_WORDS)
+    poly = (
+        "list_reduce(list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    weight = (
+        f"CASE WHEN w IN ({tox}) THEN {TOXIC_WEIGHT_MICRO} "
+        f"ELSE ({poly} % {WEIGHT_SPAN}) - {WEIGHT_SPAN // 2} END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS_LOWER} AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
+            AS BIGINT) AS score_micro,
+       (CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
+             AS BIGINT) >= {KEEP_TAU_MICRO} * len(words)) AS keep_quality
+FROM t
+"""
+
+
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
@@ -838,6 +870,7 @@ FROM documents
     "stratified_sample": _stratified_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
+    "quality_classifier": _quality_classifier_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,

@@ -624,6 +624,16 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style hashed linear quality scorer: in-engine
+    hashing-trick weights + toxicity prior, exact-integer mean-threshold
+    decision — one zero-exchange codegen projection (plan-asserted)."""
+    from dq import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier.classifier_scores(docs)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: sha256 over whitespace-normalized lowercase text
     (cross-engine twin of the xxhash64 scale path in textstats)."""
@@ -950,6 +960,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
+    "quality_classifier": quality_classifier,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,

@@ -1,0 +1,85 @@
+"""Hashed linear quality classifier: semantics + python-twin parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dq.classifier import (
+    KEEP_TAU_MICRO,
+    POLY_MOD,
+    POLY_MUL,
+    TOXIC_WEIGHT_MICRO,
+    WEIGHT_SPAN,
+    classifier_scores,
+)
+from dq.scrub import TOXIC_WORDS
+
+
+def py_weight(tok: str) -> int:
+    if tok in TOXIC_WORDS:
+        return TOXIC_WEIGHT_MICRO
+    h = 0
+    for c in tok:
+        h = (h * POLY_MUL + ord(c)) % POLY_MOD
+    return h % WEIGHT_SPAN - WEIGHT_SPAN // 2
+
+
+def py_score(text: str) -> tuple[int, int, bool]:
+    toks = [t for t in text.lower().split() if t]
+    s = sum(py_weight(t) for t in toks)
+    return len(toks), s, s >= KEEP_TAU_MICRO * len(toks)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "moron imbecile scumbag dumbass jackass moron imbecile scumbag"),
+        (2, ""),
+        (3, "single"),
+        (4, "Mixed CASE Tokens  with   extra whitespace"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_matches_python_twin(docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_micro"], r["keep_quality"])
+        for r in classifier_scores(docs).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, text in texts.items():
+        assert got[i] == py_score(text), (i, text)
+
+
+def test_toxic_docs_score_below_clean(docs):
+    got = {r["doc_id"]: r for r in classifier_scores(docs).collect()}
+    clean, toxic = got[0], got[1]
+    # per-token mean weight, not raw sum (different lengths)
+    assert (
+        toxic["score_micro"] * clean["n_tokens"]
+        < clean["score_micro"] * toxic["n_tokens"]
+    )
+    assert not toxic["keep_quality"]
+
+
+def test_empty_doc_keeps_trivially(docs):
+    got = {r["doc_id"]: r for r in classifier_scores(docs).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["score_micro"] == 0
+    assert got[2]["keep_quality"]
+
+
+def test_weights_span_and_determinism(spark):
+    # weights stay inside [-span/2, span/2] (toxic prior aside) and the
+    # same token always maps to the same weight across frames/sessions.
+    toks = spark.createDataFrame(
+        [(w,) for w in ["alpha", "beta", "gamma", "alpha"]], "text string"
+    )
+    scored = classifier_scores(toks.select(F.lit(0).alias("doc_id"), "text"))
+    vals = [r["score_micro"] for r in scored.collect()]
+    half = WEIGHT_SPAN // 2
+    assert all(-half <= v <= half for v in vals)
+    assert vals[0] == vals[3]

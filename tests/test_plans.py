@@ -222,6 +222,17 @@ def test_contamination_no_text_in_exchange(spark):
             assert "text#" not in inp.group(2) and "gram#" not in inp.group(2), node
 
 
+def test_quality_classifier_no_exchange_single_split(spark):
+    """The scorer is one codegen projection: zero exchanges, and the staged
+    words array must not be re-inlined per lambda (CollapseProject trap —
+    one split() in the optimized plan, not one per HOF reference)."""
+    from dq.queries import quality_classifier
+
+    plan = plan_of(quality_classifier(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert plan.count("split(") <= 2, plan
+
+
 def test_stratified_sample_no_exchange(spark):
     """Deterministic sampling is a pure codegen filter: zero exchanges."""
     from dq.queries import stratified_sample
