@@ -71,6 +71,12 @@ def _gram_fps(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+# public alias: dq.dedup's duplicate-span detector reuses the same
+# incremental gram-fingerprint builder (identical scheme on every consumer
+# keeps the string-gram DuckDB twins valid).
+gram_fingerprints = _gram_fps
+
+
 def benchmark_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Distinct 8-byte gram fingerprints of the benchmark slice."""

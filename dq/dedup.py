@@ -500,6 +500,81 @@ def incremental_non_survivor_units(
     return dups.select("_fp", key_col).distinct(), new_fps.select(F.col("_fp").alias("fp"))
 
 
+# ---- duplicate-span detection (substring-level dedup) ----------------------
+
+DUP_SPAN_NGRAM_N = 5    # span unit: 5-word grams (Lee et al. use 50-token
+                        # substrings; the synthetic docs are ~30 words)
+DUP_SPAN_FLAG_BP = 5000  # flag when >= 50% of a doc's distinct grams are
+                         # shared with at least one other document
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUP_SPAN_NGRAM_N,
+    flag_bp: int = DUP_SPAN_FLAG_BP,
+) -> DataFrame:
+    """Corpus-internal duplicate-span fractions (Lee et al. 2022 substring
+    dedup, k-gram approximation): a doc's gram is *shared* when it occurs
+    in >= 2 distinct documents; docs whose shared fraction crosses
+    ``flag_bp`` carry mostly-duplicated content even when no full-document
+    dup matches (boilerplate, templated pages, quote farms).
+
+    Output (doc_id, n_distinct_grams, n_shared_grams, dup_span_bp,
+    is_dup_heavy); exact integer basis points; gram-less short docs score 0.
+
+    Scale shape (100 TB notes): grams travel as 8-byte xxhash64
+    fingerprints (membership keys; grouping by fp ≡ grouping by gram —
+    same argument as dq/contamination.py, and the string-gram DuckDB twin
+    still matches). Exchanges carry only (doc_id, fp) 16 B rows: one
+    distinct, one uniform fp-keyed agg to find shared grams, one equi-join
+    back, one doc_id-keyed agg — never text. This is exactly the
+    MapReduce shape of published suffix-dedup approximations; no
+    broadcast (the shared-gram set scales with corpus dups, unbounded).
+    """
+    from dq.contamination import gram_fingerprints
+
+    per = gram_fingerprints(docs, id_col, text_col, n)
+    pairs = (
+        per.select("doc_id", F.explode_outer("_fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+    )
+    shared_fps = (
+        pairs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("fp")
+    )
+    n_shared = (
+        pairs.join(shared_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_shared"))
+    )
+    base = per.select(
+        "doc_id",
+        F.size(F.array_distinct("_fps")).cast("bigint").alias("n_distinct_grams"),
+    )
+    bp = F.when(
+        F.col("n_distinct_grams") > 0,
+        F.floor(F.col("n_shared_grams") * 10000 / F.col("n_distinct_grams")),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        base.join(n_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            F.coalesce("_n_shared", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+        )
+        .select(
+            "doc_id", "n_distinct_grams", "n_shared_grams",
+            bp.alias("dup_span_bp"),
+            (bp >= flag_bp).alias("is_dup_heavy"),
+        )
+    )
+
+
 def incremental_non_survivor_keys(
     df: DataFrame,
     ledger_fps: DataFrame | None,

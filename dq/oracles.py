@@ -318,6 +318,50 @@ FROM scored
 """
 
 
+def _dup_span_sql() -> str:
+    from dq.dedup import DUP_SPAN_FLAG_BP, DUP_SPAN_NGRAM_N
+
+    n = DUP_SPAN_NGRAM_N
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(words) >= {n} THEN "
+        f"list_transform(range(1, len(words) - {n} + 2), i -> {gram}) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM w
+), pairs AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+), shared AS (
+  SELECT gram FROM pairs GROUP BY gram HAVING count(*) >= 2
+), ns AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM pairs p JOIN shared USING (gram)
+  GROUP BY p.doc_id
+), base AS (
+  SELECT doc_id, CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+  FROM g
+), scored AS (
+  SELECT base.doc_id, base.n_distinct_grams,
+         COALESCE(ns.n_shared, 0) AS n_shared_grams
+  FROM base LEFT JOIN ns USING (doc_id)
+)
+SELECT doc_id, n_distinct_grams, n_shared_grams,
+       CAST(CASE WHEN n_distinct_grams > 0
+                 THEN floor(n_shared_grams * 10000 / n_distinct_grams)
+                 ELSE 0 END AS BIGINT) AS dup_span_bp,
+       (CASE WHEN n_distinct_grams > 0
+             THEN floor(n_shared_grams * 10000 / n_distinct_grams)
+             ELSE 0 END) >= {DUP_SPAN_FLAG_BP} AS is_dup_heavy
+FROM scored
+"""
+
+
 def _stratified_sample_sql() -> str:
     from dq.sampling import (
         LCG_ADD,
@@ -871,6 +915,7 @@ FROM documents
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
     "quality_classifier": _quality_classifier_sql(),
+    "dup_span_fractions": _dup_span_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})
 SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,

@@ -624,6 +624,16 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+def dup_span_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup stats (Lee et al. k-gram approximation):
+    per-doc fraction of distinct 5-grams shared with another document —
+    catches templated/boilerplate content full-document dedup misses."""
+    from dq import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(docs)
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText/CCNet-style hashed linear quality scorer: in-engine
     hashing-trick weights + toxicity prior, exact-integer mean-threshold
@@ -961,6 +971,7 @@ QUERIES = {
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
     "quality_classifier": quality_classifier,
+    "dup_span_fractions": dup_span_fractions,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,

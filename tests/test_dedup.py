@@ -198,3 +198,33 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert len(new) == 1  # only gamma is new content
     fps2.write.mode("append").parquet(ledger_path)
     assert spark.read.parquet(ledger_path).distinct().count() == 3
+
+
+def test_dup_span_planted_overlap(spark):
+    """Half-overlapping docs score ~50%, full copies 100%, unique docs 0;
+    within-doc gram repeats never count as shared."""
+    half = "one two three four five six seven eight nine ten"
+    a = half + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = half + " red green blue yellow purple orange pink brown black white"
+    rows = [
+        (0, a),
+        (1, b),
+        (2, "lone unique words that match nothing else in this corpus here"),
+        (3, a),  # full copy of 0
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # self-repeats only
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dup_span_stats(docs).collect()}
+
+    assert got[3]["dup_span_bp"] == 10000 and got[3]["is_dup_heavy"]
+    assert got[0]["dup_span_bp"] == 10000 and got[0]["is_dup_heavy"]
+    # doc 1 shares only the first half's grams with doc 0/3
+    assert 0 < got[1]["dup_span_bp"] < 10000
+    assert got[2]["n_shared_grams"] == 0 and not got[2]["is_dup_heavy"]
+    # all of doc 4's grams collapse to one distinct self-repeated gram;
+    # nothing is shared cross-doc
+    assert got[4]["n_distinct_grams"] == 1
+    assert got[4]["n_shared_grams"] == 0
+    # gram-less doc scores zero, never flagged
+    assert got[5]["n_distinct_grams"] == 0 and got[5]["dup_span_bp"] == 0

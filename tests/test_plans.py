@@ -233,6 +233,26 @@ def test_quality_classifier_no_exchange_single_split(spark):
     assert plan.count("split(") <= 2, plan
 
 
+def test_dup_span_no_text_in_exchange(spark):
+    """Every exchange in the dup-span detector carries (doc_id, fp)-width
+    rows — never document text or gram strings."""
+    import re
+
+    from dq.queries import dup_span_fractions
+
+    plan = plan_of(dup_span_fractions(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    saw_exchange = False
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        saw_exchange = True
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2) and "gram#" not in inp.group(2), node
+    assert saw_exchange, plan
+
+
 def test_stratified_sample_no_exchange(spark):
     """Deterministic sampling is a pure codegen filter: zero exchanges."""
     from dq.queries import stratified_sample
