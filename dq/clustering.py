@@ -1,0 +1,192 @@
+"""Embedding clustering + semantic dedup (k-means / SemDeDup tier).
+
+Training-data-pipeline addition beyond the reference's table-level DQ scope
+(reference computes row/dup metrics only; no vector operators). Published
+semantics followed: SemDeDup (Abbas et al. 2023) k-means-clusters the
+embedding space so near-duplicate search is pairwise *within a cluster*
+instead of O(n^2) over the corpus, then drops all but one of each
+high-cosine group.
+
+Engine-portable exact formulation (the DuckDB twin reproduces every
+assignment bit-for-bit):
+
+- vectors quantized to int64 (floor(x*1000), dq.similarity.quantized_vec);
+- init centroids = vectors with ``vec_id % KM_CENT_MOD == 0`` (deterministic
+  seeding — k-means++ is rand()-driven and engine-local);
+- KM_ITERS Lloyd rounds: assignment = exact integer squared-L2 argmin
+  (ties -> lowest centroid id); update = element-wise floor(sum/count).
+  The division is int/int in IEEE doubles: components are bounded by
+  ~2e3*corpus, far inside 2^53, and a rational with denominator <= count
+  can't sit within one double ULP below an integer, so floor() is exact in
+  both engines;
+- SemDeDup drop rule: within a cluster, a vector is dropped when some
+  LOWER-id member has quantized cosine >= SEMDEDUP_TAU with it (the
+  "keep one per near-dup group" greedy from the paper, made deterministic;
+  the cosine test is the sqrt-free integer cross-multiplication from
+  dq.similarity.quantized_cosine_pairs).
+
+Scale shapes (100 TB notes):
+- Centroids stay a k-row frame and are BROADCAST into every assignment —
+  the corpus side never shuffles its vectors for scoring; the argmin is a
+  ``groupBy(_id).agg(min(struct(d2, cid)))`` with map-side partial
+  reduction, so each assignment exchange carries ONE narrow row per vector
+  (id, best, vec) rather than k candidate rows.
+- The update step posexplodes to (cid, pos, component) — k*dim-keyed
+  uniform agg with map-side partials; its exchange is tiny.
+- KM_ITERS is a small constant (2): the lineage stays shallow, no
+  checkpoint needed (contrast dq/dedup.connected_components, which must
+  localCheckpoint its unbounded loop).
+- SemDeDup's intra-cluster pairwise join is equi on cluster id; cost is
+  sum(c_i^2), bounded by cluster granularity — at LAION scale the paper
+  runs 50k clusters for exactly this reason, i.e. k grows with the corpus
+  and per-cluster work stays fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dq.similarity import quantized_vec, sq_l2_col
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+KM_CENT_MOD = 50      # init centroids: vec_id % 50 == 0  (10 cells at gate)
+KM_ITERS = 2          # Lloyd rounds before the final assignment
+SEMDEDUP_TAU = 0.3    # intra-cluster near-dup cosine (matches the pair-
+                      # mining tier's EMB_PAIR_MIN_COSINE; the gate corpus
+                      # has no >=0.8 pairs, so the paper's 0.9x thresholds
+                      # would be vacuous here)
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(_id, _q, _cid, _d2): nearest centroid per vector, ties -> low cid.
+
+    Broadcast centroids + map-side-combinable min(struct) — one narrow
+    exchange row per vector, never k candidate rows.
+    """
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "_id", "_q", "_cid", sq_l2_col(F.col("_q"), F.col("_cq")).alias("_d2")
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.min(F.struct("_d2", "_cid")).alias("_best"),
+            F.first("_q").alias("_q"),
+        )
+        .select("_id", "_q", F.col("_best._cid").alias("_cid"),
+                F.col("_best._d2").alias("_d2"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: element-wise floor-mean of each cluster's vectors."""
+    comp = assigned.select("_cid", F.posexplode("_q").alias("_pos", "_v"))
+    sums = comp.groupBy("_cid", "_pos").agg(
+        F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        sums.withColumn("_m", F.floor(F.col("_s") / F.col("_n")).cast("bigint"))
+        .groupBy("_cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cq")
+        )
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_mod: int = KM_CENT_MOD,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster_id, sq_dist) after ``iters`` exact Lloyd rounds.
+
+    cluster_id is the stable id of the seeding vector; sq_dist is the
+    exact integer squared L2 to the final centroid.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col)).alias("_q")
+    )
+    cents = base.where(F.col("_id") % cent_mod == 0).select(
+        F.col("_id").alias("_cid"), F.col("_q").alias("_cq")
+    )
+    for _ in range(iters):
+        cents = _update(_assign(base, cents))
+    return _assign(base, cents).select(
+        F.col("_id").alias("vec_id"),
+        F.col("_cid").cast("bigint").alias("cluster_id"),
+        F.col("_d2").cast("bigint").alias("sq_dist"),
+    )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = SEMDEDUP_TAU,
+    cent_mod: int = KM_CENT_MOD,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster_id, keep_semantic): SemDeDup survivor flags.
+
+    A vector is dropped when a lower-id member of its own cluster has
+    quantized cosine >= tau with it; every cluster therefore keeps at
+    least its lowest-id member of each near-dup group.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), quantized_vec(F.col(vec_col)).alias("_q")
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            F.transform("_q", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    assign = kmeans_assign(emb, id_col, vec_col, cent_mod, iters).select(
+        "vec_id", "cluster_id"
+    )
+    side = base.join(assign, "vec_id")
+    a = side.select(
+        F.col("cluster_id").alias("_ca"), F.col("vec_id").alias("_ida"),
+        F.col("_q").alias("_qa"), F.col("_n2").alias("_na2"),
+    )
+    b = side.select(
+        F.col("cluster_id").alias("_cb"), F.col("vec_id").alias("_idb"),
+        F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    t2 = float(tau) * float(tau)
+    dropped = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .select(F.col("_idb").alias("vec_id"), dot.alias("_dot"), "_na2", "_nb2")
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot").cast("double") * F.col("_dot").cast("double")
+                >= F.lit(t2)
+                * F.col("_na2").cast("double")
+                * F.col("_nb2").cast("double")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (~F.coalesce(F.col("_drop"), F.lit(False))).alias("keep_semantic"),
+        )
+    )

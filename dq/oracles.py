@@ -564,6 +564,77 @@ WHERE qdot > 0
 """
 
 
+def _kmeans_cte() -> str:
+    """Shared CTE chain reproducing dq.clustering.kmeans_assign bit-for-bit:
+    quantize -> seed centroids -> KM_ITERS (assign, floor-mean update)
+    rounds -> final assignment ``af`` (vec_id, qv, cid, d2)."""
+    from dq.clustering import KM_CENT_MOD, KM_ITERS
+    from dq.queries import EMB_DIM
+
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(a.qv, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, qv, cid, d2 FROM (
+    SELECT a.vec_id, a.qv, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM q a CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        """q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id % {KM_CENT_MOD} = 0)",
+    ]
+    for r in range(KM_ITERS):
+        parts.append(assign(f"a{r}", f"c{r}"))
+        parts.append(f"""u{r} AS (
+  SELECT cid, i AS pos, CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS m
+  FROM a{r} CROSS JOIN unnest(range(1, {EMB_DIM + 1})) AS t(i)
+  GROUP BY cid, i
+)""")
+        parts.append(
+            f"c{r + 1} AS (SELECT cid, list(m ORDER BY pos) AS cq FROM u{r} GROUP BY cid)"
+        )
+    parts.append(assign("af", f"c{KM_ITERS}"))
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_clusters_sql() -> str:
+    return f"""{_kmeans_cte()}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, d2 AS sq_dist FROM af
+"""
+
+
+def _semdedup_sql() -> str:
+    from dq.clustering import SEMDEDUP_TAU
+
+    t2 = SEMDEDUP_TAU * SEMDEDUP_TAU
+    return f"""{_kmeans_cte()},
+n AS (
+  SELECT vec_id, qv, cid,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM af
+), drops AS (
+  SELECT DISTINCT b.vec_id FROM n a JOIN n b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) > 0
+    AND CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+        * CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+        >= {t2!r} * CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)
+)
+SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster_id,
+       (af.vec_id NOT IN (SELECT vec_id FROM drops)) AS keep_semantic
+FROM af
+"""
+
+
 def _ngram_jaccard_sql() -> str:
     """Exact 3-gram Jaccard for the planted dup pairs (string shingles) —
     used standalone and nested as the edge source of near_dup_clusters."""
@@ -966,6 +1037,8 @@ FROM r
 WHERE rk > 1 OR text IN (SELECT text FROM b1)
 """,
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
+    "kmeans_clusters": _kmeans_clusters_sql(),
+    "semdedup_flags": _semdedup_sql(),
     "ann_topk_ivf": f"""
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

@@ -795,6 +795,25 @@ EMB_SRP_SEED = 7
 EMB_DIM = 64
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact engine-portable k-means over the embeddings table: integer
+    quantized Lloyd rounds (broadcast centroids, map-side-combinable argmin,
+    floor-mean updates) — cluster assignment bit-reproduced by DuckDB."""
+    from dq.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+    near-dup search; within a cell, drop every vector with a lower-id
+    member at quantized cosine >= tau. Intra-cluster equi-join only —
+    never a corpus-wide cartesian."""
+    from dq.clustering import semdedup_keep
+
+    return semdedup_keep(_t(spark, sf_dir, "embeddings"))
+
+
 def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-cosine pair mining over the embeddings table: integer
     SRP-LSH candidates (banded equi-join, O(docs x chunks) shuffle — never
@@ -980,6 +999,8 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_pairs_exact": embedding_pairs_exact,
+    "kmeans_clusters": kmeans_clusters,
+    "semdedup_flags": semdedup_flags,
     "embedding_dups": embedding_dups,
     "pipeline_lineage": pipeline_lineage,
     "pipeline_keep_decisions": pipeline_keep_decisions,

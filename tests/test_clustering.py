@@ -1,0 +1,66 @@
+"""k-means + SemDeDup semantics (the gate checks cross-engine exactness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dq.clustering import kmeans_assign, semdedup_keep
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def two_blobs(spark):
+    # ids 0..3 near (1, 0, ...), ids 50..53 near (0, 1, ...); seeds (id%50==0)
+    # are 0 and 50 — one per blob.
+    def v(axis, eps):
+        out = [0.0] * 8
+        out[axis] = 1.0
+        out[axis + 2] = eps
+        return out
+
+    rows = [(i, v(0, 0.01 * i)) for i in range(4)]
+    rows += [(50 + i, v(1, 0.01 * i)) for i in range(4)]
+    return _emb(spark, rows)
+
+
+def test_kmeans_separates_planted_blobs(two_blobs):
+    got = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(two_blobs).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[50 + i] for i in range(4)} == {50}
+
+
+def test_kmeans_zero_distance_for_centroid_of_identical_blob(spark):
+    # all members identical -> centroid equals them -> sq_dist 0 for all
+    emb = _emb(spark, [(i, [0.5] * 8) for i in [0, 1, 2]])
+    for r in kmeans_assign(emb).collect():
+        assert r["cluster_id"] == 0 and r["sq_dist"] == 0
+
+
+def test_semdedup_keeps_lowest_id_per_dup_group(two_blobs, spark):
+    # append exact copies of ids 1 and 51 at higher ids: copies must drop,
+    # originals and everything else keep.
+    extra = _emb(
+        spark,
+        [(90, [0.0, 0.0] + [0.0] * 6), (91, [0.0, 0.0] + [0.0] * 6)],
+    )
+    rows = two_blobs.union(
+        _emb(spark, [(60, [1.0, 0.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0])])
+    )  # exact copy of vec 1's direction
+    got = {r["vec_id"]: r["keep_semantic"] for r in semdedup_keep(rows).collect()}
+    assert got[60] is False  # near-dup of a lower-id member of its cluster
+    assert got[0] and got[50]
+    del extra  # zero-vector edge exercised separately below
+
+
+def test_semdedup_zero_vectors_never_drop(spark):
+    # dot == 0 fails the strict > 0 guard: zero vectors are incomparable,
+    # both survive.
+    emb = _emb(spark, [(0, [0.0] * 8), (1, [0.0] * 8)])
+    got = {r["vec_id"]: r["keep_semantic"] for r in semdedup_keep(emb).collect()}
+    assert got[0] and got[1]

@@ -233,6 +233,18 @@ def test_quality_classifier_no_exchange_single_split(spark):
     assert plan.count("split(") <= 2, plan
 
 
+def test_kmeans_broadcast_centroids_no_cartesian(spark):
+    """Every Lloyd scoring pass broadcasts the k-row centroid frame; the
+    corpus side never enters a cartesian shuffle, and the argmin is a
+    map-side-combinable aggregate (HashAggregate), not a row window."""
+    from dq.queries import kmeans_clusters
+
+    plan = plan_of(kmeans_clusters(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
 def test_dup_span_no_text_in_exchange(spark):
     """Every exchange in the dup-span detector carries (doc_id, fp)-width
     rows — never document text or gram strings."""
