@@ -53,6 +53,13 @@ HEADLINE = [
     "tfidf_top_terms",
     "contamination_scores",
     "domain_hot_stats",
+    "quality_classifier",        # round-3 curation/scoring tier
+    "dup_span_fractions",
+    "stratified_sample",
+    "domain_cap_quota",
+    "token_budget_packing",
+    "kmeans_clusters",
+    "semdedup_flags",
 ]
 
 

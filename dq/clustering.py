@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dq.similarity import quantized_vec, sq_l2_col
+from dq.similarity import quantized_vec, sq_l2_col, sq_l2_unrolled
 
 # ---- shared constants (dq.oracles generates SQL from these) ----------------
 
@@ -59,14 +59,21 @@ SEMDEDUP_TAU = 0.3    # intra-cluster near-dup cosine (matches the pair-
                       # would be vacuous here)
 
 
-def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(base: DataFrame, cents: DataFrame, dim: int | None = None) -> DataFrame:
     """(_id, _q, _cid, _d2): nearest centroid per vector, ties -> low cid.
 
     Broadcast centroids + map-side-combinable min(struct) — one narrow
-    exchange row per vector, never k candidate rows.
+    exchange row per vector, never k candidate rows. With a known ``dim``
+    the L2 is a flat codegen sum instead of an interpreted HOF fold
+    (bit-identical; integer adds are order-free).
     """
+    d2 = (
+        sq_l2_unrolled("_q", "_cq", dim)
+        if dim
+        else sq_l2_col(F.col("_q"), F.col("_cq"))
+    )
     scored = base.crossJoin(F.broadcast(cents)).select(
-        "_id", "_q", "_cid", sq_l2_col(F.col("_q"), F.col("_cq")).alias("_d2")
+        "_id", "_q", "_cid", d2.alias("_d2")
     )
     return (
         scored.groupBy("_id")
@@ -103,6 +110,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     cent_mod: int = KM_CENT_MOD,
     iters: int = KM_ITERS,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, sq_dist) after ``iters`` exact Lloyd rounds.
 
@@ -116,8 +124,12 @@ def kmeans_assign(
         F.col("_id").alias("_cid"), F.col("_q").alias("_cq")
     )
     for _ in range(iters):
-        cents = _update(_assign(base, cents))
-    return _assign(base, cents).select(
+        # localCheckpoint each round: the centroid frame is k rows, but its
+        # lineage contains every previous round — without the cut, each
+        # broadcast build re-executes the whole prior chain (measured 3x
+        # wall at sf0.1; same lesson as dedup.connected_components).
+        cents = _update(_assign(base, cents, dim)).localCheckpoint()
+    return _assign(base, cents, dim).select(
         F.col("_id").alias("vec_id"),
         F.col("_cid").cast("bigint").alias("cluster_id"),
         F.col("_d2").cast("bigint").alias("sq_dist"),
@@ -131,6 +143,7 @@ def semdedup_keep(
     tau: float = SEMDEDUP_TAU,
     cent_mod: int = KM_CENT_MOD,
     iters: int = KM_ITERS,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, keep_semantic): SemDeDup survivor flags.
 
@@ -148,10 +161,16 @@ def semdedup_keep(
             lambda a, x: a + x,
         ),
     )
-    assign = kmeans_assign(emb, id_col, vec_col, cent_mod, iters).select(
+    assign = kmeans_assign(emb, id_col, vec_col, cent_mod, iters, dim).select(
         "vec_id", "cluster_id"
     )
-    side = base.join(assign, "vec_id")
+    # Materialize (vec_id, _q, _n2, cluster_id) ONCE: the pair mining
+    # self-joins this frame and the final flags join it again — without the
+    # cut, the whole Lloyd chain is analyzed and executed 3x in one plan
+    # (measured 2-3x wall at bench scale). At cluster scale this is the
+    # clustering output one would persist anyway before pair mining
+    # (~0.5 KB/vector, executor-local storage).
+    side = base.join(assign, "vec_id").localCheckpoint()
     a = side.select(
         F.col("cluster_id").alias("_ca"), F.col("vec_id").alias("_ida"),
         F.col("_q").alias("_qa"), F.col("_n2").alias("_na2"),
@@ -160,6 +179,10 @@ def semdedup_keep(
         F.col("cluster_id").alias("_cb"), F.col("vec_id").alias("_idb"),
         F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2"),
     )
+    # HOF fold on purpose: the dot lands in the join's post-condition AND
+    # the project (pushdown evaluates it up to 3x), where the unrolled tree
+    # is ~5x slower (A/B at sf0.1: 5.3 s vs 1.0 s exec). ``dim`` only
+    # accelerates the Lloyd assigns inside kmeans_assign.
     dot = F.aggregate(
         F.zip_with("_qa", "_qb", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -183,7 +206,8 @@ def semdedup_keep(
         .withColumn("_drop", F.lit(True))
     )
     return (
-        assign.join(dropped, "vec_id", "left")
+        side.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cluster_id",

@@ -785,7 +785,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ivf_topk(
-        emb, queries, k=ANN_K, centroid_mod=ANN_IVF_CENT_MOD, nprobe=ANN_IVF_NPROBE
+        emb, queries, k=ANN_K, centroid_mod=ANN_IVF_CENT_MOD, nprobe=ANN_IVF_NPROBE,
+        dim=EMB_DIM,
     )
 
 
@@ -801,7 +802,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-mean updates) — cluster assignment bit-reproduced by DuckDB."""
     from dq.clustering import kmeans_assign
 
-    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
 def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,7 +812,7 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a corpus-wide cartesian."""
     from dq.clustering import semdedup_keep
 
-    return semdedup_keep(_t(spark, sf_dir, "embeddings"))
+    return semdedup_keep(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
 def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

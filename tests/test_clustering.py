@@ -64,3 +64,13 @@ def test_semdedup_zero_vectors_never_drop(spark):
     emb = _emb(spark, [(0, [0.0] * 8), (1, [0.0] * 8)])
     got = {r["vec_id"]: r["keep_semantic"] for r in semdedup_keep(emb).collect()}
     assert got[0] and got[1]
+
+
+def test_kmeans_and_semdedup_dim_path_bit_identical(two_blobs):
+    # the unrolled known-dim distance/dot must not change a single row
+    a = sorted(map(tuple, kmeans_assign(two_blobs).collect()))
+    b = sorted(map(tuple, kmeans_assign(two_blobs, dim=8).collect()))
+    assert a == b
+    c = sorted(map(tuple, semdedup_keep(two_blobs).collect()))
+    d = sorted(map(tuple, semdedup_keep(two_blobs, dim=8).collect()))
+    assert c == d

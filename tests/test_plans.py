@@ -242,7 +242,12 @@ def test_kmeans_broadcast_centroids_no_cartesian(spark):
     plan = plan_of(kmeans_clusters(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+    # argmin is an aggregate (min(struct) -> SortAggregate: partial/final,
+    # map-side combinable), never a per-vector row window. Note the plan only
+    # shows the FINAL scoring pass — localCheckpoint cuts the Lloyd-round
+    # lineage (and with it the rounds' HashAggregates) out of the plan.
+    assert "Aggregate" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_dup_span_no_text_in_exchange(spark):

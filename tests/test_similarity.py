@@ -131,3 +131,47 @@ def test_ivf_topk_scores_exact_and_recall(vectors):
     ivf_pairs = set(zip(got["query_id"], got["neighbor_id"]))
     recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
     assert recall >= 0.3  # deterministic given the fixed fixture seed
+
+
+def test_unrolled_distance_and_dot_bit_identical(vectors, spark):
+    """Flat codegen L2/dot (known dim) == interpreted HOF fold, bit for bit;
+    ivf_topk(dim=) must return the identical frame."""
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    pairs = df.select(
+        similarity.quantized_vec(F.col("embedding")).alias("_a")
+    ).crossJoin(
+        df.where("vec_id < 4").select(
+            similarity.quantized_vec(F.col("embedding")).alias("_b")
+        )
+    )
+    diff = pairs.select(
+        (
+            similarity.sq_l2_unrolled("_a", "_b", DIM)
+            - similarity.sq_l2_col(F.col("_a"), F.col("_b"))
+        ).alias("d_l2"),
+        (
+            similarity.dot_unrolled("_a", "_b", DIM)
+            - F.aggregate(
+                F.zip_with("_a", "_b", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("d_dot"),
+    )
+    mx = diff.agg(
+        F.max(F.abs(F.col("d_l2"))).alias("l2"), F.max(F.abs(F.col("d_dot"))).alias("dot")
+    ).collect()[0]
+    assert mx["l2"] == 0 and mx["dot"] == 0
+
+    queries = df.where("vec_id < 6")
+    a = (
+        similarity.ivf_topk(df, queries, k=3, centroid_mod=10, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        similarity.ivf_topk(df, queries, k=3, centroid_mod=10, nprobe=2, dim=DIM)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
