@@ -60,6 +60,7 @@ HEADLINE = [
     "token_budget_packing",
     "kmeans_clusters",
     "semdedup_flags",
+    "bloom_ledger_probe",
 ]
 
 

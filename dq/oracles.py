@@ -698,6 +698,55 @@ FROM m JOIN s USING (url) JOIN d USING (url)
 """
 
 
+def _bloom_ledger_probe_sql() -> str:
+    """Bloom-filter twin of dq.bloom over the incremental-dedup batches:
+    k bit positions per sha256 fingerprint from disjoint 8-hex-char slices,
+    words = bit_or of 1<<(pos%32) grouped by pos//32, probe = bool_and of
+    the k bit tests; exact membership rides along as the truth column."""
+    from dq.bloom import BLOOM_K, BLOOM_M_BITS, WORD_BITS
+
+    pos = (
+        f"(('0x' || substr(fp, 1 + 8 * (i - 1), 8))::BIGINT % {BLOOM_M_BITS})"
+    )
+    return f"""
+WITH b1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+), b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {INCR_RECRAWL_OFFSET}, text FROM documents
+  WHERE doc_id % {INCR_RECRAWL_MOD} = 0
+), ledger AS (
+  SELECT DISTINCT sha256(text) AS fp FROM b1
+), words AS (
+  SELECT pos // {WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
+  FROM (
+    SELECT {pos} AS pos
+    FROM ledger CROSS JOIN unnest(range(1, {BLOOM_K + 1})) AS t(i)
+  )
+  GROUP BY 1
+), probe AS (
+  SELECT doc_id, sha256(text) AS fp FROM b2
+), probe_pos AS (
+  SELECT doc_id, {pos} AS pos
+  FROM probe CROSS JOIN unnest(range(1, {BLOOM_K + 1})) AS t(i)
+), hits AS (
+  SELECT p.doc_id,
+         (w.bits IS NOT NULL
+          AND ((w.bits >> CAST(p.pos % {WORD_BITS} AS INT)) & 1) = 1) AS hit
+  FROM probe_pos p LEFT JOIN words w ON w.word_idx = p.pos // {WORD_BITS}
+), maybe AS (
+  SELECT doc_id, bool_and(hit) AS bloom_maybe FROM hits GROUP BY doc_id
+), truth AS (
+  SELECT p.doc_id, (l.fp IS NOT NULL) AS in_ledger
+  FROM probe p LEFT JOIN ledger l ON l.fp = p.fp
+)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.bloom_maybe, t.in_ledger
+FROM maybe m JOIN truth t USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -1036,6 +1085,10 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
 FROM r
 WHERE rk > 1 OR text IN (SELECT text FROM b1)
 """,
+    # Bloom twin: identical bit math from sha256 hex slices — Spark's
+    # conv(substr,16,10) == DuckDB's ('0x'||substr)::BIGINT (both positive
+    # 32-bit values), same words, same probe verdicts.
+    "bloom_ledger_probe": _bloom_ledger_probe_sql(),
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semdedup_flags": _semdedup_sql(),

@@ -925,6 +925,36 @@ def incremental_dedup_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 
 
+def bloom_ledger_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter over the cross-run fingerprint ledger
+    (dq.bloom): batch 1 seeds the filter, batch 2 probes it. Output keeps
+    the exact-membership truth column next to the bloom verdict so the
+    contract is visible in the gated rows: bloom_maybe is true for EVERY
+    in_ledger row (no false negatives, pytest-pinned) and may be true for
+    a few others (false positives — the rows the exact verify join would
+    discard). Bit positions are sha256-hex slices, so DuckDB reproduces
+    filter words and verdicts bit-for-bit."""
+    from dq import bloom
+    from dq.dedup import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    ledger = b1.select(fingerprint_col(F.col("text")).alias("fp")).distinct()
+    words = bloom.bloom_words(ledger)
+    recrawl = docs.where(F.col("doc_id") % INCR_RECRAWL_MOD == 0).select(
+        (F.col("doc_id") + INCR_RECRAWL_OFFSET).alias("doc_id"), "text"
+    )
+    b2 = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0).unionByName(recrawl)
+    probe = b2.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    maybe = bloom.bloom_probe(probe, words)
+    truth = probe.join(
+        ledger.withColumn("_in", F.lit(True)), "fp", "left"
+    ).select("doc_id", F.coalesce(F.col("_in"), F.lit(False)).alias("in_ledger"))
+    return maybe.join(truth, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "bloom_maybe", "in_ledger"
+    )
+
+
 def pipeline_keep_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-free flagship tier (heuristics + scrub + exact-dedup gates,
     pipeline.enrich_sql_only) — fully DuckDB-oracled, so the pipeline's
@@ -1007,5 +1037,6 @@ QUERIES = {
     "pipeline_keep_decisions": pipeline_keep_decisions,
     "pipeline_keep_sql": pipeline_keep_sql,
     "incremental_dedup_batch2": incremental_dedup_batch2,
+    "bloom_ledger_probe": bloom_ledger_probe,
     "media_features": media_features,
 }
