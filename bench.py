@@ -61,6 +61,7 @@ HEADLINE = [
     "kmeans_clusters",
     "semdedup_flags",
     "bloom_ledger_probe",
+    "kmv_corpus_overlap",
 ]
 
 

@@ -747,6 +747,52 @@ FROM maybe m JOIN truth t USING (doc_id)
 """
 
 
+def _kmv_corpus_overlap_sql() -> str:
+    """KMV twin of dq.sketch over the incremental batches: same 15-hex-char
+    hash, same sort-limit sketches, same single-division estimates (the
+    (k-1)*M numerator is embedded as one precomputed double literal on both
+    engines, so the doubles are bit-identical)."""
+    from dq.sketch import KMV_HEX_CHARS, KMV_K, KMV_M
+
+    num = repr(float(KMV_K - 1) * float(KMV_M))
+    h = f"('0x' || substr(sha256(text), 1, {KMV_HEX_CHARS}))::BIGINT"
+    return f"""
+WITH b1 AS (
+  SELECT text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+), b2 AS (
+  SELECT text FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % {INCR_RECRAWL_MOD} = 0
+), sa AS (
+  SELECT DISTINCT {h} AS h FROM b1 ORDER BY h LIMIT {KMV_K}
+), sb AS (
+  SELECT DISTINCT {h} AS h FROM b2 ORDER BY h LIMIT {KMV_K}
+), su AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT {KMV_K}
+), ea AS (
+  SELECT count(*) AS n_sketch_a, max(h) AS kth_min_a FROM sa
+), eb AS (
+  SELECT count(*) AS n_sketch_b, max(h) AS kth_min_b FROM sb
+), inter AS (
+  SELECT count(*) AS x FROM su JOIN sa USING (h) JOIN sb USING (h)
+), nu AS (
+  SELECT count(*) AS n FROM su
+)
+SELECT
+  CAST(n_sketch_a AS BIGINT) AS n_sketch_a,
+  kth_min_a,
+  CASE WHEN n_sketch_a < {KMV_K} THEN n_sketch_a::DOUBLE
+       ELSE {num} / kth_min_a::DOUBLE END AS est_distinct_a,
+  CAST(n_sketch_b AS BIGINT) AS n_sketch_b,
+  kth_min_b,
+  CASE WHEN n_sketch_b < {KMV_K} THEN n_sketch_b::DOUBLE
+       ELSE {num} / kth_min_b::DOUBLE END AS est_distinct_b,
+  CAST(x AS BIGINT) AS inter_in_union_sketch,
+  x::DOUBLE / n::DOUBLE AS jaccard_est
+FROM ea, eb, inter, nu
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -1089,6 +1135,7 @@ WHERE rk > 1 OR text IN (SELECT text FROM b1)
     # conv(substr,16,10) == DuckDB's ('0x'||substr)::BIGINT (both positive
     # 32-bit values), same words, same probe verdicts.
     "bloom_ledger_probe": _bloom_ledger_probe_sql(),
+    "kmv_corpus_overlap": _kmv_corpus_overlap_sql(),
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semdedup_flags": _semdedup_sql(),

@@ -955,6 +955,29 @@ def bloom_ledger_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch overlap report between the two incremental batches
+    (dq.sketch): per-batch distinct estimates + Beyer et al. Jaccard from
+    O(k) state — the crawl-vs-crawl overlap question answered without a
+    corpus-sized join. The planted re-crawls guarantee real overlap.
+    Sketch members, k-th minima, and IEEE-double estimates are
+    bit-reproduced by DuckDB."""
+    from dq import sketch
+    from dq.dedup import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = fingerprint_col(F.col("text")).alias("fp")
+    b1 = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0).select(fp)
+    recrawl = docs.where(F.col("doc_id") % INCR_RECRAWL_MOD == 0).select("text")
+    b2 = (
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select("text")
+        .unionByName(recrawl)
+        .select(fp)
+    )
+    return sketch.kmv_overlap(b1, b2)
+
+
 def pipeline_keep_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-free flagship tier (heuristics + scrub + exact-dedup gates,
     pipeline.enrich_sql_only) — fully DuckDB-oracled, so the pipeline's
@@ -1038,5 +1061,6 @@ QUERIES = {
     "pipeline_keep_sql": pipeline_keep_sql,
     "incremental_dedup_batch2": incremental_dedup_batch2,
     "bloom_ledger_probe": bloom_ledger_probe,
+    "kmv_corpus_overlap": kmv_corpus_overlap,
     "media_features": media_features,
 }
