@@ -62,6 +62,7 @@ HEADLINE = [
     "semdedup_flags",
     "bloom_ledger_probe",
     "kmv_corpus_overlap",
+    "domain_pagerank",           # webgraph tier: html href mining + integer PageRank
 ]
 
 

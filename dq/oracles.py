@@ -793,6 +793,67 @@ FROM ea, eb, inter, nu
 """
 
 
+def _link_edges_ctes() -> str:
+    """Edge-list CTEs for the webgraph twins: DuckDB rebuilds the pages'
+    deterministic outlinks from the dq.webgraph constants (the Spark side
+    mines them back out of the rendered html with a regexp — the oracle
+    checks the whole render→extract→aggregate chain)."""
+    from dq.webgraph import LINK_DOMAINS, LINK_HUB, LINK_MULTS
+
+    selects = [
+        f"SELECT source AS src_domain,"
+        f" 'src' || CAST((doc_id * {m}) % {LINK_DOMAINS} AS VARCHAR) AS dst_domain"
+        f" FROM documents"
+        for m in LINK_MULTS
+    ] + [f"SELECT source AS src_domain, 'src{LINK_HUB}' AS dst_domain FROM documents"]
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""links AS (
+  {union}
+), edges AS (
+  SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS weight
+  FROM links GROUP BY 1, 2
+)"""
+
+
+def _domain_pagerank_sql() -> str:
+    """Unrolled integer PageRank twin of dq.webgraph.pagerank: DuckDB's
+    ``//`` and Spark's ``DIV`` agree on positive integers, so every round's
+    ranks are bit-identical."""
+    from dq.webgraph import DAMP_DEN, DAMP_NUM, PAGERANK_ITERS, RANK_BASE, RANK_SCALE
+
+    rounds = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst_domain AS domain, sum((r."rank" * e.weight) // o.out_w) AS s
+  FROM edges e JOIN {prev} r ON e.src_domain = r.domain
+  JOIN outw o ON e.src_domain = o.src_domain
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.domain,
+         CAST({RANK_BASE} + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN} AS BIGINT) AS "rank"
+  FROM nodes n LEFT JOIN c{i} c USING (domain)
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_link_edges_ctes()},
+nodes AS (
+  SELECT src_domain AS domain FROM edges
+  UNION
+  SELECT dst_domain AS domain FROM edges
+), outw AS (
+  SELECT src_domain, CAST(sum(weight) AS BIGINT) AS out_w FROM edges GROUP BY 1
+), r0 AS (
+  SELECT domain, CAST({RANK_SCALE} AS BIGINT) AS "rank" FROM nodes
+),
+{chain}
+SELECT domain, "rank" FROM {prev}
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -1136,6 +1197,11 @@ WHERE rk > 1 OR text IN (SELECT text FROM b1)
     # 32-bit values), same words, same probe verdicts.
     "bloom_ledger_probe": _bloom_ledger_probe_sql(),
     "kmv_corpus_overlap": _kmv_corpus_overlap_sql(),
+    "domain_link_edges": f"""
+WITH {_link_edges_ctes()}
+SELECT src_domain, dst_domain, weight FROM edges
+""",
+    "domain_pagerank": _domain_pagerank_sql(),
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semdedup_flags": _semdedup_sql(),

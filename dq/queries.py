@@ -855,8 +855,12 @@ def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. html is synthesized IN the plan (native expression twin of
     synth.render_html) so the byte-identical extraction invariant is
     exercised by the flagship; queries that don't read html pay nothing —
-    Catalyst prunes the unused projection."""
+    Catalyst prunes the unused projection. The html carries a nav block of
+    deterministic empty-anchor outlinks (dq.webgraph.out_link_urls) — tags
+    strip whole, so the extraction byte-invariant is untouched while the
+    link-graph tier gets real hrefs to mine."""
     from dq.synth import render_html_col
+    from dq.webgraph import out_link_urls
 
     docs = _t(spark, sf_dir, "documents")
     url = F.concat(
@@ -868,7 +872,7 @@ def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_timestamp(F.lit("2024-03-01 00:00:00"))
             + F.make_interval(days=(F.col("doc_id") % 4).cast("int"))
         ).alias("warc_ts"),
-        render_html_col(F.col("text"), url).alias("html"),
+        render_html_col(F.col("text"), url, out_link_urls(F.col("doc_id"))).alias("html"),
         F.col("text"),
         F.col("lang"),
     )
@@ -992,6 +996,26 @@ def pipeline_keep_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph mined from the pages' html (dq.webgraph):
+    hrefs come out of the SYNTHESIZED html via a codegen regexp — the
+    oracle rebuilds the same edges from the outlink arithmetic constants,
+    so the whole render→regex→aggregate chain is hash-checked."""
+    from dq.webgraph import domain_edges
+
+    return domain_edges(docs_as_pages(spark, sf_dir))
+
+
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the mined domain graph
+    (dq.webgraph.pagerank) — link-centrality quality prior à la Common
+    Crawl's domain ranks. Every iteration is integral arithmetic, so the
+    DuckDB twin (3 unrolled CTE rounds) reproduces ranks bit-for-bit."""
+    from dq.webgraph import domain_edges, pagerank
+
+    return pagerank(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary assets -> digest + fake feature vector
     (rows-only: decoder is a deterministic stub, mapInPandas plumbing real)."""
@@ -1062,5 +1086,7 @@ QUERIES = {
     "incremental_dedup_batch2": incremental_dedup_batch2,
     "bloom_ledger_probe": bloom_ledger_probe,
     "kmv_corpus_overlap": kmv_corpus_overlap,
+    "domain_link_edges": domain_link_edges,
+    "domain_pagerank": domain_pagerank,
     "media_features": media_features,
 }

@@ -114,11 +114,16 @@ def _degenerate_text(rng: np.random.RandomState, kind: int, lang: str) -> str:
     return "\n".join(lines)
 
 
-def render_html_col(text_col, title_col):
+def render_html_col(text_col, title_col, links_col=None):
     """Native Catalyst twin of :func:`render_html` (byte-identical output,
     pinned by tests/test_extract.py): lets driver-shaped tables without an
     html column synthesize one IN the plan, so the flagship exercises the
-    extraction round-trip (extract_text_col(html) == text) end-to-end."""
+    extraction round-trip (extract_text_col(html) == text) end-to-end.
+
+    ``links_col`` (optional array<string> of outlink urls) renders a nav
+    block of EMPTY-anchor ``<a href>`` tags — tags are stripped whole by
+    the extractor, so the round-trip invariant is untouched while
+    dq.webgraph gets real hrefs to mine."""
     from pyspark.sql import functions as F
 
     def esc(c):  # html.escape(quote=True) twin — '&' first, same order
@@ -133,24 +138,46 @@ def render_html_col(text_col, title_col):
         ),
         "",
     )
+    nav = (
+        F.lit("")
+        if links_col is None
+        else F.concat(
+            F.lit("<nav>"),
+            F.array_join(
+                F.transform(
+                    links_col,
+                    lambda u: F.concat(F.lit('<a href="'), esc(u), F.lit('"></a>')),
+                ),
+                "",
+            ),
+            F.lit("</nav>"),
+        )
+    )
     doc = F.concat(
         F.lit("<html><head><title>"),
         esc(title_col),
         F.lit('</title><meta charset="utf-8"><script>var x=1;</script>'
               "<style>p{margin:0}</style></head><body><div>"),
         pars,
-        F.lit("</div><!-- footer --></body></html>"),
+        F.lit("</div>"),
+        nav,
+        F.lit("<!-- footer --></body></html>"),
     )
     return F.encode(doc, "UTF-8")
 
 
-def render_html(text: str, title: str) -> bytes:
+def render_html(text: str, title: str, links: tuple[str, ...] = ()) -> bytes:
     """Render text into deterministic HTML. Inverse of dq.extract.extract_text."""
     pars = "".join(f"<p>{_html.escape(p)}</p>" for p in text.split("\n"))
+    nav = (
+        "<nav>" + "".join(f'<a href="{_html.escape(u)}"></a>' for u in links) + "</nav>"
+        if links
+        else ""
+    )
     doc = (
         f"<html><head><title>{_html.escape(title)}</title>"
         f'<meta charset="utf-8"><script>var x=1;</script>'
-        f"<style>p{{margin:0}}</style></head><body><div>{pars}</div>"
+        f"<style>p{{margin:0}}</style></head><body><div>{pars}</div>{nav}"
         f"<!-- footer --></body></html>"
     )
     return doc.encode("utf-8")

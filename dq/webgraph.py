@@ -1,0 +1,121 @@
+"""Web link graph: outlink extraction, domain edges, quantized PageRank.
+
+Corpus-quality pipelines use link-graph centrality as a document-quality
+prior (Common Crawl publishes harmonic-centrality domain ranks; OPIC-style
+crawl frontiers weight by link mass). This module mines hrefs out of the
+html column, aggregates a (src_domain, dst_domain, weight) edge list, and
+runs a fixed number of integer-quantized PageRank iterations — every step
+an equi-join / hash-agg, bit-reproduced by the DuckDB oracle.
+
+Engine portability: ranks are integers scaled by RANK_SCALE; the damped
+update is ``BASE + (DAMP_NUM * S) DIV DAMP_DEN`` with per-edge
+contributions ``(r * w) DIV out_w`` — integral division on both engines
+(all values positive), so no float drift across iterations.
+
+Scale shape (100 TB notes): href extraction is a codegen regexp over the
+already-scanned html (no extra pass); the edge list aggregates to
+O(domains^2 <<) rows; PageRank then iterates over the DOMAIN graph —
+millions of nodes, not documents — with broadcast-sized rank frames,
+localCheckpoint-truncated lineage per round, and a shuffle keyed on
+domain. Document-level PageRank at 10^12 nodes would instead partition
+edges by src and co-partition ranks (GraphX/Pregel shape); the domain
+rollup is the standard corpus-quality variant and keeps the iteration
+cheap at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+LINK_DOMAINS = 20        # synthetic universe = the documents table's sources
+LINK_HUB = 0             # every doc's last link -> src0 (a hub, so the
+                         # graph is skewed like real webgraphs)
+LINK_MULTS = (2, 3)      # pseudo-random targets: src[(doc_id * m) % 20]
+HREF_RE = r'href="([^"]*)"'
+DOMAIN_RE = r"://([^/]+)"  # scheme-agnostic host (pages use doc://)
+
+RANK_SCALE = 1_000_000   # r0 = SCALE per node
+DAMP_NUM, DAMP_DEN = 85, 100
+RANK_BASE = RANK_SCALE - (DAMP_NUM * RANK_SCALE) // DAMP_DEN  # 150000
+PAGERANK_ITERS = 3
+
+
+def out_link_urls(doc_id: Column) -> Column:
+    """Deterministic outlink urls for one doc (see module constants)."""
+    targets = [
+        F.concat(F.lit("doc://src"), ((doc_id * m) % LINK_DOMAINS).cast("string"))
+        for m in LINK_MULTS
+    ] + [F.lit(f"doc://src{LINK_HUB}")]
+    return F.array(*[F.concat(t, F.lit("/out/"), doc_id.cast("string")) for t in targets])
+
+
+def extract_links_col(html_col: Column) -> Column:
+    """All href values in an html document (codegen regexp, no UDF)."""
+    return F.regexp_extract_all(F.decode(html_col, "UTF-8"), F.lit(HREF_RE), 1)
+
+
+def domain_col(url: Column) -> Column:
+    return F.regexp_extract(url, DOMAIN_RE, 1)
+
+
+def domain_edges(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(src_domain, dst_domain, weight): the domain-level link graph mined
+    from html. posexplode of a small constant-degree array — the inferred
+    size(arr)>0 filter constant-folds (see CLAUDE.md explode note)."""
+    links = pages.select(
+        domain_col(F.col(url_col)).alias("src_domain"),
+        F.explode_outer(extract_links_col(F.col(html_col))).alias("_link"),
+    ).where(F.col("_link").isNotNull())
+    return (
+        links.select("src_domain", domain_col(F.col("_link")).alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    scale: int = RANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(domain, rank): integer-quantized PageRank after ``iters`` rounds.
+
+    Leaky formulation (dangling mass not redistributed — standard for
+    quality-prior use); r_{t+1}(v) = BASE + (85 * S_v) DIV 100 with
+    S_v = sum over in-edges of (r_u * w) DIV out_u. Deterministic and
+    engine-portable: integral division, order-free integer sums.
+    """
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionByName(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    outw = edges.groupBy("src_domain").agg(F.sum("weight").alias("out_w"))
+    base = scale - (DAMP_NUM * scale) // DAMP_DEN
+    r = nodes.select("domain", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(r, edges["src_domain"] == r["domain"])
+            .join(outw, "src_domain")
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.expr("(rank * weight) DIV out_w").alias("_c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = nodes.join(contribs, "domain", "left").select(
+            "domain",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({DAMP_NUM} * coalesce(_s, 0)) DIV {DAMP_DEN}")
+            ).alias("rank"),
+        )
+        if checkpoint:
+            # domain-count rows; cut per-round lineage (CLAUDE.md iterative-loop rule)
+            r = r.localCheckpoint()
+    return r

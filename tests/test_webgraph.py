@@ -1,0 +1,103 @@
+"""Web link graph: href mining, domain edges, integer PageRank."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from dq import webgraph
+from dq.synth import render_html
+from dq.extract import extract_text
+from tests.conftest import SF0001
+
+
+def ref_pagerank(edges: dict[tuple[str, str], int], iters: int) -> dict[str, int]:
+    """Pure-Python twin of dq.webgraph.pagerank (same integer quantization)."""
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outw: dict[str, int] = defaultdict(int)
+    for (u, _), w in edges.items():
+        outw[u] += w
+    r = {n: webgraph.RANK_SCALE for n in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = defaultdict(int)
+        for (u, v), w in edges.items():
+            s[v] += (r[u] * w) // outw[u]
+        r = {
+            n: webgraph.RANK_BASE + (webgraph.DAMP_NUM * s[n]) // webgraph.DAMP_DEN
+            for n in nodes
+        }
+    return r
+
+
+def test_links_preserve_extraction_roundtrip():
+    text = 'hello <world> & "friends"\nsecond paragraph'
+    plain = render_html(text, "t")
+    linked = render_html(text, "t", ("doc://src1/out/5", "doc://src0/out/5"))
+    assert linked != plain  # nav block really rendered
+    assert extract_text(linked) == extract_text(plain) == text
+
+
+def test_extract_links_col_and_render_col_agree(spark):
+    links = ("doc://src3/out/9", "doc://src0/out/9")
+    pdf_html = render_html("body text", "u9", links)
+    df = spark.createDataFrame([("u9",)], "url string").select(
+        "url",
+        F.encode(F.lit(pdf_html.decode("utf-8")), "UTF-8").alias("html"),
+    )
+    got = df.select(webgraph.extract_links_col(F.col("html")).alias("l")).head()["l"]
+    assert tuple(got) == links
+
+
+def test_out_link_urls_python_twin(spark):
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        webgraph.out_link_urls(F.col("id")).alias("links"),
+    )
+    for row in df.collect():
+        i = row["doc_id"]
+        expect = [
+            f"doc://src{(i * m) % webgraph.LINK_DOMAINS}/out/{i}"
+            for m in webgraph.LINK_MULTS
+        ] + [f"doc://src{webgraph.LINK_HUB}/out/{i}"]
+        assert list(row["links"]) == expect
+
+
+def test_domain_edges_planted(spark):
+    rows = [
+        ("doc://a/1", render_html("x", "1", ("doc://b/out/1", "doc://b/out/1b")).decode()),
+        ("doc://a/2", render_html("y", "2", ("doc://c/out/2",)).decode()),
+        ("doc://b/3", render_html("z", "3", ()).decode()),  # no links
+    ]
+    pages = spark.createDataFrame(rows, "url string, h string").select(
+        "url", F.encode(F.col("h"), "UTF-8").alias("html")
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in webgraph.domain_edges(pages).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_pagerank_matches_python_reference(spark):
+    from dq.queries import docs_as_pages
+
+    edges_df = webgraph.domain_edges(docs_as_pages(spark, SF0001))
+    edges = {
+        (r["src_domain"], r["dst_domain"]): r["weight"] for r in edges_df.collect()
+    }
+    expect = ref_pagerank(edges, webgraph.PAGERANK_ITERS)
+    got = {r["domain"]: r["rank"] for r in webgraph.pagerank(edges_df).collect()}
+    assert got == expect
+    # the hub (every doc links to it) must out-rank everyone else
+    hub = f"src{webgraph.LINK_HUB}"
+    assert got[hub] == max(got.values()) and got[hub] > min(got.values())
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    from dq.queries import docs_as_pages
+
+    plan = webgraph.pagerank(
+        webgraph.domain_edges(docs_as_pages(spark, SF0001)), iters=1, checkpoint=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
