@@ -194,3 +194,43 @@ def c4_line_filter(base: DataFrame) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept"),
         _reassemble(kept).alias("text_c4"),
     )
+
+
+def dup_line_stats(base: DataFrame) -> DataFrame:
+    """Gopher-style duplicate-line fractions per doc (Rae et al. 2021 §A1.1
+    "fraction of duplicate lines" / "fraction of characters in duplicate
+    lines") over (doc_id, lines: array<string>).
+
+    A line occurrence is a duplicate when an identical line appeared
+    earlier in the SAME document; fractions are over occurrences and over
+    their characters. Both divisions take exact integers, so DuckDB
+    reproduces the doubles bit-for-bit.
+
+    Scale shape: the only exchange is the (doc_id, xxhash64(line),
+    length(line)) hash-agg — 24 B per line occurrence, the line text never
+    shuffles; grouping by fingerprint ≡ grouping by line (the oracle
+    groups by the raw line and the outputs still match).
+    """
+    ex = base.select("doc_id", F.explode_outer("lines").alias("line")).where(
+        F.col("line").isNotNull()
+    )
+    per = ex.groupBy(
+        "doc_id", F.xxhash64("line").alias("_fp"), F.length("line").alias("_len")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("_c").cast("bigint").alias("n_lines"),
+        (F.sum("_c") - F.count(F.lit(1))).cast("bigint").alias("n_dup_lines"),
+        F.sum(F.col("_c") * F.col("_len")).cast("bigint").alias("_tot_chars"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).cast("bigint").alias("_dup_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        (F.col("n_dup_lines").cast("double") / F.col("n_lines").cast("double")).alias(
+            "dup_line_frac"
+        ),
+        F.when(F.col("_tot_chars") == 0, F.lit(0.0))
+        .otherwise(F.col("_dup_chars").cast("double") / F.col("_tot_chars").cast("double"))
+        .alias("dup_line_char_frac"),
+    )

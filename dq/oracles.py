@@ -137,6 +137,43 @@ FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
 """
 
 
+def _dup_line_metrics_sql() -> str:
+    """Twin of dq.lines.dup_line_stats over the planted multi-line corpus:
+    groups by the raw line (the Spark side groups by xxhash64(line) — a
+    pure key substitution), identical exact-int fractions."""
+    from dq.lines import FOOTER_MOD
+    from dq.queries import DUP_LINE_PLANT_MOD
+
+    header, body, footer = _multiline_pieces()
+    return f"""
+WITH l AS (
+  SELECT doc_id, {header} AS line FROM documents
+  UNION ALL SELECT doc_id, {body} AS line FROM documents
+  UNION ALL SELECT doc_id, {footer} AS line FROM documents
+            WHERE doc_id % {FOOTER_MOD} = 0
+  UNION ALL SELECT doc_id, {body} AS line FROM documents
+            WHERE doc_id % {DUP_LINE_PLANT_MOD} = 0
+), per AS (
+  SELECT doc_id, line, length(line) AS len, count(*) AS c
+  FROM l GROUP BY doc_id, line
+), agg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c) - count(*) AS n_dup_lines,
+         sum(c * len) AS tot_chars,
+         sum((c - 1) * len) AS dup_chars
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+       n_dup_lines::DOUBLE / n_lines::DOUBLE AS dup_line_frac,
+       CASE WHEN tot_chars = 0 THEN 0.0
+            ELSE dup_chars::DOUBLE / tot_chars::DOUBLE END AS dup_line_char_frac
+FROM agg
+"""
+
+
 def _c4_line_filter_sql() -> str:
     from dq.lines import (
         C4_BANNED_RE,
@@ -1134,6 +1171,7 @@ FROM documents
 """,
     "tfidf_top_terms": _tfidf_sql(),
     "line_dedup_global": _line_dedup_sql(),
+    "dup_line_metrics": _dup_line_metrics_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
     "domain_hot_stats": _domain_hot_stats_sql(),
     "url_rules_filter": _url_rules_filter_sql(),

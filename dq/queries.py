@@ -557,6 +557,31 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.c4_line_filter(lines.multiline_docs(docs))
 
 
+# every DUP_LINE_PLANT_MOD-th doc's body line is repeated once, planting a
+# within-doc duplicate (oracle builds its line list from the same constant)
+DUP_LINE_PLANT_MOD = 5
+
+
+def dup_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line fractions (dq.lines.dup_line_stats) over the
+    multi-line corpus with planted within-doc body repeats — fraction of
+    repeated line occurrences and of the characters they carry."""
+    from dq import lines
+
+    docs = _t(spark, sf_dir, "documents")
+    base = lines.multiline_docs(docs)
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DUP_LINE_PLANT_MOD == 0,
+            F.concat(F.col("lines"), F.slice(F.col("lines"), 2, 1)),
+        )
+        .otherwise(F.col("lines"))
+        .alias("lines"),
+    )
+    return lines.dup_line_stats(planted)
+
+
 def domain_hot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-domain (skew-key) detection over the constructed URL corpus
     (dq.urlstats.url_docs): per-domain doc share in exact basis points +
@@ -1061,6 +1086,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "line_dedup_global": line_dedup_global,
     "c4_line_filter": c4_line_filter,
+    "dup_line_metrics": dup_line_metrics,
     "domain_hot_stats": domain_hot_stats,
     "url_rules_filter": url_rules_filter,
     "contamination_scores": contamination_scores,

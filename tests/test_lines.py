@@ -103,3 +103,32 @@ def test_tfidf_top_terms_ranking(spark):
     assert top[(2, 2)] == ("apple", 1, 2)
     # doc 3: tf tie common/apple -> apple df=2 < common df=3
     assert top[(3, 1)] == ("apple", 1, 2)
+
+
+def test_dup_line_stats_planted(spark):
+    rows = [
+        (1, ["a line.", "b body.", "b body.", "c tail."]),   # 1 dup occurrence
+        (2, ["unique one.", "unique two."]),                  # none
+        (3, ["x.", "x.", "x."]),                              # 2 dup occurrences
+        (4, ["", ""]),                                        # dup of empty: 0 chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = {r.doc_id: r for r in lines.dup_line_stats(df).collect()}
+    assert (out[1].n_lines, out[1].n_dup_lines) == (4, 1)
+    assert out[1].dup_line_frac == 1 / 4
+    assert out[1].dup_line_char_frac == len("b body.") / len("a line.b body.b body.c tail.")
+    assert (out[2].n_dup_lines, out[2].dup_line_frac, out[2].dup_line_char_frac) == (0, 0.0, 0.0)
+    assert (out[3].n_lines, out[3].n_dup_lines) == (3, 2)
+    assert out[3].dup_line_frac == 2 / 3 and out[3].dup_line_char_frac == 2 / 3
+    assert (out[4].n_dup_lines, out[4].dup_line_char_frac) == (1, 0.0)  # 0-char guard
+
+
+def test_dup_line_stats_exchange_is_narrow(spark):
+    df = spark.createDataFrame(
+        [(1, ["abc.", "abc."])], "doc_id bigint, lines array<string>"
+    )
+    plan = lines.dup_line_stats(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "line#" not in frag  # only doc_id/fp/len ever shuffle
