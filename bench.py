@@ -54,6 +54,8 @@ HEADLINE = [
     "contamination_scores",
     "domain_hot_stats",
     "quality_classifier",        # round-3 curation/scoring tier
+    "ccnet_quality_buckets",
+    "dup_line_metrics",
     "dup_span_fractions",
     "stratified_sample",
     "domain_cap_quota",

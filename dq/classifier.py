@@ -91,3 +91,84 @@ def classifier_scores(
             "keep_quality"
         ),
     )
+
+
+CCNET_RATE_SCALE = 1000  # per-token mean weight reported in micro/1000 units
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    scale: int = CCNET_RATE_SCALE,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al. 2020
+    §4.3): per language, documents split at the tercile edges of a
+    per-token model score. CCNet buckets by KenLM perplexity; here the
+    deterministic hashed linear scorer stands in — identical partitioning
+    machinery, integral end to end.
+
+    ``rate_nano = (score_micro * scale) DIV n_tokens`` (0 for empty docs;
+    Spark DIV truncates toward zero — the DuckDB twin emulates truncation
+    for negative sums, since ``//`` floors). Edge rule: tail iff
+    rate <= e1, middle iff rate <= e2, else head, where e_k is the first
+    histogram value whose cumulative count reaches ceil(k*n/3) — the exact
+    discrete pick, computed as ``(k*n + 2) DIV 3`` in integers.
+
+    Scale shape: tercile edges come from a per-(lang, rate) HISTOGRAM
+    cumulative pick (the qualitativo_percentiles shape — only O(distinct
+    rates) rows enter the per-lang window, never the row set); the one-row-
+    per-lang edge table broadcast-joins back, so documents never shuffle.
+    The scoring projection runs twice (histogram pass + label pass); at
+    production scale materialize the rated frame once instead.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        tokens_col(F.col(text_col)).alias("_w"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        F.size("_w").cast("long").alias("_n"),
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda acc, t: acc + token_weight(t)
+        ).alias("_s"),
+    )
+    rated = scored.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_n") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"(_s * {scale}) DIV _n"))
+        .alias("rate_nano"),
+    )
+    hist = rated.groupBy("lang", "rate_nano").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_lang = Window.partitionBy("lang")
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            per_lang.orderBy("rate_nano").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).withColumn("_ntot", F.sum("_cnt").over(per_lang))
+    edges = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(_ntot + 2) DIV 3"), F.col("rate_nano"))
+        ).alias("_e1"),
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(2 * _ntot + 2) DIV 3"), F.col("rate_nano"))
+        ).alias("_e2"),
+    )
+    return rated.join(F.broadcast(edges), "lang").select(
+        "doc_id",
+        "lang",
+        "rate_nano",
+        F.when(F.col("rate_nano") <= F.col("_e1"), F.lit("tail"))
+        .when(F.col("rate_nano") <= F.col("_e2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )

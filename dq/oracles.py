@@ -456,14 +456,10 @@ FROM t
 """
 
 
-def _quality_classifier_sql() -> str:
-    from dq.classifier import (
-        KEEP_TAU_MICRO,
-        POLY_MOD,
-        POLY_MUL,
-        TOXIC_WEIGHT_MICRO,
-        WEIGHT_SPAN,
-    )
+def _token_weight_sql() -> str:
+    """Per-token hashed weight expression shared by the classifier twins
+    (bound variable ``w``) — mirrors dq.classifier.token_weight."""
+    from dq.classifier import POLY_MOD, POLY_MUL, TOXIC_WEIGHT_MICRO, WEIGHT_SPAN
     from dq.scrub import TOXIC_WORDS
 
     tox = ", ".join(f"'{_sq(t)}'" for t in TOXIC_WORDS)
@@ -472,10 +468,16 @@ def _quality_classifier_sql() -> str:
         "c -> CAST(ascii(c) AS BIGINT)), "
         f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
     )
-    weight = (
+    return (
         f"CASE WHEN w IN ({tox}) THEN {TOXIC_WEIGHT_MICRO} "
         f"ELSE ({poly} % {WEIGHT_SPAN}) - {WEIGHT_SPAN // 2} END"
     )
+
+
+def _quality_classifier_sql() -> str:
+    from dq.classifier import KEEP_TAU_MICRO
+
+    weight = _token_weight_sql()
     return f"""
 WITH t AS (SELECT doc_id, {_WORDS_LOWER} AS words FROM documents)
 SELECT doc_id,
@@ -485,6 +487,49 @@ SELECT doc_id,
        (CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
              AS BIGINT) >= {KEEP_TAU_MICRO} * len(words)) AS keep_quality
 FROM t
+"""
+
+
+def _ccnet_buckets_sql() -> str:
+    """Twin of dq.classifier.ccnet_buckets. DuckDB's ``//`` floors while
+    Spark's ``DIV`` truncates toward zero — the rate is computed on the
+    absolute sum and re-signed so both engines truncate identically."""
+    from dq.classifier import CCNET_RATE_SCALE
+
+    weight = _token_weight_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_WORDS_LOWER} AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS BIGINT) AS n,
+         CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
+              AS BIGINT) AS sm
+  FROM t
+), rated AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN n = 0 THEN 0
+                   WHEN sm < 0 THEN -(((-sm) * {CCNET_RATE_SCALE}) // n)
+                   ELSE (sm * {CCNET_RATE_SCALE}) // n END AS BIGINT) AS rate_nano
+  FROM s
+), hist AS (
+  SELECT lang, rate_nano, count(*) AS cnt FROM rated GROUP BY 1, 2
+), cum AS (
+  SELECT lang, rate_nano,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY rate_nano) AS c,
+         sum(cnt) OVER (PARTITION BY lang) AS ntot
+  FROM hist
+), edges AS (
+  SELECT lang,
+         min(CASE WHEN c >= (ntot + 2) // 3 THEN rate_nano END) AS e1,
+         min(CASE WHEN c >= (2 * ntot + 2) // 3 THEN rate_nano END) AS e2
+  FROM cum GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.rate_nano,
+       CASE WHEN r.rate_nano <= e.e1 THEN 'tail'
+            WHEN r.rate_nano <= e.e2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM rated r JOIN edges e USING (lang)
 """
 
 
@@ -1180,6 +1225,7 @@ FROM documents
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
     "quality_classifier": _quality_classifier_sql(),
+    "ccnet_quality_buckets": _ccnet_buckets_sql(),
     "dup_span_fractions": _dup_span_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})

@@ -649,6 +649,16 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (dq.classifier.ccnet_buckets):
+    per-language tercile split of the integer per-token classifier score —
+    histogram cumulative-pick edges, broadcast join-back, docs never
+    shuffle."""
+    from dq.classifier import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 def dup_span_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup stats (Lee et al. k-gram approximation):
     per-doc fraction of distinct 5-grams shared with another document —
@@ -1094,6 +1104,7 @@ QUERIES = {
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
     "quality_classifier": quality_classifier,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
     "dup_span_fractions": dup_span_fractions,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,

@@ -83,3 +83,54 @@ def test_weights_span_and_determinism(spark):
     half = WEIGHT_SPAN // 2
     assert all(-half <= v <= half for v in vals)
     assert vals[0] == vals[3]
+
+
+def test_ccnet_buckets_discrete_pick_matches_python():
+    # recompute the per-lang tercile edges + labels in pure Python from the
+    # collected rates; the engine must agree exactly (same discrete pick)
+    import collections
+
+    from dq.classifier import ccnet_buckets
+    from dq.session import get_spark
+    from tests.conftest import SF0001
+
+    spark = get_spark("dq-tests", master="local[8]", shuffle_partitions=8)
+    out = ccnet_buckets(
+        spark.read.parquet(SF0001 + "/documents.parquet")
+    ).collect()
+    by_lang = collections.defaultdict(list)
+    for r in out:
+        by_lang[r.lang].append(r.rate_nano)
+    edges = {}
+    for lang, rates in by_lang.items():
+        s, n = sorted(rates), len(rates)
+        edges[lang] = (s[(n + 2) // 3 - 1], s[(2 * n + 2) // 3 - 1])
+    assert len(edges) >= 2  # really per-language
+    for r in out:
+        e1, e2 = edges[r.lang]
+        expect = "tail" if r.rate_nano <= e1 else ("middle" if r.rate_nano <= e2 else "head")
+        assert r.bucket == expect
+    # every language fills all three buckets at this corpus size
+    seen = collections.defaultdict(set)
+    for r in out:
+        seen[r.lang].add(r.bucket)
+    assert all(v == {"head", "middle", "tail"} for v in seen.values())
+
+
+def test_ccnet_rate_truncates_toward_zero(spark):
+    # a toxic-only doc has a negative score sum; Spark DIV truncates toward
+    # zero and the oracle emulates that — pin the Python-trunc expectation
+    from dq.classifier import CCNET_RATE_SCALE, ccnet_buckets
+
+    text = " ".join([TOXIC_WORDS[0]] * 2 + ["neutralword"])
+    df = spark.createDataFrame(
+        [(1, text, "en"), (2, "plain words here", "en"), (3, "more text", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    scored = {r["doc_id"]: r for r in classifier_scores(df).collect()}
+    sm, n = scored[1]["score_micro"], scored[1]["n_tokens"]
+    assert sm < 0
+    q = sm * CCNET_RATE_SCALE
+    expect = -((-q) // n) if q < 0 else q // n
+    got = {r.doc_id: r.rate_nano for r in ccnet_buckets(df).collect()}
+    assert got[1] == expect
