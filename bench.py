@@ -65,6 +65,7 @@ HEADLINE = [
     "bloom_ledger_probe",
     "kmv_corpus_overlap",
     "domain_pagerank",           # webgraph tier: html href mining + integer PageRank
+    "user_sessions",             # clickstream sessionization (events table)
 ]
 
 

@@ -875,6 +875,36 @@ FROM ea, eb, inter, nu
 """
 
 
+def _user_sessions_sql() -> str:
+    """Twin of dq.sessions.session_rollup: same (ts, event_id) tie-broken
+    window, date_diff('second') for both the gap test and the span (exact
+    bigints on both engines), cents quantized before summing."""
+    from dq.sessions import SESSION_GAP_SECONDS
+
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER ({w}) IS NULL
+                OR date_diff('second', lag(ts) OVER ({w}), ts) > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events
+), t AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM s
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM t GROUP BY 1, 2
+"""
+
+
 def _link_edges_ctes() -> str:
     """Edge-list CTEs for the webgraph twins: DuckDB rebuilds the pages'
     deterministic outlinks from the dq.webgraph constants (the Spark side
@@ -1286,6 +1316,7 @@ WITH {_link_edges_ctes()}
 SELECT src_domain, dst_domain, weight FROM edges
 """,
     "domain_pagerank": _domain_pagerank_sql(),
+    "user_sessions": _user_sessions_sql(),
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semdedup_flags": _semdedup_sql(),

@@ -331,6 +331,16 @@ def qualitativo_profile_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (dq.sessions): per (user, session)
+    event count, exact epoch-second span, cents total. One user-keyed
+    exchange shared by the lag window, the running sum and the rollup
+    (plan-asserted)."""
+    from dq.sessions import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"))
+
+
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
     nation ⋈ region, revenue per region/year. The fact table never moves
@@ -1085,6 +1095,7 @@ QUERIES = {
     "top_users_by_value": top_users_by_value,
     "salted_distinct_users": salted_distinct_users,
     "hot_event_types": hot_event_types,
+    "user_sessions": user_sessions,
     "revenue_by_region": revenue_by_region,
     "heuristic_metrics": heuristic_metrics,
     "scrub_pii": scrub_pii,
