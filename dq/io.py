@@ -96,6 +96,39 @@ def append_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     df.write.mode("append").format(fmt).save(path)
 
 
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSONL sink — the interchange format of LLM data pipelines (Dolma,
+    RedPajama, FineWeb all ship .jsonl.gz shards). One file per Spark
+    partition; upstream repartition controls shard count/size."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSONL source with a REQUIRED explicit schema: at 100 TB schema
+    inference is a full extra pass over the data — never pay it. Malformed
+    lines land in ``_corrupt_record`` (PERMISSIVE) instead of failing the
+    job; filter or count them as a DQ gate. Accepts a StructType or a DDL
+    string; the corrupt-record column is appended automatically (Spark only
+    surfaces it when it is part of the read schema). Gotcha: Spark refuses
+    queries whose required schema is ONLY the corrupt column — cache() the
+    frame (or reference a data column too) before counting bad lines."""
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = schema.add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 # ------------------------------------------------------- catalog tables -----
 # The reference's only data abstraction is NAMED tables in a metastore:
 # DROP TABLE IF EXISTS + CREATE TABLE ... AS SELECT, stored as ORC
