@@ -490,6 +490,27 @@ FROM t
 """
 
 
+def _nfc_normalized_sql() -> str:
+    """Twin of dq.normalize over the planted decomposed suffix: DuckDB's
+    utf8proc and CPython's unicodedata share the frozen UAX#15 NFC tables
+    (agreement pytest-pinned on combining marks / jamo / singletons)."""
+    from dq.queries import NFC_PLANT_MOD, NFC_PLANT_SUFFIX
+
+    suffix = NFC_PLANT_SUFFIX.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {NFC_PLANT_MOD} = 0 THEN text || '{suffix}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) AS text_nfc,
+       coalesce(nfc_normalize(text) <> text, FALSE) AS changed
+FROM t
+"""
+
+
 def _ccnet_buckets_sql() -> str:
     """Twin of dq.classifier.ccnet_buckets. DuckDB's ``//`` floors while
     Spark's ``DIV`` truncates toward zero — the rate is computed on the
@@ -1256,6 +1277,7 @@ FROM documents
     "token_budget_packing": _token_packing_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "ccnet_quality_buckets": _ccnet_buckets_sql(),
+    "nfc_normalized": _nfc_normalized_sql(),
     "dup_span_fractions": _dup_span_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})

@@ -659,6 +659,30 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+# planted decomposed-unicode suffix (NFC-normalizes to composed forms);
+# oracle embeds the same constant — combining acute / tilde / ring
+NFC_PLANT_MOD = 3
+NFC_PLANT_SUFFIX = " café mañana Ångstrom"
+
+
+def nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (dq.normalize, pandas UDF) with planted
+    decomposed sequences — one of the few ORACLED UDF queries: CPython
+    unicodedata and DuckDB's utf8proc share the frozen UAX#15 tables."""
+    from dq.normalize import with_nfc_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % NFC_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(NFC_PLANT_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_nfc_text(docs).select("doc_id", "text_nfc", "changed")
+
+
 def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partitioning (dq.classifier.ccnet_buckets):
     per-language tercile split of the integer per-token classifier score —
@@ -1116,6 +1140,7 @@ QUERIES = {
     "token_budget_packing": token_budget_packing,
     "quality_classifier": quality_classifier,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "nfc_normalized": nfc_normalized,
     "dup_span_fractions": dup_span_fractions,
     "exact_dedup_survivors": exact_dedup_survivors,
     "minhash_dups": minhash_dups,

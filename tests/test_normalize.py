@@ -1,0 +1,54 @@
+"""Unicode NFC normalization: UDF/pandas-twin semantics + DuckDB agreement."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dq.normalize import nfc_batch, with_nfc_text
+
+# decomposed → composed, Hangul jamo, singleton (Ohm → Omega), ligature stays
+# (explicit escapes — editors silently re-compose pasted literals)
+TRICKY = [
+    "café",                    # e + combining acute -> é
+    "mañana",                  # n + combining tilde -> ñ
+    "Ångström",          # ring + diaeresis
+    "각",            # jamo -> 각 (GAK)
+    "Ω ohm",                    # Ohm sign -> Ω Omega (singleton)
+    "ﬁ ligature stays",         # fi-ligature is NOT decomposed by NFC
+    "plain ascii unchanged",
+]
+
+
+def test_nfc_batch_matches_duckdb():
+    import duckdb
+
+    for s in TRICKY:
+        py = nfc_batch(pd.Series([s]))[0]
+        dk = duckdb.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert py == dk, ascii(s)
+
+
+def test_nfc_batch_semantics():
+    import unicodedata
+
+    out = nfc_batch(pd.Series(TRICKY + [None]))
+    assert out[0] == "café" and out[1] == "mañana"
+    assert out[2] == "Ångström"
+    assert out[3] == "각"        # composed syllable GAK
+    assert out[4] == "Ω ohm"    # capital Omega
+    assert out[5] == TRICKY[5]       # ligature untouched
+    assert out[6] == TRICKY[6]
+    assert out[7] is None
+    assert all(
+        v is None or v == unicodedata.normalize("NFC", v) for v in out
+    )  # idempotent
+
+
+def test_with_nfc_text_changed_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain"), (3, None)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in with_nfc_text(df).collect()}
+    assert got[1].text_nfc == "café" and got[1].changed
+    assert got[2].text_nfc == "plain" and not got[2].changed
+    assert got[3].text_nfc is None and not got[3].changed  # null-safe flag
