@@ -490,6 +490,43 @@ FROM t
 """
 
 
+def _dup_ngram_sql() -> str:
+    """Twin of dq.textstats.dup_ngram_char_stats over the self-concat
+    planted corpus: groups by the raw gram (Spark groups by xxhash64 — key
+    substitution); NULL text and <n-word docs report 0 grams / 0.0."""
+    from dq.queries import DUP_NGRAM_PLANT_MOD
+    from dq.textstats import DUP_NGRAM_N
+
+    n = DUP_NGRAM_N
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DUP_NGRAM_PLANT_MOD} = 0 THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, {_WORDS_LOWER} AS words FROM t WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {n - 2}),
+                i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))) AS gram
+  FROM w WHERE len(words) >= {n}
+), per AS (
+  SELECT doc_id, gram, length(gram) AS len, count(*) AS c
+  FROM g GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, sum(c) AS n_grams, sum(c * len) AS tot,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CASE WHEN coalesce(a.tot, 0) = 0 THEN 0.0
+            ELSE a.dup::DOUBLE / a.tot::DOUBLE END AS dup_ngram_char_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _nfc_normalized_sql() -> str:
     """Twin of dq.normalize over the planted decomposed suffix: DuckDB's
     utf8proc and CPython's unicodedata share the frozen UAX#15 NFC tables
@@ -1278,6 +1315,7 @@ FROM documents
     "quality_classifier": _quality_classifier_sql(),
     "ccnet_quality_buckets": _ccnet_buckets_sql(),
     "nfc_normalized": _nfc_normalized_sql(),
+    "dup_ngram_metrics": _dup_ngram_sql(),
     "dup_span_fractions": _dup_span_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})

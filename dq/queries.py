@@ -659,6 +659,30 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+# every DUP_NGRAM_PLANT_MOD-th doc's text is self-concatenated, planting
+# massive within-doc duplicate 5-grams (NULL text propagates on both engines)
+DUP_NGRAM_PLANT_MOD = 7
+
+
+def dup_ngram_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-5-gram character fractions
+    (dq.textstats.dup_ngram_char_stats) — the synthetic corpus's degenerate
+    repetitive docs score naturally; planted self-concatenations guarantee
+    high-fraction rows."""
+    from dq.textstats import dup_ngram_char_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DUP_NGRAM_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_ngram_char_stats(docs)
+
+
 # planted decomposed-unicode suffix (NFC-normalizes to composed forms);
 # oracle embeds the same constant — combining acute / tilde / ring
 NFC_PLANT_MOD = 3
@@ -1127,6 +1151,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "lang_hint_sql": lang_hint_sql,
     "repetition_metrics": repetition_metrics,
+    "dup_ngram_metrics": dup_ngram_metrics,
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "line_dedup_global": line_dedup_global,

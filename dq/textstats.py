@@ -179,3 +179,45 @@ def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
         F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
         F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
     )
+
+
+DUP_NGRAM_N = 5  # Gopher's duplicate-gram family runs n=5..10; 5 is the head
+
+
+def dup_ngram_char_stats(df, id_col: str = "doc_id", text_col: str = "text",
+                         n: int = DUP_NGRAM_N):
+    """Gopher duplicate n-gram character fraction (Rae et al. 2021 §A1.1):
+    per doc, the fraction of n-gram characters carried by grams that occur
+    more than once in the document (ALL occurrences of a repeated gram
+    count, the paper's convention). Docs with < n words report 0 grams and
+    fraction 0.0. Fractions divide exact ints — DuckDB-oracled.
+
+    Shape: words staged as a real column, grams built incrementally
+    (word_ngrams_col) and exploded once; the only exchanges are hash-aggs
+    keyed (doc, xxhash64(gram), length(gram)) then (doc) — 24 B per gram
+    occurrence, the gram string never shuffles (grouping by fingerprint ≡
+    grouping by gram; the oracle groups by the raw gram).
+    """
+    words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    staged = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    grams = staged.select(
+        "_id", F.explode_outer(word_ngrams_col(F.col("_w"), n)).alias("_g")
+    ).where(F.col("_g").isNotNull())
+    per = grams.groupBy(
+        "_id", F.xxhash64("_g").alias("_fp"), F.length("_g").alias("_len")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("_id").agg(
+        F.sum("_c").cast("bigint").alias("n_grams"),
+        F.sum(F.col("_c") * F.col("_len")).cast("bigint").alias("_tot"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.col("_len")).otherwise(0))
+        .cast("bigint")
+        .alias("_dup"),
+    )
+    out = staged.select("_id").join(agg, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.when(F.coalesce("_tot", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("_dup").cast("double") / F.col("_tot").cast("double"))
+        .alias("dup_ngram_char_frac"),
+    )

@@ -84,3 +84,32 @@ def test_repetition_metrics_plan_splits_once(spark):
         "== Physical Plan =="
     )[0]
     assert optimized.count("split(") <= 2  # one staging per n-gram branch
+
+
+def test_dup_ngram_char_stats_planted(spark):
+    from dq.textstats import dup_ngram_char_stats
+
+    rows = [
+        (1, "a b c d e f"),            # 2 distinct 5-grams, no dups
+        (2, "a b c d e a b c d e a b c d e"),  # heavy self-repetition
+        (3, "one two"),                # < n words -> 0 grams
+        (4, None),                     # NULL text -> 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_ngram_char_stats(df).collect()}
+    assert out[1].n_grams == 2 and out[1].dup_ngram_char_frac == 0.0
+    assert out[3].n_grams == 0 and out[3].dup_ngram_char_frac == 0.0
+    assert out[4].n_grams == 0 and out[4].dup_ngram_char_frac == 0.0
+    # doc 2: 15 words -> 11 grams; "a b c d e" etc. repeat with period 5 ->
+    # grams at offsets 0,5,10 identical (3 copies), 1..4 vs 6..9 (2 copies)
+    r2 = out[2]
+    assert r2.n_grams == 11
+    # expected fraction from a direct python recount
+    words = rows[1][1].split()
+    gs = [" ".join(words[i : i + 5]) for i in range(len(words) - 4)]
+    from collections import Counter
+
+    c = Counter(gs)
+    tot = sum(len(g) * k for g, k in c.items())
+    dup = sum(len(g) * k for g, k in c.items() if k > 1)
+    assert r2.dup_ngram_char_frac == dup / tot and dup > 0
