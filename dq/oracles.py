@@ -1316,6 +1316,21 @@ FROM documents
     "ccnet_quality_buckets": _ccnet_buckets_sql(),
     "nfc_normalized": _nfc_normalized_sql(),
     "dup_ngram_metrics": _dup_ngram_sql(),
+    "corpus_report": """
+WITH w AS (
+  SELECT lang, text,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+       CAST(sum(toks) AS BIGINT) AS tok_sum,
+       sum(toks)::DOUBLE / count(*)::DOUBLE AS mean_tokens,
+       CAST(count(text) - count(DISTINCT text) AS BIGINT) AS n_dup_rows
+FROM w GROUP BY lang
+""",
     "dup_span_fractions": _dup_span_sql(),
     "exact_dedup_survivors": f"""
 WITH base AS ({_PLANTED_BASE})

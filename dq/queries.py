@@ -659,6 +659,33 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_packing(docs)
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per language: doc/null counts, whitespace-token
+    sum, exact-int mean tokens, exact-dup row count. Every figure is an
+    integer (or an int-derived double) so the card is bit-reproducible —
+    one uniform lang-keyed hash-agg with map-side partials; at 10^12 docs
+    this is the cheapest query in the suite."""
+    from dq.textstats import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.count("text")).cast("bigint").alias("n_null_text"),
+        F.sum(whitespace_token_count("text")).cast("bigint").alias("tok_sum"),
+        (F.count("text") - F.count_distinct("text")).cast("bigint").alias("n_dup_rows"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_null_text",
+        "tok_sum",
+        (F.col("tok_sum").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_tokens"
+        ),
+        "n_dup_rows",
+    )
+
+
 # every DUP_NGRAM_PLANT_MOD-th doc's text is self-concatenated, planting
 # massive within-doc duplicate 5-grams (NULL text propagates on both engines)
 DUP_NGRAM_PLANT_MOD = 7
@@ -1152,6 +1179,7 @@ QUERIES = {
     "lang_hint_sql": lang_hint_sql,
     "repetition_metrics": repetition_metrics,
     "dup_ngram_metrics": dup_ngram_metrics,
+    "corpus_report": corpus_report,
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "line_dedup_global": line_dedup_global,
