@@ -46,6 +46,7 @@ HEADLINE = [
     "qualitativo_price_bands",
     "token_counts",
     "repetition_metrics",
+    "dup_ngram_metrics",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "line_dedup_global",         # round-3 line/corpus tier

@@ -985,10 +985,11 @@ def _link_edges_ctes() -> str:
 )"""
 
 
-def _domain_pagerank_sql() -> str:
-    """Unrolled integer PageRank twin of dq.webgraph.pagerank: DuckDB's
-    ``//`` and Spark's ``DIV`` agree on positive integers, so every round's
-    ranks are bit-identical."""
+def _pagerank_ctes() -> tuple[str, str]:
+    """(CTE chain, final relation name) for the unrolled integer PageRank:
+    DuckDB's ``//`` and Spark's ``DIV`` agree on positive integers, so
+    every round's ranks are bit-identical. Shared by the standalone
+    pagerank twin and the per-page prior join-back."""
     from dq.webgraph import DAMP_DEN, DAMP_NUM, PAGERANK_ITERS, RANK_BASE, RANK_SCALE
 
     rounds = []
@@ -1008,8 +1009,7 @@ def _domain_pagerank_sql() -> str:
         )
         prev = f"r{i}"
     chain = ",\n".join(rounds)
-    return f"""
-WITH {_link_edges_ctes()},
+    ctes = f"""{_link_edges_ctes()},
 nodes AS (
   SELECT src_domain AS domain FROM edges
   UNION
@@ -1019,8 +1019,28 @@ nodes AS (
 ), r0 AS (
   SELECT domain, CAST({RANK_SCALE} AS BIGINT) AS "rank" FROM nodes
 ),
-{chain}
-SELECT domain, "rank" FROM {prev}
+{chain}"""
+    return ctes, prev
+
+
+def _domain_pagerank_sql() -> str:
+    ctes, final = _pagerank_ctes()
+    return f"""
+WITH {ctes}
+SELECT domain, "rank" FROM {final}
+"""
+
+
+def _page_rank_prior_sql() -> str:
+    """Per-page prior: the domain rank joined back onto every url."""
+    from dq.queries import PAGES_URL_PREFIX, PAGES_URL_SEP
+
+    ctes, final = _pagerank_ctes()
+    return f"""
+WITH {ctes}
+SELECT '{PAGES_URL_PREFIX}' || d.source || '{PAGES_URL_SEP}' || d.doc_id AS url,
+       r."rank" AS domain_rank
+FROM documents d JOIN {final} r ON r.domain = d.source
 """
 
 
@@ -1392,6 +1412,7 @@ SELECT src_domain, dst_domain, weight FROM edges
 """,
     "domain_pagerank": _domain_pagerank_sql(),
     "user_sessions": _user_sessions_sql(),
+    "page_rank_prior": _page_rank_prior_sql(),
     "embedding_pairs_exact": _embedding_pairs_lsh_sql(),
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semdedup_flags": _semdedup_sql(),

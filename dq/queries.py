@@ -1136,6 +1136,22 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(domain_edges(docs_as_pages(spark, sf_dir)))
 
 
+def page_rank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-centrality quality prior per page: the mined domain PageRank
+    broadcast-joined back onto every url — the Common-Crawl-style domain-
+    rank column pipelines filter/stratify on. The rank table is one row
+    per domain (broadcast); documents never shuffle."""
+    from dq.webgraph import domain_col, domain_edges, pagerank
+
+    pages = docs_as_pages(spark, sf_dir)
+    ranks = pagerank(domain_edges(pages)).withColumnRenamed("domain", "_d")
+    return (
+        pages.select("url", domain_col(F.col("url")).alias("_d"))
+        .join(F.broadcast(ranks), "_d")
+        .select("url", F.col("rank").alias("domain_rank"))
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary assets -> digest + fake feature vector
     (rows-only: decoder is a deterministic stub, mapInPandas plumbing real)."""
@@ -1214,5 +1230,6 @@ QUERIES = {
     "kmv_corpus_overlap": kmv_corpus_overlap,
     "domain_link_edges": domain_link_edges,
     "domain_pagerank": domain_pagerank,
+    "page_rank_prior": page_rank_prior,
     "media_features": media_features,
 }

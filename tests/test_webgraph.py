@@ -101,3 +101,12 @@ def test_pagerank_plan_no_cartesian(spark):
         webgraph.domain_edges(docs_as_pages(spark, SF0001)), iters=1, checkpoint=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_page_rank_prior_broadcasts_ranks(spark):
+    from dq.queries import page_rank_prior
+
+    df = page_rank_prior(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # pages side never shuffles
+    assert df.count() == 500  # every page got a prior (all domains ranked)
