@@ -89,6 +89,12 @@ def pagerank(
     S_v = sum over in-edges of (r_u * w) DIV out_u. Deterministic and
     engine-portable: integral division, order-free integer sums.
     """
+    if checkpoint:
+        # materialize the domain graph ONCE: the loop joins edges every
+        # round, and without this each round re-runs the upstream href
+        # mining over the full corpus (3 extra 100-TB scans at scale;
+        # measured 3.5 s -> ~1.5 s at sf0.1). O(domains^2) rows — cheap.
+        edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src_domain").alias("domain"))
         .unionByName(edges.select(F.col("dst_domain").alias("domain")))
