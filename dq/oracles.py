@@ -235,8 +235,9 @@ SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= {TFIDF_TOP_K}
 """
 
 
-def _url_expr() -> str:
-    """SQL expr mirroring dq.urlstats.url_docs' constructed url."""
+def _url_expr(id_sql: str = "doc_id") -> str:
+    """SQL expr mirroring dq.urlstats.url_expr, parameterized over the
+    doc-id expression exactly like the Column-level twin."""
     from dq.urlstats import (
         BANNED_MOD,
         BANNED_PATH_TOKENS,
@@ -251,21 +252,21 @@ def _url_expr() -> str:
         f"WHEN {i} THEN '{_sq(d)}'" for i, d in enumerate(COLD_DOMAINS)
     )
     domain = (
-        f"CASE WHEN doc_id % {HOT_MOD} < {HOT_REM} THEN '{_sq(HOT_DOMAIN)}' "
-        f"ELSE CASE doc_id % {len(COLD_DOMAINS)} {cold_whens} END END"
+        f"CASE WHEN {id_sql} % {HOT_MOD} < {HOT_REM} THEN '{_sq(HOT_DOMAIN)}' "
+        f"ELSE CASE {id_sql} % {len(COLD_DOMAINS)} {cold_whens} END END"
     )
     tok_whens = " ".join(
         f"WHEN {i} THEN '{_sq(t)}'" for i, t in enumerate(BANNED_PATH_TOKENS)
     )
     seg = (
-        f"CASE WHEN doc_id % {BANNED_MOD} = 0 "
-        f"THEN (CASE doc_id % {len(BANNED_PATH_TOKENS)} {tok_whens} END) || '/' "
+        f"CASE WHEN {id_sql} % {BANNED_MOD} = 0 "
+        f"THEN (CASE {id_sql} % {len(BANNED_PATH_TOKENS)} {tok_whens} END) || '/' "
         f"ELSE '' END"
     )
-    query = f"CASE WHEN doc_id % {QUERY_MOD} = 0 THEN '?utm_source=feed' ELSE '' END"
+    query = f"CASE WHEN {id_sql} % {QUERY_MOD} = 0 THEN '?utm_source=feed' ELSE '' END"
     return (
         f"'https://' || {domain} || '/' || {seg} || 'item-' || "
-        f"CAST(doc_id AS VARCHAR) || {query}"
+        f"CAST({id_sql} AS VARCHAR) || {query}"
     )
 
 
@@ -310,6 +311,48 @@ SELECT doc_id, url, domain,
         AND NOT regexp_matches(path, '{_sq(banned_re)}')
         AND NOT regexp_matches(url, '\\?')) AS keep
 FROM f
+"""
+
+
+def _url_canonical_sql() -> str:
+    """Twin of dq.urlstats.url_canonicalize over the decorated-neighbor
+    corpus: same shared rule chain ('g' flag per DuckDB), same structural
+    scheme+host lowercasing."""
+    from dq.queries import CANON_VARIANT_MOD, CANON_VARIANT_REM
+    from dq.urlstats import URL_CANON_RULES, URL_HEAD_RE
+
+    base_id = (
+        f"(CASE WHEN doc_id % {CANON_VARIANT_MOD} = {CANON_VARIANT_REM} "
+        f"THEN doc_id - 1 ELSE doc_id END)"
+    )
+    u0 = _url_expr(base_id)
+    head0 = f"regexp_extract(u0, '{_sq(URL_HEAD_RE)}', 1)"
+    decorated = (
+        f"CASE WHEN doc_id % {CANON_VARIANT_MOD} = {CANON_VARIANT_REM} "
+        f"THEN upper({head0}) || regexp_replace(u0, '{_sq(URL_HEAD_RE)}', '', 'g') || '#ref' "
+        f"ELSE u0 END"
+    )
+    chain = "url"
+    for _, pat, rep in URL_CANON_RULES:
+        chain = f"regexp_replace({chain}, '{_sq(pat)}', '{_sq(rep)}', 'g')"
+    head = f"regexp_extract(s, '{_sq(URL_HEAD_RE)}', 1)"
+    return f"""
+WITH u AS (
+  SELECT doc_id, u0 FROM (SELECT doc_id, {u0} AS u0 FROM documents)
+), d AS (
+  SELECT doc_id, {decorated} AS url FROM u
+), c0 AS (
+  SELECT doc_id, url, {chain} AS s FROM d
+), c AS (
+  SELECT doc_id, url,
+         CASE WHEN {head} = '' THEN s
+              ELSE lower({head}) || regexp_replace(s, '{_sq(URL_HEAD_RE)}', '', 'g')
+         END AS url_canon
+  FROM c0
+)
+SELECT doc_id, url, url_canon, (url_canon <> url) AS changed,
+       CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same_canon
+FROM c
 """
 
 
@@ -1328,6 +1371,7 @@ FROM documents
     "c4_line_filter": _c4_line_filter_sql(),
     "domain_hot_stats": _domain_hot_stats_sql(),
     "url_rules_filter": _url_rules_filter_sql(),
+    "url_canonical_dups": _url_canonical_sql(),
     "contamination_scores": _contamination_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),

@@ -613,6 +613,31 @@ def url_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlstats.url_blocklist_filter(urlstats.url_docs(docs))
 
 
+# every CANON_VARIANT_MOD-th doc (rem CANON_VARIANT_REM) carries a decorated
+# copy of its NEIGHBOR's url (shouted scheme+host + fragment) — after
+# canonicalization the pair collapses onto one canonical url
+CANON_VARIANT_MOD = 6
+CANON_VARIANT_REM = 3
+
+
+def url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (dq.urlstats.url_canonicalize): fragment /
+    tracking-param / trailing-slash stripped, scheme+host lowercased; the
+    planted decorated-neighbor variants must collapse (n_same_canon = 2)."""
+    from dq.urlstats import URL_HEAD_RE, url_canonicalize, url_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    is_var = did % CANON_VARIANT_MOD == CANON_VARIANT_REM
+    base = url_expr(F.when(is_var, did - 1).otherwise(did))
+    head = F.regexp_extract(base, URL_HEAD_RE, 1)
+    rest = F.regexp_replace(base, URL_HEAD_RE, "")
+    decorated = F.when(
+        is_var, F.concat(F.upper(head), rest, F.lit("#ref"))
+    ).otherwise(base)
+    return url_canonicalize(docs.select("doc_id", decorated.alias("url")))
+
+
 def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detector: every BENCH_DOC_MOD-th doc forms
     the benchmark suite; remaining docs score the fraction of their 5-grams
@@ -1203,6 +1228,7 @@ QUERIES = {
     "dup_line_metrics": dup_line_metrics,
     "domain_hot_stats": domain_hot_stats,
     "url_rules_filter": url_rules_filter,
+    "url_canonical_dups": url_canonical_dups,
     "contamination_scores": contamination_scores,
     "stratified_sample": stratified_sample,
     "domain_cap_quota": domain_cap_quota,

@@ -57,14 +57,9 @@ DOMAIN_RE = r"https?://([^/?#]+)"
 QUERY_FLAG_RE = r"\?"
 
 
-def url_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, url, lang) test corpus with planted skew + rule hits.
-
-    domain: HOT_DOMAIN for doc_id % HOT_MOD < HOT_REM, else rotates through
-    COLD_DOMAINS; every BANNED_MOD-th doc gains a banned path token
-    (rotating); every QUERY_MOD-th doc gains a tracking query string.
-    """
-    did = F.col(id_col)
+def url_expr(did: Column) -> Column:
+    """The synthetic url for a given doc-id COLUMN (dq.oracles._url_expr is
+    the SQL twin, parameterized the same way)."""
     cold = F.array(*[F.lit(d) for d in COLD_DOMAINS])
     domain = F.when(did % HOT_MOD < HOT_REM, F.lit(HOT_DOMAIN)).otherwise(
         F.element_at(cold, (did % len(COLD_DOMAINS) + 1).cast("int"))
@@ -76,9 +71,21 @@ def url_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                  F.lit("/")),
     ).otherwise(F.lit(""))
     query = F.when(did % QUERY_MOD == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
-    url = F.concat(F.lit("https://"), domain, F.lit("/"), seg,
-                   F.lit("item-"), did.cast("string"), query)
-    return docs.select(F.col(id_col).alias("doc_id"), url.alias("url"), "lang")
+    return F.concat(F.lit("https://"), domain, F.lit("/"), seg,
+                    F.lit("item-"), did.cast("string"), query)
+
+
+def url_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, lang) test corpus with planted skew + rule hits.
+
+    domain: HOT_DOMAIN for doc_id % HOT_MOD < HOT_REM, else rotates through
+    COLD_DOMAINS; every BANNED_MOD-th doc gains a banned path token
+    (rotating); every QUERY_MOD-th doc gains a tracking query string.
+    """
+    did = F.col(id_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), url_expr(did).alias("url"), "lang"
+    )
 
 
 def domain_col(url: Column | None = None) -> Column:
@@ -132,4 +139,53 @@ def url_blocklist_filter(base: DataFrame) -> DataFrame:
         banned.alias("has_banned_path"),
         tracked.alias("has_query"),
         (~blocked & ~banned & ~tracked).alias("keep"),
+    )
+
+
+# ---- URL canonicalization (crawl-frontier / pre-dedup normalization) -------
+# Ordered (name, pattern, replacement) — constant replacements ONLY (group-
+# reference syntax differs between Java ($1) and RE2/DuckDB (\\1), so rules
+# that would need backrefs are handled structurally below). Dialect subset:
+# Java ∩ Python-re ∩ RE2; DuckDB side adds the 'g' flag.
+URL_CANON_RULES: list[tuple[str, str, str]] = [
+    ("fragment", r"#.*$", ""),
+    ("tracking_mid", r"&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""),
+    ("tracking_first_more", r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&", "?"),
+    ("tracking_only", r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$", ""),
+    ("trailing_slash", r"/$", ""),
+]
+# scheme+host head, matched case-insensitively and lowercased structurally
+URL_HEAD_RE = r"(?i)^(https?://[^/?#]+)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form: fragment/tracking-param/trailing-slash stripped via
+    the shared rule chain, then scheme+host lowercased (path/query case is
+    significant and kept). Pure codegen — no UDF, no shuffle."""
+    c = url
+    for _, pat, rep in URL_CANON_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    head = F.lower(F.regexp_extract(c, URL_HEAD_RE, 1))
+    rest = F.regexp_replace(c, URL_HEAD_RE, "")
+    return F.when(head == "", c).otherwise(F.concat(head, rest))
+
+
+def url_canonicalize(base: DataFrame) -> DataFrame:
+    """(doc_id, url, url_canon, changed, n_same_canon): canonical url per
+    doc plus how many docs share it after normalization (>1 = the dedup win
+    canonicalization exists for).
+
+    Scale shape: the canonical form is a codegen projection; the only
+    exchange is the count window keyed on url_canon — the row is
+    (doc_id, url, canon) ≈ 150 B, no text. At 10^12 docs swap the window
+    for a groupBy on xxhash64(url_canon) + join if url skew appears
+    (grouping by fingerprint ≡ grouping by canon)."""
+    from pyspark.sql import Window
+
+    c = base.select(
+        "doc_id", "url", canonical_url_col(F.col("url")).alias("url_canon")
+    ).withColumn("changed", F.col("url_canon") != F.col("url"))
+    return c.withColumn(
+        "n_same_canon",
+        F.count(F.lit(1)).over(Window.partitionBy("url_canon")).cast("bigint"),
     )

@@ -87,3 +87,34 @@ def test_contamination_full_copy_flagged(spark):
     assert m != 1
     r = contamination.contamination_scores(docs).collect()[0]
     assert r.doc_id == 1 and r.contamination_bp == 10000 and r.is_contaminated
+
+
+def test_canonical_url_rules(spark):
+    from dq.urlstats import canonical_url_col
+
+    cases = [
+        ("https://Ex.COM/Path#frag", "https://ex.com/Path"),          # host lower, path case kept
+        ("HTTPS://HOST/p?utm_source=a", "https://host/p"),            # scheme+tracking
+        ("https://h/p?utm_source=a&x=1", "https://h/p?x=1"),          # first-of-many
+        ("https://h/p?x=1&gclid=99", "https://h/p?x=1"),              # mid
+        ("https://h/p?x=1&fbclid=2&y=3", "https://h/p?x=1&y=3"),      # mid keeps rest
+        ("https://h/dir/", "https://h/dir"),                          # trailing slash
+        ("https://h/p?keep=utm_source", "https://h/p?keep=utm_source"),  # value untouched
+        ("no-scheme/relative", "no-scheme/relative"),                 # non-url passthrough
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    from pyspark.sql import functions as F
+
+    bad = df.where(canonical_url_col(F.col("url")) != F.col("expect")).collect()
+    assert bad == [], bad
+
+
+def test_url_canonicalize_collapses_planted_variants(spark):
+    from dq.queries import CANON_VARIANT_MOD, CANON_VARIANT_REM, url_canonical_dups
+    from tests.conftest import SF0001
+
+    out = {r.doc_id: r for r in url_canonical_dups(spark, SF0001).collect()}
+    for did, r in out.items():
+        if did % CANON_VARIANT_MOD == CANON_VARIANT_REM:
+            assert r.changed and r.n_same_canon == 2      # variant collapsed
+            assert out[did - 1].url_canon == r.url_canon  # onto its neighbor
