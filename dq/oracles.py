@@ -314,6 +314,30 @@ FROM f
 """
 
 
+def _doc_chunks_sql() -> str:
+    """Twin of dq.sampling.chunk_docs: same start-offset arithmetic (range
+    end-exclusive ≡ the Spark sequence + start<n filter), 1-based
+    list_slice bounds clamped to the word count."""
+    from dq.sampling import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, words, unnest(range(0, len(words), {CHUNK_STRIDE})) AS st
+  FROM w
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_SIZE}, len(words) - st) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(words, st + 1, least(st + {CHUNK_SIZE}, len(words))), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 def _url_canonical_sql() -> str:
     """Twin of dq.urlstats.url_canonicalize over the decorated-neighbor
     corpus: same shared rule chain ('g' flag per DuckDB), same structural
@@ -1376,6 +1400,7 @@ FROM documents
     "stratified_sample": _stratified_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
+    "doc_chunks": _doc_chunks_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "ccnet_quality_buckets": _ccnet_buckets_sql(),
     "nfc_normalized": _nfc_normalized_sql(),

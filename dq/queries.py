@@ -779,6 +779,14 @@ def dup_span_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_stats(docs)
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking (dq.sampling.chunk_docs): fixed-size token
+    windows with stride/overlap per doc — zero UDFs, zero shuffles."""
+    from dq.sampling import chunk_docs
+
+    return chunk_docs(_t(spark, sf_dir, "documents"))
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText/CCNet-style hashed linear quality scorer: in-engine
     hashing-trick weights + toxicity prior, exact-integer mean-threshold
@@ -1233,6 +1241,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
+    "doc_chunks": doc_chunks,
     "quality_classifier": quality_classifier,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "nfc_normalized": nfc_normalized,

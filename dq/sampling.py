@@ -169,3 +169,43 @@ def token_budget_packing(
             .alias("bin_id"),
         )
     )
+
+
+# training-window chunking: size/stride in whitespace tokens
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Fixed-size token windows with stride (the return_overflowing_tokens
+    convention): chunk i covers words [i*stride, i*stride + size); the last
+    window may be short and may overlap its predecessor heavily — standard
+    for LM training prep. Empty docs emit no chunks.
+
+    Shape: words staged once as a real column; one posexplode-free explode
+    of the (tiny, constant-stride) start-offset sequence; chunk text is
+    rebuilt JVM-side with array_join — zero UDFs, zero joins; the output
+    naturally partitions like the input (no shuffle).
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = (
+        staged.select("doc_id", "_w", F.explode_outer(starts).alias("_s"))
+        .where(F.col("_s").isNotNull() & (F.col("_s") < F.size("_w")))
+    )
+    return ex.select(
+        "doc_id",
+        F.expr(f"_s DIV {stride}").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(size), F.size("_w") - F.col("_s")).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("_w", F.col("_s") + 1, size), " ").alias("chunk_text"),
+    )

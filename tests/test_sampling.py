@@ -73,3 +73,27 @@ def test_token_packing_bin_ids_contiguous(spark):
         .select("bin_id").distinct().collect()
     )
     assert bins == list(range(bins[-1] + 1))  # 0..max with no gaps
+
+
+def test_chunk_docs_windows(spark):
+    from dq.sampling import chunk_docs
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    rows = [(1, text), (2, "short doc"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_docs(df, size=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0, 48, 96 -> windows 64, 52, 4 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.n_tokens) for r in c1] == [(0, 64), (1, 52), (2, 4)]
+    assert c1[0].chunk_text.split() == [f"w{i}" for i in range(64)]
+    assert c1[1].chunk_text.split() == [f"w{i}" for i in range(48, 100)]
+    assert c1[2].chunk_text.split() == [f"w{i}" for i in range(96, 100)]
+    # short doc: one window with every token
+    assert [(r.chunk_idx, r.n_tokens) for r in by_doc[2]] == [(0, 2)]
+    # empty / NULL docs emit no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    # overlap invariant: consecutive windows share size-stride tokens
+    assert c1[0].chunk_text.split()[48:] == c1[1].chunk_text.split()[:16]
