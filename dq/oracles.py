@@ -314,6 +314,24 @@ FROM f
 """
 
 
+def _dataset_splits_sql() -> str:
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD, SPLIT_EDGES
+
+    whens = " ".join(
+        f"WHEN bkt < {edge} THEN '{name}'" for name, edge in SPLIT_EDGES[:-1]
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         (doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS bkt
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bkt AS BIGINT) AS sample_bucket,
+       CASE {whens} ELSE '{SPLIT_EDGES[-1][0]}' END AS split
+FROM b
+"""
+
+
 def _doc_chunks_sql() -> str:
     """Twin of dq.sampling.chunk_docs: same start-offset arithmetic (range
     end-exclusive ≡ the Spark sequence + start<n filter), 1-based
@@ -1401,6 +1419,7 @@ FROM documents
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
     "doc_chunks": _doc_chunks_sql(),
+    "dataset_splits": _dataset_splits_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "ccnet_quality_buckets": _ccnet_buckets_sql(),
     "nfc_normalized": _nfc_normalized_sql(),

@@ -779,6 +779,16 @@ def dup_span_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_stats(docs)
 
 
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (dq.sampling.dataset_split):
+    hash-of-key assignment, reproducible across runs/retries/cluster
+    sizes — zero exchanges."""
+    from dq.sampling import dataset_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return dataset_split(docs).select("doc_id", "lang", "sample_bucket", "split")
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-window chunking (dq.sampling.chunk_docs): fixed-size token
     windows with stride/overlap per doc — zero UDFs, zero shuffles."""
@@ -1242,6 +1252,7 @@ QUERIES = {
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
     "doc_chunks": doc_chunks,
+    "dataset_splits": dataset_splits,
     "quality_classifier": quality_classifier,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "nfc_normalized": nfc_normalized,

@@ -209,3 +209,22 @@ def chunk_docs(
         F.least(F.lit(size), F.size("_w") - F.col("_s")).cast("bigint").alias("n_tokens"),
         F.array_join(F.slice("_w", F.col("_s") + 1, size), " ").alias("chunk_text"),
     )
+
+
+# train/val/test split edges in SAMPLE_MOD buckets (basis points)
+SPLIT_EDGES = [("train", 9600), ("val", 9800), ("test", 10_000)]
+
+
+def dataset_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: bucket <
+    edge_k → split k (96/2/2). The same doc lands in the same split on
+    every run, cluster size, and retry — the property random() splits
+    lack. Pure codegen projection, zero exchanges; the split-proportion
+    report is a downstream groupBy if needed."""
+    b = lcg_bucket(F.col(id_col))
+    split = F.lit(SPLIT_EDGES[-1][0])
+    for name, edge in reversed(SPLIT_EDGES):
+        split = F.when(b < edge, F.lit(name)).otherwise(split)
+    return df.select(
+        "*", b.cast("bigint").alias("sample_bucket"), split.alias("split")
+    )

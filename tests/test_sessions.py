@@ -67,3 +67,40 @@ def test_session_rollup_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1  # window + rollup share it
+
+
+def test_native_session_window_agrees(spark):
+    """Spark's built-in session_window must produce the same grouping as
+    the lag-window rule away from the exact-gap boundary (built-in window
+    half-open: a gap of exactly `gap` splits; our rule keeps it — planted
+    gaps avoid the boundary). Cross-validates dq.sessions against the
+    native operator on both counts and session spans."""
+    from pyspark.sql import functions as F
+
+    from dq.sessions import SESSION_GAP_SECONDS as GAP
+
+    rows = []
+    sec = 0
+    eid = 0
+    for uid in (3, 4):
+        sec = 0
+        for gap in (10, GAP - 1, GAP + 1, 5, GAP * 2, 1):
+            rows.append(_ev(eid := eid + 1, uid, sec))
+            sec += gap
+        rows.append(_ev(eid := eid + 1, uid, sec))
+    df = spark.createDataFrame(rows, SCHEMA)
+    ours = sorted(
+        (r.user_id, r.n_events, r.span_sec) for r in session_rollup(df).collect()
+    )
+    native = sorted(
+        (r["user_id"], r["count"], r["span"])
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", f"{GAP} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("span"),
+        )
+        .collect()
+    )
+    assert ours == native
