@@ -29,6 +29,8 @@ Scale shapes (100 TB notes):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,10 +154,22 @@ URL_CANON_RULES: list[tuple[str, str, str]] = [
     ("tracking_mid", r"&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*", ""),
     ("tracking_first_more", r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&", "?"),
     ("tracking_only", r"\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$", ""),
-    ("trailing_slash", r"/$", ""),
+    ("trailing_slash", r"/+$", ""),  # /+ so the chain is idempotent on '//'
 ]
 # scheme+host head, matched case-insensitively and lowercased structurally
 URL_HEAD_RE = r"(?i)^(https?://[^/?#]+)"
+
+_CANON_COMPILED = [(_re.compile(p), r) for _, p, r in URL_CANON_RULES]
+_HEAD_COMPILED = _re.compile(URL_HEAD_RE)
+
+
+def canonical_url(u: str) -> str:
+    """Pure-Python twin of :func:`canonical_url_col` (property-test oracle:
+    idempotent, fragment/tracking-free)."""
+    for pat, rep in _CANON_COMPILED:
+        u = pat.sub(rep, u)
+    m = _HEAD_COMPILED.match(u)
+    return u if m is None else m.group(1).lower() + u[m.end(1):]
 
 
 def canonical_url_col(url: Column) -> Column:

@@ -438,3 +438,40 @@ def test_run_ts_range_predicate_pushes_to_scan(spark, pages, tmp_path):
     plan = plan_of(scoped.select("url"))
     assert "PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts" in plan
     assert "LessThan(warc_ts" in plan
+
+
+def test_doc_chunks_no_exchange(spark):
+    """Chunking is a pure per-partition explode — zero shuffles."""
+    from dq.sampling import chunk_docs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in simple_plan_of(chunk_docs(df))
+
+
+def test_dataset_split_no_exchange(spark):
+    from dq.sampling import dataset_split
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    assert "Exchange" not in simple_plan_of(dataset_split(df))
+
+
+def test_ccnet_buckets_docs_never_shuffle(spark):
+    """The label pass joins the broadcast edge table: every hash exchange in
+    the plan belongs to the tiny (lang, rate) histogram, never the docs."""
+    from dq.classifier import ccnet_buckets
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(ccnet_buckets(df))
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in frag and "doc_id#" not in frag
+
+
+def test_url_canonicalize_exchange_carries_no_text(spark):
+    from dq.urlstats import url_canonicalize, url_docs
+
+    base = url_docs(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = simple_plan_of(url_canonicalize(base))
+    assert "text#" not in plan  # url-only rows through the window

@@ -54,3 +54,20 @@ def test_langid_total(t):
 @given(TEXT)
 def test_perplexity_positive(t):
     assert perplexity_one(t) > 0
+
+
+URLISH = st.lists(
+    st.sampled_from(list("abcXYZ019:/?&=#._-%") + ["utm_source", "https://", "gclid=", "?utm_x=1"]),
+    max_size=20,
+).map("".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(URLISH)
+def test_canonical_url_idempotent_and_clean(u):
+    from dq.urlstats import canonical_url
+
+    c = canonical_url(u)
+    assert canonical_url(c) == c          # idempotent (the dedup-key property)
+    assert "#" not in c                   # fragment always gone
+    assert not c.endswith("/") or c == "/" * len(c) or u == c  # no trailing slash after a path
