@@ -289,6 +289,55 @@ FROM per, t
 """
 
 
+def _crawl_base_sql() -> str:
+    """Old/new planted-snapshot CTEs, twin of dq.crawldiff.planted_snapshots
+    + crawl_diff (null-safe sha256 fingerprints; NULL text || suffix stays
+    NULL on both engines, so changed-NULL rows diff as unchanged)."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_url_expr()} AS url, text FROM documents
+), old AS (
+  SELECT url, sha256(coalesce(text, '')) AS old_fp
+  FROM base WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
+), new AS (
+  SELECT url,
+         sha256(coalesce(
+           CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
+                THEN text || '{_sq(CHANGED_SUFFIX)}' ELSE text END, ''
+         )) AS new_fp
+  FROM base WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+), diff AS (
+  SELECT coalesce(old.url, new.url) AS url, old_fp, new_fp,
+         CASE WHEN old_fp IS NULL THEN 'added'
+              WHEN new_fp IS NULL THEN 'removed'
+              WHEN old_fp = new_fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old FULL OUTER JOIN new ON old.url = new.url
+)
+"""
+
+
+def _crawl_diff_sql() -> str:
+    return _crawl_base_sql() + "SELECT url, old_fp, new_fp, status FROM diff"
+
+
+def _crawl_diff_summary_sql() -> str:
+    return (
+        _crawl_base_sql()
+        + "SELECT status, CAST(count(*) AS BIGINT) AS n_urls FROM diff GROUP BY status"
+    )
+
+
 def _url_rules_filter_sql() -> str:
     from dq.urlstats import BANNED_PATH_TOKENS, BLOCKED_DOMAINS, DOMAIN_RE
 
@@ -1414,6 +1463,8 @@ FROM documents
     "domain_hot_stats": _domain_hot_stats_sql(),
     "url_rules_filter": _url_rules_filter_sql(),
     "url_canonical_dups": _url_canonical_sql(),
+    "crawl_snapshot_diff": _crawl_diff_sql(),
+    "crawl_diff_summary": _crawl_diff_summary_sql(),
     "contamination_scores": _contamination_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),

@@ -638,6 +638,30 @@ def url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_canonicalize(docs.select("doc_id", decorated.alias("url")))
 
 
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl refresh analytics (dq.crawldiff): per-url added / removed /
+    changed / unchanged verdict between two planted snapshots of the
+    constructed URL corpus. Only (url, fp) crosses the full-outer exchange
+    (~100 B/row, text never shuffles — plan-asserted)."""
+    from dq import crawldiff
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    old, new = crawldiff.planted_snapshots(docs, url_expr(F.col("doc_id")))
+    return crawldiff.crawl_diff(old, new)
+
+
+def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row status histogram of the crawl diff (dataset-card refresh
+    figure): map-side-combinable count over the status column."""
+    from dq import crawldiff
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    old, new = crawldiff.planted_snapshots(docs, url_expr(F.col("doc_id")))
+    return crawldiff.diff_counts(crawldiff.crawl_diff(old, new))
+
+
 def contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detector: every BENCH_DOC_MOD-th doc forms
     the benchmark suite; remaining docs score the fraction of their 5-grams
@@ -1247,6 +1271,8 @@ QUERIES = {
     "domain_hot_stats": domain_hot_stats,
     "url_rules_filter": url_rules_filter,
     "url_canonical_dups": url_canonical_dups,
+    "crawl_snapshot_diff": crawl_snapshot_diff,
+    "crawl_diff_summary": crawl_diff_summary,
     "contamination_scores": contamination_scores,
     "stratified_sample": stratified_sample,
     "domain_cap_quota": domain_cap_quota,

@@ -1,0 +1,78 @@
+"""Crawl snapshot diff: planted statuses, null semantics, narrow exchange."""
+
+from pyspark.sql import functions as F
+
+from dq import crawldiff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_diff_all_four_statuses(spark):
+    old = _snap(
+        spark,
+        [
+            ("u/same", "alpha"),
+            ("u/edit", "before"),
+            ("u/gone", "bye"),
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            ("u/same", "alpha"),
+            ("u/edit", "after"),
+            ("u/new", "hi"),
+        ],
+    )
+    out = {r.url: r for r in crawldiff.crawl_diff(old, new).collect()}
+    assert out["u/same"].status == "unchanged"
+    assert out["u/edit"].status == "changed"
+    assert out["u/gone"].status == "removed" and out["u/gone"].new_fp is None
+    assert out["u/new"].status == "added" and out["u/new"].old_fp is None
+
+
+def test_null_text_diffs_as_unchanged_not_dropped(spark):
+    # the null-safe fingerprint: a NULL-text url present in both crawls is
+    # 'unchanged', and NULL vs '' compares equal (both hash sha256(''))
+    old = _snap(spark, [("u/null", None), ("u/empty", None)])
+    new = _snap(spark, [("u/null", None), ("u/empty", "")])
+    out = {r.url: r.status for r in crawldiff.crawl_diff(old, new).collect()}
+    assert out == {"u/null": "unchanged", "u/empty": "unchanged"}
+
+
+def test_planted_snapshots_statuses(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    old, new = crawldiff.planted_snapshots(
+        docs, F.concat(F.lit("https://x/"), F.col("doc_id").cast("string"))
+    )
+    out = {r.url: r.status for r in crawldiff.crawl_diff(old, new).collect()}
+    assert out["https://x/3"] == "added"        # 3 % 11 == OLD_DROP_REM
+    assert out["https://x/5"] == "removed"      # 5 % 13 == NEW_DROP_REM
+    assert out["https://x/2"] == "changed"      # 2 % 7 == CHANGED_REM
+    assert out["https://x/1"] == "unchanged"
+    counts = {
+        r.status: r.n_urls
+        for r in crawldiff.diff_counts(crawldiff.crawl_diff(old, new)).collect()
+    }
+    # ids dropped from old: 3,14,25,36; from new: 5,18,31; changed: 2,9,16,...
+    assert counts["added"] == 4
+    assert counts["removed"] == 3
+    # changed = {2,9,16,23,30,37} minus any dropped id (none overlap here)
+    assert counts["changed"] == 6
+    assert sum(counts.values()) == 40 + 0  # full outer covers every url once
+
+
+def test_diff_counts_four_rows_only(spark):
+    old = _snap(spark, [("u/a", "x"), ("u/b", "y")])
+    new = _snap(spark, [("u/a", "x"), ("u/c", "z")])
+    out = crawldiff.diff_counts(crawldiff.crawl_diff(old, new))
+    assert {r.status for r in out.collect()} <= {
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+    }

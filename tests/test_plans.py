@@ -469,6 +469,25 @@ def test_ccnet_buckets_docs_never_shuffle(spark):
         assert "text#" not in frag and "doc_id#" not in frag
 
 
+def test_crawl_diff_exchanges_carry_url_and_fp_only(spark):
+    """The snapshot diff fingerprints BEFORE joining: every exchange in the
+    full-outer plan carries (url, fp) — never the document text."""
+    import re
+
+    from dq.queries import crawl_snapshot_diff
+
+    plan = plan_of(crawl_snapshot_diff(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")]
+    assert exchanges, f"no exchange found in plan:\n{plan}"
+    for node in exchanges:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        n_cols, cols = int(inp.group(1)), inp.group(2)
+        assert n_cols <= 2, f"exchange too wide ({n_cols} cols): {cols}"
+        assert "text#" not in cols, cols
+
+
 def test_url_canonicalize_exchange_carries_no_text(spark):
     from dq.urlstats import url_canonicalize, url_docs
 
