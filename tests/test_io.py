@@ -175,3 +175,47 @@ def test_jsonl_roundtrip_and_corrupt_gate(spark, tmp_path):
     assert got.where("_corrupt_record is not null").count() == 1
     assert got.where("_corrupt_record is null").count() == 1
     got.unpersist()
+
+
+def test_sorted_layout_row_group_pruning(spark, tmp_path):
+    """write_sorted_layout clusters on the sort key: every output file's
+    (min, max) doc_id footer range is pairwise disjoint, so a point or
+    range predicate on doc_id prunes all but one file — the data-layout
+    half of predicate pushdown at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs_sorted")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # shuffle the input order first so clustering is the writer's doing
+    dqio.write_sorted_layout(docs.orderBy("text"), p, ["doc_id"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(p + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = md.schema.names.index("doc_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max  # stats present
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # a point lookup lands in exactly one file's range
+    probe = ranges[1][0]
+    hits = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(hits) == 1
+    # and Spark still pushes the predicate to the scan
+    reread = spark.read.parquet(p).where(f"doc_id = {probe}")
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        reread.explain(mode="formatted")
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id," in buf.getvalue()
