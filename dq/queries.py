@@ -275,6 +275,28 @@ def dup_metric_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_PROBS = [0.25, 0.5, 0.75]
+QUANTILE_ACCURACY = 1000  # GK sketch: rank error <= n / accuracy
+
+
+def doclen_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch tier (Greenwald-Khanna via percentile_approx) of the
+    per-language doc-length distribution — the distribution-drift monitor
+    at 10^12 docs: a constant-size mergeable sketch per group instead of a
+    global sort (completes the sketch family: HLL distinct, KMV overlap,
+    Bloom membership, GK quantiles). Rows-only: sketch estimates are
+    engine-specific by design; tests/test_metrics.py bounds the rank error
+    of every estimate against the exact sorted values (eps = 1/accuracy).
+    The exact-percentile shape lives in qualitativo_percentiles."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.percentile_approx("n_chars", QUANTILE_PROBS, QUANTILE_ACCURACY).alias(
+            "len_quantiles"
+        ),
+    )
+
+
 # --------------------------------------------------------- qualitativo ------
 
 
@@ -1239,6 +1261,7 @@ QUERIES = {
     "dup_by_source": dup_by_source,
     "dup_metric_approx": dup_metric_approx,
     "dup_metric_approx_check": dup_metric_approx_check,
+    "doclen_quantiles_approx": doclen_quantiles_approx,
     "asof_latest_order": asof_latest_order,
     "events_in_value_ranges": events_in_value_ranges,
     "junta_consolidate": junta_consolidate,

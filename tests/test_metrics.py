@@ -50,3 +50,34 @@ def test_profile_decimal_sums_and_ratio(spark):
     ).collect()[0]
     assert out.total == Decimal("3.30")
     assert out.half == Decimal("1.65")
+
+
+def test_doclen_quantile_sketch_rank_error_bound(spark):
+    """percentile_approx's GK guarantee: each estimate's true rank is within
+    eps*n (+1 slack for the discrete pick) of the target rank, per group."""
+    from collections import defaultdict
+
+    from dq.queries import QUANTILE_ACCURACY, QUANTILE_PROBS, doclen_quantiles_approx
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r.n_chars)
+    out = {r.lang: r for r in doclen_quantiles_approx(spark, sf).collect()}
+    assert set(out) == set(by_lang)
+    eps = 1.0 / QUANTILE_ACCURACY
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        assert out[lang].n_docs == n
+        for p, est in zip(QUANTILE_PROBS, out[lang].len_quantiles):
+            rank_lo = sum(1 for v in vals if v < est)   # lowest rank est could hold
+            rank_hi = sum(1 for v in vals if v <= est)  # highest rank
+            target = p * n
+            assert rank_lo - eps * n - 1 <= target <= rank_hi + eps * n + 1, (
+                lang, p, est, rank_lo, rank_hi, target)
