@@ -67,6 +67,7 @@ HEADLINE = [
     "kmv_corpus_overlap",
     "domain_pagerank",           # webgraph tier: html href mining + integer PageRank
     "user_sessions",             # clickstream sessionization (events table)
+    "crawl_snapshot_diff",       # refresh analytics: narrow full-outer fingerprint diff
 ]
 
 

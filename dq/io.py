@@ -120,6 +120,49 @@ def write_sorted_layout(
     out.write.mode("overwrite").parquet(path)
 
 
+TARGET_FILE_BYTES = 512 * 1024 * 1024  # ~512 MB parquet files (cluster default)
+
+
+def compact_table(spark: SparkSession, path: str, target_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Small-files compaction: rewrite ``path`` into ceil(size/target) files.
+
+    Streaming sinks and per-partition fan-out writes leave thousands of
+    KB-scale files; at 100 TB the scan's task-scheduling overhead (one
+    split per tiny file) dominates unless tables are periodically
+    compacted (Iceberg's rewrite_data_files — this is the path-based
+    stand-in). File count comes from the MEASURED on-disk byte size, not a
+    row-count guess, so compaction is stable across schema/encoding
+    changes. Uses the staged-overwrite swap (safe to read during rewrite).
+
+    A hive-partitioned table (``key=value`` subdirs) is compacted leaf
+    partition by leaf partition — rewriting through a flat read would
+    demote the partition column to a data column and lose pruning; per-
+    partition granularity is also how the real op runs at 100 TB (only
+    partitions past a small-file threshold rewrite, independently and in
+    parallel). Returns the total output file count.
+    """
+    import math
+
+    part_dirs = sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+    if part_dirs:
+        return sum(compact_table(spark, d, target_bytes) for d in part_dirs)
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    df = spark.read.parquet(path)
+    overwrite_table(df.repartition(n_files), path)
+    return n_files
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
     """JSONL sink — the interchange format of LLM data pipelines (Dolma,
     RedPajama, FineWeb all ship .jsonl.gz shards). One file per Spark

@@ -2,6 +2,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from dq import io as dqio
 
 
@@ -219,3 +221,41 @@ def test_sorted_layout_row_group_pruning(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         reread.explain(mode="formatted")
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id," in buf.getvalue()
+
+
+def test_compact_table_small_files(spark, tmp_path):
+    """64 tiny files compact to the measured-size-derived count with row
+    and content parity (the rewrite is a staged overwrite — safe to read
+    during the swap)."""
+    import glob
+
+    p = str(tmp_path / "fragmented")
+    spark.range(2000).repartition(64).write.parquet(p)
+    assert len(glob.glob(p + "/*.parquet")) == 64
+    before = {r.id for r in spark.read.parquet(p).collect()}
+    # target sized so the measured bytes force a handful of files
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+    )
+    n = dqio.compact_table(spark, p, target_bytes=total // 4 + 1)
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) == n <= 5
+    assert {r.id for r in spark.read.parquet(p).collect()} == before
+
+
+def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
+    """Partitioned tables compact leaf-by-leaf: the key=value layout (and
+    with it partition pruning) survives, and every partition's rows do."""
+    import glob
+
+    p = str(tmp_path / "parted")
+    df = spark.range(300).withColumn("day", (F.col("id") % 3).cast("string"))
+    df.repartition(10).write.partitionBy("day").parquet(p)
+    assert len(glob.glob(p + "/day=*/*.parquet")) >= 15
+    before = spark.read.parquet(p).groupBy("day").count().collect()
+    dqio.compact_table(spark, p, target_bytes=10**9)
+    leaves = glob.glob(p + "/day=*")
+    assert sorted(os.path.basename(d) for d in leaves) == ["day=0", "day=1", "day=2"]
+    assert len(glob.glob(p + "/day=*/*.parquet")) == 3  # one file per leaf
+    after = spark.read.parquet(p).groupBy("day").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
