@@ -1119,6 +1119,39 @@ def _link_edges_ctes() -> str:
 )"""
 
 
+def _anchor_top_terms_sql() -> str:
+    """Twin of dq.webgraph anchor_terms + top_anchor_terms: rebuild the
+    (dst_domain, term) pairs from the vocabulary arithmetic (the Spark side
+    regex-extracts them back out of the planted html), aggregate, and take
+    the deterministic top-K per domain."""
+    from dq.webgraph import ANCHOR_TOP_K, ANCHOR_VOCAB, LINK_DOMAINS, LINK_MULTS
+
+    vocab_whens = " ".join(
+        f"WHEN {i} THEN '{_sq(w)}'" for i, w in enumerate(ANCHOR_VOCAB)
+    )
+    selects = [
+        f"SELECT 'src' || CAST((doc_id * {m}) % {LINK_DOMAINS} AS VARCHAR) AS dst_domain,"
+        f" CASE (doc_id * {m}) % {len(ANCHOR_VOCAB)} {vocab_whens} END AS term"
+        f" FROM documents"
+        for m in LINK_MULTS
+    ]
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH pairs AS (
+  {union}
+), agg AS (
+  SELECT dst_domain, term, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM pairs GROUP BY 1, 2
+)
+SELECT dst_domain, term, n_mentions,
+       CAST(row_number() OVER (
+         PARTITION BY dst_domain ORDER BY n_mentions DESC, term ASC
+       ) AS BIGINT) AS term_rank
+FROM agg
+QUALIFY term_rank <= {ANCHOR_TOP_K}
+"""
+
+
 def _pagerank_ctes() -> tuple[str, str]:
     """(CTE chain, final relation name) for the unrolled integer PageRank:
     DuckDB's ``//`` and Spark's ``DIV`` agree on positive integers, so
@@ -1549,6 +1582,7 @@ WHERE rk > 1 OR text IN (SELECT text FROM b1)
 WITH {_link_edges_ctes()}
 SELECT src_domain, dst_domain, weight FROM edges
 """,
+    "anchor_top_terms": _anchor_top_terms_sql(),
     "domain_pagerank": _domain_pagerank_sql(),
     "user_sessions": _user_sessions_sql(),
     "page_rank_prior": _page_rank_prior_sql(),

@@ -1215,6 +1215,22 @@ def domain_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_edges(docs_as_pages(spark, sf_dir))
 
 
+def anchor_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text mining (dq.webgraph.anchor_terms): how the web describes
+    each target domain — top-K anchor terms per destination, deterministic
+    (n DESC, term ASC) rank. The Spark side regex-extracts both capture
+    groups out of planted non-empty-anchor html; the oracle rebuilds the
+    pairs from the vocabulary arithmetic, hash-checking the whole
+    render→extract→zip→aggregate chain."""
+    from dq import webgraph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        "doc_id", webgraph.anchor_html_col(F.col("doc_id")).alias("html")
+    )
+    return webgraph.top_anchor_terms(webgraph.anchor_terms(pages))
+
+
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized PageRank over the mined domain graph
     (dq.webgraph.pagerank) — link-centrality quality prior à la Common
@@ -1324,6 +1340,7 @@ QUERIES = {
     "bloom_ledger_probe": bloom_ledger_probe,
     "kmv_corpus_overlap": kmv_corpus_overlap,
     "domain_link_edges": domain_link_edges,
+    "anchor_top_terms": anchor_top_terms,
     "domain_pagerank": domain_pagerank,
     "page_rank_prior": page_rank_prior,
     "media_features": media_features,

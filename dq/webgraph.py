@@ -76,6 +76,72 @@ def domain_edges(pages: DataFrame, url_col: str = "url", html_col: str = "html")
     )
 
 
+# anchor-text mining: planted vocabulary (oracle SQL generated from these)
+ANCHOR_VOCAB = ("download", "news", "login", "article", "profile", "search")
+ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+ANCHOR_TOP_K = 3
+
+
+def anchor_html_col(doc_id: Column) -> Column:
+    """Deterministic html snippet with NON-empty anchors for the anchor-text
+    tier (the flagship's rendered pages keep anchors empty on purpose — the
+    extraction byte-invariant — so this tier plants its own frame): link m
+    of doc d points at src[(d*m)%20] with anchor word VOCAB[(d*m)%|V|]."""
+    parts = []
+    for m in LINK_MULTS:
+        href = F.concat(
+            F.lit("doc://src"),
+            ((doc_id * m) % LINK_DOMAINS).cast("string"),
+            F.lit("/out/"),
+            doc_id.cast("string"),
+        )
+        vocab = F.array(*[F.lit(w) for w in ANCHOR_VOCAB])
+        term = F.element_at(vocab, ((doc_id * m) % len(ANCHOR_VOCAB) + 1).cast("int"))
+        parts += [F.lit('<a href="'), href, F.lit('">'), term, F.lit("</a>")]
+    return F.concat(F.lit("<nav>"), *parts, F.lit("</nav>"))
+
+
+def anchor_terms(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(dst_domain, term, n_mentions): how the web describes each target —
+    the classic link-text quality/relevance prior (anchor text weighs more
+    than on-page text in ranking literature).
+
+    Both capture groups of ANCHOR_RE are extracted with codegen
+    regexp_extract_all over the already-scanned html, zipped and exploded;
+    the exchange then carries (domain, term) pairs only — ~30 B/anchor,
+    never the page. Aggregation is a uniform hash-agg: anchor vocabulary
+    per domain is bounded, so partials combine map-side.
+    """
+    h = F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), 2).alias("term"),
+    )
+    ex = pages.select(F.explode_outer(pairs).alias("p")).where(
+        F.col("p.term").isNotNull() & (F.col("p.term") != "")
+    )
+    return (
+        ex.select(domain_col(F.col("p.href")).alias("dst_domain"), F.col("p.term").alias("term"))
+        .groupBy("dst_domain", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mentions"))
+    )
+
+
+def top_anchor_terms(terms: DataFrame, k: int = ANCHOR_TOP_K) -> DataFrame:
+    """Top-k anchor terms per target domain, deterministic rank
+    (n_mentions DESC, term ASC) — the window runs over the aggregated
+    (domain, term) table, never the row set."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.col("n_mentions").desc(), F.col("term").asc()
+    )
+    return (
+        terms.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= k)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,

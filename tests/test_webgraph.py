@@ -110,3 +110,40 @@ def test_page_rank_prior_broadcasts_ranks(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # pages side never shuffles
     assert df.count() == 500  # every page got a prior (all domains ranked)
+
+
+def test_anchor_terms_extraction_and_counts(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="doc://a/x">news</a><a href="doc://a/y">news</a>'
+                '<a href="doc://b/z">login</a><a href="doc://a/w"></a>'),
+        ],
+        "doc_id bigint, html string",
+    )
+    got = {
+        (r.dst_domain, r.term): r.n_mentions
+        for r in webgraph.anchor_terms(pages).collect()
+    }
+    # empty anchors are dropped; counts aggregate per (domain, term)
+    assert got == {("a", "news"): 2, ("b", "login"): 1}
+
+
+def test_top_anchor_terms_deterministic_rank(spark):
+    terms = spark.createDataFrame(
+        [("d", "beta", 5), ("d", "alpha", 5), ("d", "gamma", 9), ("d", "zeta", 1)],
+        "dst_domain string, term string, n_mentions bigint",
+    )
+    out = webgraph.top_anchor_terms(terms, k=3).collect()
+    ranked = sorted((r.term_rank, r.term) for r in out)
+    # ties break term-ASC: gamma(9), alpha(5), beta(5); zeta cut
+    assert ranked == [(1, "gamma"), (2, "alpha"), (3, "beta")]
+
+
+def test_anchor_window_runs_over_aggregate_not_rows(spark):
+    """The top-k window's subtree must contain the hash aggregate — the
+    window sorts the (domain, term) rollup, never the exploded anchors."""
+    from dq.queries import anchor_top_terms
+
+    plan = anchor_top_terms(spark, SF0001)._jdf.queryExecution().executedPlan().toString()
+    below_window = plan[plan.rindex("Window") :]
+    assert "HashAggregate" in below_window
