@@ -556,6 +556,31 @@ FROM documents
 """
 
 
+def _temperature_sample_sql() -> str:
+    """Twin of dq.sampling.temperature_sample: integer radicand, IEEE sqrt,
+    floor — isqrt-exact on both engines (radicand <= TEMP_SCALE << 2^52)."""
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD, TEMP_SCALE
+
+    bucket = f"(doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD}"
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_docs) AS n_min FROM c
+), r AS (
+  SELECT lang,
+         CAST(floor(sqrt(({TEMP_SCALE} * n_min) // n_docs)) AS BIGINT)
+           AS keep_rate_bp
+  FROM c, m
+)
+SELECT d.doc_id, d.lang,
+       CAST({bucket.replace('doc_id', 'd.doc_id')} AS BIGINT) AS sample_bucket,
+       r.keep_rate_bp,
+       ({bucket.replace('doc_id', 'd.doc_id')} < r.keep_rate_bp) AS sampled
+FROM documents d JOIN r USING (lang)
+"""
+
+
 def _domain_cap_sql() -> str:
     from dq.sampling import DOMAIN_CAP_K
     from dq.urlstats import DOMAIN_RE
@@ -1500,6 +1525,7 @@ FROM documents
     "crawl_diff_summary": _crawl_diff_summary_sql(),
     "contamination_scores": _contamination_sql(),
     "stratified_sample": _stratified_sample_sql(),
+    "temperature_sampled": _temperature_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),
     "token_budget_packing": _token_packing_sql(),
     "doc_chunks": _doc_chunks_sql(),

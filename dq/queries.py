@@ -707,6 +707,18 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4/mT5 temperature sampling (alpha=0.5): per-language keep rates
+    COMPUTED from the corpus distribution — rate ~ 1/sqrt(n_lang),
+    normalized so the rarest language keeps all. Exact integer radicand +
+    IEEE sqrt = isqrt on both engines; rates broadcast back, docs never
+    shuffle (plan-asserted)."""
+    from dq import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.temperature_sample(docs)
+
+
 def domain_cap_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style domain balancing over the constructed URL corpus:
     keep the DOMAIN_CAP_K smallest doc_ids per domain via the skew-proof
@@ -1314,6 +1326,7 @@ QUERIES = {
     "crawl_diff_summary": crawl_diff_summary,
     "contamination_scores": contamination_scores,
     "stratified_sample": stratified_sample,
+    "temperature_sampled": temperature_sampled,
     "domain_cap_quota": domain_cap_quota,
     "token_budget_packing": token_budget_packing,
     "doc_chunks": doc_chunks,

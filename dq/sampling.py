@@ -102,6 +102,51 @@ def stratified_sample(
     )
 
 
+TEMP_SCALE = SAMPLE_MOD * SAMPLE_MOD  # 10^8: rate_bp = isqrt(SCALE*n_min/n_l)
+
+
+def temperature_sample(
+    df: DataFrame, id_col: str = "doc_id", strata_col: str = "lang"
+) -> DataFrame:
+    """mC4/mT5 temperature sampling (alpha = 0.5): language l is kept at a
+    rate proportional to 1/sqrt(n_l), normalized so the rarest language
+    keeps everything — expected kept mass per language ~ n_l^alpha, which
+    flattens the head without starving the tail.
+
+    Unlike :func:`stratified_sample` (CONFIGURED rates) the rates here are
+    COMPUTED from the corpus: rate_bp(l) = floor(sqrt((TEMP_SCALE * n_min)
+    DIV n_l)). The radicand is an exact integer <= 10^8 << 2^52, and IEEE
+    correctly-rounded double sqrt makes floor(sqrt(exact_int)) == isqrt on
+    both engines — no float drift crosses the boundary.
+
+    Scale shape: one lang-keyed histogram (map-side combinable), a 1-row
+    min broadcast onto it, and the tiny per-lang rate table broadcast back
+    onto the docs — the documents themselves never shuffle (plan-asserted).
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs")
+    )
+    nmin = counts.agg(F.min("_n_docs").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col,
+        F.floor(
+            F.sqrt(F.expr(f"({TEMP_SCALE} * _n_min) DIV _n_docs"))
+        )
+        .cast("bigint")
+        .alias("keep_rate_bp"),
+    )
+    b = lcg_bucket(F.col(id_col))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .select(
+            *df.columns,
+            b.cast("bigint").alias("sample_bucket"),
+            "keep_rate_bp",
+            (b < F.col("keep_rate_bp")).alias("sampled"),
+        )
+    )
+
+
 def domain_cap_sample(
     base: DataFrame,
     key_col: str = "domain",

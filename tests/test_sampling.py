@@ -97,3 +97,37 @@ def test_chunk_docs_windows(spark):
     assert 3 not in by_doc and 4 not in by_doc
     # overlap invariant: consecutive windows share size-stride tokens
     assert c1[0].chunk_text.split()[48:] == c1[1].chunk_text.split()[:16]
+
+
+def test_temperature_sample_rates_follow_inverse_sqrt(spark):
+    import math
+
+    from dq.sampling import TEMP_SCALE, temperature_sample
+
+    # 400 en, 100 de, 25 fr -> rarest (fr) keeps all; en keeps 1/4 of de's rate
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(2000 + i, "fr") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_sample(df)
+    rates = {r.lang: r.keep_rate_bp for r in out.select("lang", "keep_rate_bp").distinct().collect()}
+    assert rates["fr"] == 10000                       # n_min keeps everything
+    assert rates["de"] == math.isqrt(TEMP_SCALE * 25 // 100)   # = 5000
+    assert rates["en"] == math.isqrt(TEMP_SCALE * 25 // 400)   # = 2500
+    # expected kept mass per language ~ n^0.5: en 400*.25=100, de 100*.5=50, fr 25
+    kept = {r.lang: r.n for r in out.where("sampled").groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(kept["en"] - 100) <= 25 and abs(kept["de"] - 50) <= 15
+
+
+def test_temperature_sample_docs_never_shuffle(spark):
+    import re
+
+    from dq.sampling import temperature_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "lang")
+    plan = temperature_sample(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id#" not in frag  # only the lang histogram shuffles
