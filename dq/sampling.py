@@ -186,18 +186,38 @@ def token_budget_packing(
     — the document that crosses a budget boundary starts in the bin its
     first token lands in (split-allowed streaming semantics; greedy
     whole-doc packing is a different, inherently sequential contract).
-    Output: (doc_id, n_tokens, bin_id). Two-level distributed scan — see
-    the module docstring for the 100 TB shape.
+    Output: (doc_id, n_tokens, bin_id). THREE-level distributed prefix sum:
+    docs partition by bucket (<= bucket_size rows/task), bucket partials
+    partition by super-bucket (<= bucket_size rows/task), and only the
+    super-bucket partials — n/bucket_size^2 rows, ~100 at 10^12 docs —
+    cross the one globally-ordered window, so no task ever materializes
+    more than bucket_size rows.
     """
     narrow = docs.select(
         F.col(id_col).alias("doc_id"),
         whitespace_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_size).cast("bigint").alias("_bkt"),
     )
-    per_bucket = narrow.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bkt_tokens"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_bkt", F.coalesce(F.sum("_bkt_tokens").over(w_off), F.lit(0)).alias("_offset")
+    per_bucket = narrow.groupBy("_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_tokens")
+    ).withColumn("_sup", F.floor(F.col("_bkt") / bucket_size).cast("bigint"))
+    per_super = per_bucket.groupBy("_sup").agg(
+        F.sum("_bkt_tokens").alias("_sup_tokens")
+    )
+    w_sup = Window.orderBy("_sup").rowsBetween(Window.unboundedPreceding, -1)
+    sup_off = per_super.select(
+        "_sup", F.coalesce(F.sum("_sup_tokens").over(w_sup), F.lit(0)).alias("_sup_off")
+    )
+    w_bkt = (
+        Window.partitionBy("_sup").orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_bucket.join(F.broadcast(sup_off), "_sup")
+        .withColumn(
+            "_bkt_off", F.coalesce(F.sum("_bkt_tokens").over(w_bkt), F.lit(0))
+        )
+        .select("_bkt", (F.col("_sup_off") + F.col("_bkt_off")).alias("_offset"))
     )
     w_in = (
         Window.partitionBy("_bkt").orderBy("doc_id")
