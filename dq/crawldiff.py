@@ -48,11 +48,13 @@ STATUS_UNCHANGED = "unchanged"
 
 
 def content_fingerprint(text: Column) -> Column:
-    """Null-safe sha256 content fingerprint (NULL text != absent row: it
-    hashes to sha256('') so a NULL-text re-crawl still compares equal —
-    the null-dropping equi-join trap from the pipeline dedup pass doesn't
-    apply here because the join key is url, not the fingerprint)."""
-    return F.sha2(F.coalesce(text, F.lit("")), 256)
+    """Null-safe sha256 content fingerprint — THE SAME helper the dedup
+    tier uses (dq.dedup.fingerprint_col, zero-byte NULL sentinel), so a
+    'unchanged' verdict here and a ledger duplicate there agree on what
+    NULL text means: NULL == NULL (unchanged), NULL != '' (changed)."""
+    from dq.dedup import fingerprint_col
+
+    return fingerprint_col(text)
 
 
 def snapshot_fingerprints(
@@ -99,8 +101,8 @@ def planted_snapshots(docs: DataFrame, url_col: Column) -> tuple[DataFrame, Data
     OLD drops doc_id % OLD_DROP_MOD == OLD_DROP_REM (-> added in the diff),
     NEW drops doc_id % NEW_DROP_MOD == NEW_DROP_REM (-> removed) and appends
     CHANGED_SUFFIX to every CHANGED_MOD-th doc's text (-> changed; NULL text
-    stays NULL on both sides, so those rows diff as unchanged — the null-safe
-    fingerprint rule)."""
+    stays NULL on both sides — NULL || suffix is NULL — so those rows diff
+    as unchanged under the shared null-safe fingerprint)."""
     did = F.col("doc_id")
     base = docs.select(did.alias("doc_id"), url_col.alias("url"), "text")
     old = base.where(did % OLD_DROP_MOD != OLD_DROP_REM).select("url", "text")

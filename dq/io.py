@@ -123,7 +123,12 @@ def write_sorted_layout(
 TARGET_FILE_BYTES = 512 * 1024 * 1024  # ~512 MB parquet files (cluster default)
 
 
-def compact_table(spark: SparkSession, path: str, target_bytes: int = TARGET_FILE_BYTES) -> int:
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    sort_cols: list[str] | None = None,
+) -> int:
     """Small-files compaction: rewrite ``path`` into ceil(size/target) files.
 
     Streaming sinks and per-partition fan-out writes leave thousands of
@@ -132,24 +137,40 @@ def compact_table(spark: SparkSession, path: str, target_bytes: int = TARGET_FIL
     compacted (Iceberg's rewrite_data_files — this is the path-based
     stand-in). File count comes from the MEASURED on-disk byte size, not a
     row-count guess, so compaction is stable across schema/encoding
-    changes. Uses the staged-overwrite swap (safe to read during rewrite).
+    changes.
+
+    The staged swap uses DOT-PREFIXED sibling dirs (``.name.staging`` /
+    ``.name.old``) — Spark's file listing ignores hidden paths, so a
+    concurrent reader of a partitioned root never sees the in-flight or
+    just-replaced copy as a phantom partition, and a crash leaves only
+    hidden debris (cleaned on the next run), never a corrupt partition.
 
     A hive-partitioned table (``key=value`` subdirs) is compacted leaf
     partition by leaf partition — rewriting through a flat read would
     demote the partition column to a data column and lose pruning; per-
     partition granularity is also how the real op runs at 100 TB (only
     partitions past a small-file threshold rewrite, independently and in
-    parallel). Returns the total output file count.
+    parallel).
+
+    Pass ``sort_cols`` for tables written with :func:`write_sorted_layout`:
+    the rewrite then re-clusters by range on the same key, preserving the
+    disjoint row-group min/max footers (a plain round-robin repartition
+    would destroy them). Returns the total output file count.
     """
     import math
+    import shutil
 
     part_dirs = sorted(
         os.path.join(path, d)
         for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not d.startswith((".", "_"))
+        and os.path.isdir(os.path.join(path, d))
     )
     if part_dirs:
-        return sum(compact_table(spark, d, target_bytes) for d in part_dirs)
+        return sum(
+            compact_table(spark, d, target_bytes, sort_cols) for d in part_dirs
+        )
 
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -159,7 +180,20 @@ def compact_table(spark: SparkSession, path: str, target_bytes: int = TARGET_FIL
     )
     n_files = max(1, math.ceil(size / target_bytes))
     df = spark.read.parquet(path)
-    overwrite_table(df.repartition(n_files), path)
+    if sort_cols:
+        cols = [F.col(c) for c in sort_cols]
+        df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_files)
+    parent, name = os.path.dirname(path.rstrip("/")), os.path.basename(path.rstrip("/"))
+    stage = os.path.join(parent, f".{name}.staging")
+    old = os.path.join(parent, f".{name}.old")
+    for debris in (stage, old):  # crash leftovers from a prior run
+        shutil.rmtree(debris, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
     return n_files
 
 

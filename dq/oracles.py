@@ -291,8 +291,9 @@ FROM per, t
 
 def _crawl_base_sql() -> str:
     """Old/new planted-snapshot CTEs, twin of dq.crawldiff.planted_snapshots
-    + crawl_diff (null-safe sha256 fingerprints; NULL text || suffix stays
-    NULL on both engines, so changed-NULL rows diff as unchanged)."""
+    + crawl_diff. The fingerprint is the dedup tier's shared null-safe form
+    (zero-byte sentinel, dq.dedup.fingerprint_col): NULL text || suffix
+    stays NULL on both engines, so changed-NULL rows diff as unchanged."""
     from dq.crawldiff import (
         CHANGED_MOD,
         CHANGED_REM,
@@ -301,27 +302,31 @@ def _crawl_base_sql() -> str:
         NEW_DROP_REM,
         OLD_DROP_MOD,
         OLD_DROP_REM,
+        STATUS_ADDED,
+        STATUS_CHANGED,
+        STATUS_REMOVED,
+        STATUS_UNCHANGED,
     )
 
     return f"""
 WITH base AS (
   SELECT doc_id, {_url_expr()} AS url, text FROM documents
 ), old AS (
-  SELECT url, sha256(coalesce(text, '')) AS old_fp
+  SELECT url, sha256(coalesce(text, chr(0))) AS old_fp
   FROM base WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
 ), new AS (
   SELECT url,
          sha256(coalesce(
            CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
-                THEN text || '{_sq(CHANGED_SUFFIX)}' ELSE text END, ''
+                THEN text || '{_sq(CHANGED_SUFFIX)}' ELSE text END, chr(0)
          )) AS new_fp
   FROM base WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
 ), diff AS (
   SELECT coalesce(old.url, new.url) AS url, old_fp, new_fp,
-         CASE WHEN old_fp IS NULL THEN 'added'
-              WHEN new_fp IS NULL THEN 'removed'
-              WHEN old_fp = new_fp THEN 'unchanged'
-              ELSE 'changed' END AS status
+         CASE WHEN old_fp IS NULL THEN '{_sq(STATUS_ADDED)}'
+              WHEN new_fp IS NULL THEN '{_sq(STATUS_REMOVED)}'
+              WHEN old_fp = new_fp THEN '{_sq(STATUS_UNCHANGED)}'
+              ELSE '{_sq(STATUS_CHANGED)}' END AS status
   FROM old FULL OUTER JOIN new ON old.url = new.url
 )
 """
@@ -564,11 +569,12 @@ def _temperature_sample_sql() -> str:
     bucket = f"(doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD}"
     return f"""
 WITH c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+  SELECT coalesce(lang, chr(0)) AS strata, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
 ), m AS (
   SELECT min(n_docs) AS n_min FROM c
 ), r AS (
-  SELECT lang,
+  SELECT strata,
          CAST(floor(sqrt(({TEMP_SCALE} * n_min) // n_docs)) AS BIGINT)
            AS keep_rate_bp
   FROM c, m
@@ -577,7 +583,7 @@ SELECT d.doc_id, d.lang,
        CAST({bucket.replace('doc_id', 'd.doc_id')} AS BIGINT) AS sample_bucket,
        r.keep_rate_bp,
        ({bucket.replace('doc_id', 'd.doc_id')} < r.keep_rate_bp) AS sampled
-FROM documents d JOIN r USING (lang)
+FROM documents d JOIN r ON coalesce(d.lang, chr(0)) = r.strata
 """
 
 

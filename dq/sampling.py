@@ -119,16 +119,21 @@ def temperature_sample(
     correctly-rounded double sqrt makes floor(sqrt(exact_int)) == isqrt on
     both engines — no float drift crosses the boundary.
 
+    NULL strata form their own ordinary group (coalesced to a sentinel on
+    both the histogram and the join key) — rows are never dropped by the
+    rate join and a NULL group influences n_min like any other language.
+
     Scale shape: one lang-keyed histogram (map-side combinable), a 1-row
     min broadcast onto it, and the tiny per-lang rate table broadcast back
     onto the docs — the documents themselves never shuffle (plan-asserted).
     """
-    counts = df.groupBy(strata_col).agg(
+    skey = F.coalesce(F.col(strata_col), F.lit("\x00")).alias("_strata")
+    counts = df.select(skey).groupBy("_strata").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs")
     )
     nmin = counts.agg(F.min("_n_docs").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
-        strata_col,
+        "_strata",
         F.floor(
             F.sqrt(F.expr(f"({TEMP_SCALE} * _n_min) DIV _n_docs"))
         )
@@ -137,7 +142,8 @@ def temperature_sample(
     )
     b = lcg_bucket(F.col(id_col))
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.withColumn("_strata", skey)
+        .join(F.broadcast(rates), "_strata")
         .select(
             *df.columns,
             b.cast("bigint").alias("sample_bucket"),

@@ -33,13 +33,14 @@ def test_diff_all_four_statuses(spark):
     assert out["u/new"].status == "added" and out["u/new"].old_fp is None
 
 
-def test_null_text_diffs_as_unchanged_not_dropped(spark):
-    # the null-safe fingerprint: a NULL-text url present in both crawls is
-    # 'unchanged', and NULL vs '' compares equal (both hash sha256(''))
-    old = _snap(spark, [("u/null", None), ("u/empty", None)])
-    new = _snap(spark, [("u/null", None), ("u/empty", "")])
+def test_null_text_diffs_with_dedup_sentinel(spark):
+    # the SHARED null-safe fingerprint (dq.dedup.fingerprint_col): a
+    # NULL-text url present in both crawls is 'unchanged' (never silently
+    # dropped), while NULL vs '' is a real content change
+    old = _snap(spark, [("u/null", None), ("u/became_empty", None)])
+    new = _snap(spark, [("u/null", None), ("u/became_empty", "")])
     out = {r.url: r.status for r in crawldiff.crawl_diff(old, new).collect()}
-    assert out == {"u/null": "unchanged", "u/empty": "unchanged"}
+    assert out == {"u/null": "unchanged", "u/became_empty": "changed"}
 
 
 def test_planted_snapshots_statuses(spark):

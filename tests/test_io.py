@@ -259,3 +259,29 @@ def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
     assert len(glob.glob(p + "/day=*/*.parquet")) == 3  # one file per leaf
     after = spark.read.parquet(p).groupBy("day").count().collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_compact_preserves_sorted_layout_and_hides_staging(spark, tmp_path):
+    """sort_cols passthrough re-clusters by range (disjoint footers survive
+    the rewrite) and the staged swap uses hidden sibling dirs only."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "sorted")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dqio.write_sorted_layout(docs.orderBy("text"), p, ["doc_id"], n_files=8)
+    total = sum(os.path.getsize(f) for f in glob.glob(p + "/*.parquet"))
+    dqio.compact_table(spark, p, target_bytes=total // 3 + 1, sort_cols=["doc_id"])
+    ranges = []
+    for f in glob.glob(p + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        i = md.schema.names.index("doc_id")
+        sts = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in sts), max(s.max for s in sts)))
+    assert 2 <= len(ranges) <= 4
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # clustering survived the compaction
+    # nothing visible leaked into the parent (hidden debris is cleaned up)
+    assert [d for d in os.listdir(tmp_path) if "staging" in d or ".old" in d] == []

@@ -70,4 +70,4 @@ def test_canonical_url_idempotent_and_clean(u):
     c = canonical_url(u)
     assert canonical_url(c) == c          # idempotent (the dedup-key property)
     assert "#" not in c                   # fragment always gone
-    assert not c.endswith("/") or c == "/" * len(c) or u == c  # no trailing slash after a path
+    assert not c.endswith("/")            # trailing slash always stripped

@@ -131,3 +131,15 @@ def test_temperature_sample_docs_never_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id#" not in frag  # only the lang histogram shuffles
+
+
+def test_temperature_sample_null_strata_kept_as_own_group(spark):
+    from dq.sampling import temperature_sample
+
+    rows = [(i, "en") for i in range(100)] + [(500 + i, None) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_sample(df)
+    assert out.count() == 104  # NULL rows never dropped by the rate join
+    rates = {r.lang: r.keep_rate_bp for r in out.select("lang", "keep_rate_bp").distinct().collect()}
+    assert rates[None] == 10000            # rarest group keeps everything
+    assert rates["en"] == 2000             # isqrt(1e8*4/100)
