@@ -75,7 +75,7 @@ def classifier_scores(
     cross-multiplication (empty docs keep trivially: 0 >= 0).
     """
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_w")
+        F.col(id_col).alias("doc_id"), tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_w")
     )
     return staged.select(
         "doc_id",
@@ -128,7 +128,7 @@ def ccnet_buckets(
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
-        tokens_col(F.col(text_col)).alias("_w"),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"),
     )
     scored = staged.select(
         "doc_id",

@@ -221,7 +221,9 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if "_corrupt_record" not in schema.fieldNames():
-        schema = schema.add("_corrupt_record", StringType())
+        # copy first: StructType.add mutates in place and returns self, so
+        # adding to the caller's schema object would permanently grow it
+        schema = StructType(list(schema.fields)).add("_corrupt_record", StringType())
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

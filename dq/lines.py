@@ -77,8 +77,11 @@ def multiline_docs(docs: DataFrame, id_col: str = "doc_id",
     boiler = F.array(*[F.lit(s) for s in BOILERPLATE_LINES])
     did = F.col(id_col)
     header = F.element_at(boiler, (did % n + 1).cast("int"))
-    body = F.when(did % BODY_PERIOD_MOD == 0,
-                  F.concat(F.col(text_col), F.lit("."))).otherwise(F.col(text_col))
+    # NULL-safe body: a NULL-text doc contributes an empty line, not a NULL
+    # line — keeps the planted gate corpus NULL-free by construction (NULL
+    # lines would NULL-poison the oracle's NOT IN hot-set filter)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    body = F.when(did % BODY_PERIOD_MOD == 0, F.concat(txt, F.lit("."))).otherwise(txt)
     footer = F.element_at(boiler, ((did + 1) % n + 1).cast("int"))
     lines = F.when(did % FOOTER_MOD == 0, F.array(header, body, footer)).otherwise(
         F.array(header, body)
@@ -223,14 +226,17 @@ def dup_line_stats(base: DataFrame) -> DataFrame:
         F.sum(F.col("_c") * F.col("_len")).cast("bigint").alias("_tot_chars"),
         F.sum((F.col("_c") - 1) * F.col("_len")).cast("bigint").alias("_dup_chars"),
     )
-    return agg.select(
+    # one row per INPUT doc: a doc with no (non-NULL) lines reports zeros,
+    # like every sibling per-doc metric — callers counting flagged-vs-total
+    # docs must not silently lose the empty ones
+    return base.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
-        "n_lines",
-        "n_dup_lines",
-        (F.col("n_dup_lines").cast("double") / F.col("n_lines").cast("double")).alias(
-            "dup_line_frac"
-        ),
-        F.when(F.col("_tot_chars") == 0, F.lit(0.0))
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("n_dup_lines", F.lit(0)).cast("bigint").alias("n_dup_lines"),
+        F.when(F.coalesce("n_lines", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_dup_lines").cast("double") / F.col("n_lines").cast("double"))
+        .alias("dup_line_frac"),
+        F.when(F.coalesce("_tot_chars", F.lit(0)) == 0, F.lit(0.0))
         .otherwise(F.col("_dup_chars").cast("double") / F.col("_tot_chars").cast("double"))
         .alias("dup_line_char_frac"),
     )

@@ -103,7 +103,10 @@ def _multiline_pieces() -> tuple[str, str, str]:
 
     n = len(BOILERPLATE_LINES)
     header = _boiler_case(f"doc_id % {n}")
-    body = f"CASE WHEN doc_id % {BODY_PERIOD_MOD} = 0 THEN text || '.' ELSE text END"
+    body = (
+        f"CASE WHEN doc_id % {BODY_PERIOD_MOD} = 0"
+        f" THEN coalesce(text, '') || '.' ELSE coalesce(text, '') END"
+    )
     footer = _boiler_case(f"(doc_id + 1) % {n}")
     return header, body, footer
 
@@ -155,7 +158,7 @@ WITH l AS (
             WHERE doc_id % {DUP_LINE_PLANT_MOD} = 0
 ), per AS (
   SELECT doc_id, line, length(line) AS len, count(*) AS c
-  FROM l GROUP BY doc_id, line
+  FROM l WHERE line IS NOT NULL GROUP BY doc_id, line
 ), agg AS (
   SELECT doc_id,
          sum(c) AS n_lines,
@@ -164,13 +167,14 @@ WITH l AS (
          sum((c - 1) * len) AS dup_chars
   FROM per GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(n_lines AS BIGINT) AS n_lines,
-       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
-       n_dup_lines::DOUBLE / n_lines::DOUBLE AS dup_line_frac,
-       CASE WHEN tot_chars = 0 THEN 0.0
+SELECT d.doc_id,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+       CASE WHEN coalesce(n_lines, 0) = 0 THEN 0.0
+            ELSE n_dup_lines::DOUBLE / n_lines::DOUBLE END AS dup_line_frac,
+       CASE WHEN coalesce(tot_chars, 0) = 0 THEN 0.0
             ELSE dup_chars::DOUBLE / tot_chars::DOUBLE END AS dup_line_char_frac
-FROM agg
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
@@ -611,7 +615,11 @@ def _token_packing_sql() -> str:
 
     return f"""
 WITH t AS (
-  SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+  -- coalesce twin of whitespace_token_count: NULL text counts 0 tokens
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
 )
 SELECT doc_id, n_tokens,
        CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -644,7 +652,7 @@ def _quality_classifier_sql() -> str:
 
     weight = _token_weight_sql()
     return f"""
-WITH t AS (SELECT doc_id, {_WORDS_LOWER} AS words FROM documents)
+WITH t AS (SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents)
 SELECT doc_id,
        CAST(len(words) AS BIGINT) AS n_tokens,
        CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
@@ -722,7 +730,7 @@ def _ccnet_buckets_sql() -> str:
     weight = _token_weight_sql()
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, {_WORDS_LOWER} AS words FROM documents
+  SELECT doc_id, lang, {_WORDS_LOWER_NS} AS words FROM documents
 ), s AS (
   SELECT doc_id, lang,
          CAST(len(words) AS BIGINT) AS n,
@@ -758,6 +766,9 @@ FROM rated r JOIN edges e USING (lang)
 
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+# NULL-safe twin of the above for operators whose Spark side coalesces
+# NULL text to '' (classifier/ccnet): n_tokens 0, never NULL/-1
+_WORDS_LOWER_NS = "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
 _STOPS = _sql_list(STOPWORDS)
 
@@ -1022,7 +1033,7 @@ WITH b1 AS (
   SELECT doc_id + {INCR_RECRAWL_OFFSET}, text FROM documents
   WHERE doc_id % {INCR_RECRAWL_MOD} = 0
 ), ledger AS (
-  SELECT DISTINCT sha256(text) AS fp FROM b1
+  SELECT DISTINCT sha256(coalesce(text, chr(0))) AS fp FROM b1
 ), words AS (
   SELECT pos // {WORD_BITS} AS word_idx,
          bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
@@ -1032,7 +1043,7 @@ WITH b1 AS (
   )
   GROUP BY 1
 ), probe AS (
-  SELECT doc_id, sha256(text) AS fp FROM b2
+  SELECT doc_id, sha256(coalesce(text, chr(0))) AS fp FROM b2
 ), probe_pos AS (
   SELECT doc_id, {pos} AS pos
   FROM probe CROSS JOIN unnest(range(1, {BLOOM_K + 1})) AS t(i)
@@ -1060,7 +1071,7 @@ def _kmv_corpus_overlap_sql() -> str:
     from dq.sketch import KMV_HEX_CHARS, KMV_K, KMV_M
 
     num = repr(float(KMV_K - 1) * float(KMV_M))
-    h = f"('0x' || substr(sha256(text), 1, {KMV_HEX_CHARS}))::BIGINT"
+    h = f"('0x' || substr(sha256(coalesce(text, chr(0))), 1, {KMV_HEX_CHARS}))::BIGINT"
     return f"""
 WITH b1 AS (
   SELECT text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
@@ -1450,8 +1461,10 @@ FROM planted
 """,
     "token_counts": f"""
 SELECT doc_id,
-       CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{BPE_SPLIT_PATTERN}'))
+            AS BIGINT) AS bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_len
 FROM documents
 """,
@@ -1598,12 +1611,14 @@ WITH b1 AS (
   SELECT doc_id + {INCR_RECRAWL_OFFSET}, text FROM documents
   WHERE doc_id % {INCR_RECRAWL_MOD} = 0
 ), r AS (
-  SELECT doc_id, text, rank() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+  SELECT doc_id, text,
+         rank() OVER (PARTITION BY coalesce(text, chr(0)) ORDER BY doc_id) AS rk
   FROM b2
 )
 SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
 FROM r
-WHERE rk > 1 OR text IN (SELECT text FROM b1)
+WHERE rk > 1 OR coalesce(text, chr(0)) IN
+      (SELECT coalesce(text, chr(0)) FROM b1)
 """,
     # Bloom twin: identical bit math from sha256 hex slices — Spark's
     # conv(substr,16,10) == DuckDB's ('0x'||substr)::BIGINT (both positive

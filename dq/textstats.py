@@ -126,8 +126,13 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
     short tokens; the text column never enters an exchange.
     """
     words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
-    terms = df.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
-        "_id", F.explode("_w").alias("term")
+    # explode_outer + isNotNull on the OUTPUT: a plain explode triggers
+    # InferFiltersFromGenerate and inlines the token tree into a pushed-down
+    # Filter, re-tokenizing every row twice per scan (CLAUDE.md rule)
+    terms = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode_outer("_w").alias("term"))
+        .where(F.col("term").isNotNull())
     )
     tf = terms.groupBy("_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))

@@ -52,7 +52,11 @@ BANNED_PATH_TOKENS = ["ads", "tracker", "signup"]
 BANNED_MOD = 5       # every BANNED_MOD-th doc gets a banned path segment
 QUERY_MOD = 4        # every QUERY_MOD-th doc's url carries ?utm_source=feed
 
-HOT_SHARE_PCT = 10   # a domain with >= this % of docs is a hot (skew) key
+# a domain with >= this % of docs is a hot (skew) key. 25 splits the
+# planted corpus (hot 40%, wiki.epsilon 20%, other colds 10%) so the gate
+# exercises BOTH flag branches — at 10 every domain sat at/above the
+# boundary and is_hot was constant TRUE, a vacuous check
+HOT_SHARE_PCT = 25
 
 # Java ∩ Python-re ∩ RE2 ∩ DuckDB dialect subset (no lookaround)
 DOMAIN_RE = r"https?://([^/?#]+)"

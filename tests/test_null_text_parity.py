@@ -1,0 +1,73 @@
+"""Spark-vs-DuckDB parity over a corpus WITH NULL texts.
+
+The driver-gate corpora contain zero NULL texts, so NULL-handling drift
+between a query and its oracle twin is invisible at the gate (review
+finding, r3): NOT-IN NULL poisoning, size(NULL) = -1 vs len(NULL) = NULL,
+sha256(NULL) dropping rows from ledgers. This suite re-runs the text-tier
+oracle pairs over a documents table where every 7th doc has NULL text —
+any future divergence on the NULL paths fails here first.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from __spark_entry__ import oracle_sql, queries
+from dq.io import TABLES
+from tools.compare_oracle import frame_hash, normalize
+
+SF = "/root/testdata/sf0.001"
+NULL_MOD = 7
+
+# every oracled query that reads documents.text (the NULL-sensitive tier)
+TEXT_QUERIES = [
+    "line_dedup_global",
+    "dup_line_metrics",
+    "quality_classifier",
+    "ccnet_quality_buckets",
+    "token_budget_packing",
+    "incremental_dedup_batch2",
+    "bloom_ledger_probe",
+    "kmv_corpus_overlap",
+    "tfidf_top_terms",
+    "crawl_snapshot_diff",
+    "crawl_diff_summary",
+    "temperature_sampled",
+    "token_counts",
+    "corpus_report",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nulltext"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "text",
+        F.when(F.col("doc_id") % NULL_MOD == 0, F.lit(None)).otherwise(F.col("text")),
+    )
+    docs.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    for t in TABLES:
+        if t != "documents":
+            spark.read.parquet(f"{SF}/{t}.parquet").write.parquet(
+                f"{out}/{t}.parquet"
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_con(null_sf):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{null_sf}/{t}.parquet/*.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_null_text_query_vs_oracle(spark, null_sf, null_con, name):
+    assert name in oracle_sql(), f"{name} lost its oracle"
+    sdf = queries()[name](spark, null_sf).toPandas()
+    odf = null_con.execute(oracle_sql()[name]).df()
+    s, o = normalize(sdf), normalize(odf)
+    assert len(s) == len(o)
+    assert sorted(s.columns) == sorted(o.columns)
+    assert frame_hash(s) == frame_hash(o)
