@@ -629,6 +629,51 @@ FROM t
 """
 
 
+def _script_profiles_sql() -> str:
+    """Twin of dq.textstats.script_profile over the planted multi-script
+    corpus. The SCRIPT_CLASSES patterns are literal-char ranges (no \\u
+    escapes), so the same strings are valid Java AND RE2 regexes; counts
+    are codepoint arithmetic (length - length-after-removal) on both
+    engines, and dominance ties break in SCRIPT_CLASSES order."""
+    from dq.textstats import (
+        SCRIPT_CLASSES,
+        SCRIPT_PLANT_MOD,
+        SCRIPT_SNIPPET_REPEAT,
+        SCRIPT_SNIPPETS,
+    )
+
+    snip_whens = " ".join(
+        f"WHEN {i} THEN '{_sq(s)}'" for i, s in enumerate(SCRIPT_SNIPPETS)
+    )
+    planted = (
+        f"CASE WHEN doc_id % {SCRIPT_PLANT_MOD} = 0 "
+        f"THEN coalesce(text, '') || ' ' || "
+        f"repeat(CASE doc_id % {len(SCRIPT_SNIPPETS)} {snip_whens} END, "
+        f"{SCRIPT_SNIPPET_REPEAT}) ELSE text END"
+    )
+    counts = ", ".join(
+        f"CAST(length(coalesce(text, '')) - "
+        f"length(regexp_replace(coalesce(text, ''), '{cls}', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, cls in SCRIPT_CLASSES
+    )
+    m = "greatest(" + ", ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES) + ")"
+    dom_whens = " ".join(
+        f"WHEN n_{name} = {m} THEN '{name}'" for name, _ in SCRIPT_CLASSES
+    )
+    cols = ", ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {planted} AS text FROM documents
+), c AS (
+  SELECT doc_id, {counts} FROM t
+)
+SELECT doc_id, {cols},
+       CASE WHEN {m} = 0 THEN 'none' {dom_whens} END AS dominant_script
+FROM c
+"""
+
+
 def _token_weight_sql() -> str:
     """Per-token hashed weight expression shared by the classifier twins
     (bound variable ``w``) — mirrors dq.classifier.token_weight."""
@@ -1543,6 +1588,7 @@ FROM documents
     "crawl_snapshot_diff": _crawl_diff_sql(),
     "crawl_diff_summary": _crawl_diff_summary_sql(),
     "contamination_scores": _contamination_sql(),
+    "script_profiles": _script_profiles_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "temperature_sampled": _temperature_sample_sql(),
     "domain_cap_quota": _domain_cap_sql(),

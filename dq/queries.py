@@ -537,6 +537,32 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def script_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (dq.textstats.script_profile): per-doc
+    script character counts + dominant script — the model-free router /
+    langid sanity check. The all-latin gate corpus gets planted repeated
+    non-latin snippets (rotating cyrillic/CJK/arabic, constants shared
+    with the oracle) so every dominance branch is exercised. Pure codegen
+    column work, zero exchanges (plan-asserted)."""
+    from dq import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    snips = F.array(*[F.lit(s) for s in ts.SCRIPT_SNIPPETS])
+    planted = F.when(
+        did % ts.SCRIPT_PLANT_MOD == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            F.repeat(
+                F.element_at(snips, (did % len(ts.SCRIPT_SNIPPETS) + 1).cast("int")),
+                ts.SCRIPT_SNIPPET_REPEAT,
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    return ts.script_profile(docs.select("doc_id", planted.alias("text")))
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite [0,1] quality prior per doc (textstats.quality_score)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1310,6 +1336,7 @@ QUERIES = {
     "scrub_pii": scrub_pii,
     "token_counts": token_counts,
     "quality_scores": quality_scores,
+    "script_profiles": script_profiles,
     "lang_hint_sql": lang_hint_sql,
     "repetition_metrics": repetition_metrics,
     "dup_ngram_metrics": dup_ngram_metrics,

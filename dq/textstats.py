@@ -226,3 +226,52 @@ def dup_ngram_char_stats(df, id_col: str = "doc_id", text_col: str = "text",
         .otherwise(F.col("_dup").cast("double") / F.col("_tot").cast("double"))
         .alias("dup_ngram_char_frac"),
     )
+
+
+# ---- unicode script profiling ----------------------------------------------
+# Script ranges as LITERAL character classes: the resolved Python string
+# (actual unicode endpoint chars, no \u escapes) is simultaneously a valid
+# Java regex (Spark), RE2 regex (DuckDB) and Python re — the shared-dialect
+# rule. Order doubles as the deterministic dominance tie-break.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-zÀ-ÿ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[぀-ヿ一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+]
+# planted multi-script variants for the gate corpus (all-latin otherwise):
+# every SCRIPT_PLANT_MOD-th doc gains a repeated snippet of one non-latin
+# script (rotating), long enough to dominate the latin body
+SCRIPT_PLANT_MOD = 4
+SCRIPT_SNIPPET_REPEAT = 120
+SCRIPT_SNIPPETS = ["данные", "数据处理", "بيانات"]
+
+
+def script_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc unicode-script character counts + dominant script.
+
+    The cheap, model-free signal corpus pipelines use to (a) route docs to
+    per-script tokenizers, (b) sanity-check langid output (a 'fr' doc that
+    is 90% CJK is mislabeled), and (c) drop mixed-script spam. n_<script>
+    = chars matching the class (length minus length-after-removal — one
+    codegen regexp per class, zero UDFs, zero exchanges); dominant_script
+    = first class in SCRIPT_CLASSES order holding the max count, 'none'
+    when every count is 0 (empty/NULL text).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: (F.length(txt) - F.length(F.regexp_replace(txt, cls, "")))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, cls in SCRIPT_CLASSES
+    }
+    staged = df.select(F.col(id_col).alias("doc_id"), *counts.values())
+    m = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_CLASSES])
+    dom = F.when(m == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        dom = dom.when(F.col(f"n_{name}") == m, F.lit(name))
+    return staged.select(
+        "doc_id",
+        *[f"n_{n}" for n, _ in SCRIPT_CLASSES],
+        dom.alias("dominant_script"),
+    )

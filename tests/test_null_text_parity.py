@@ -34,6 +34,7 @@ TEXT_QUERIES = [
     "crawl_diff_summary",
     "temperature_sampled",
     "token_counts",
+    "script_profiles",
     "corpus_report",
 ]
 

@@ -113,3 +113,36 @@ def test_dup_ngram_char_stats_planted(spark):
     tot = sum(len(g) * k for g, k in c.items())
     dup = sum(len(g) * k for g, k in c.items() if k > 1)
     assert r2.dup_ngram_char_frac == dup / tot and dup > 0
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from dq.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "данные и ещё данные много данных здесь"),
+            (3, "数据处理系统 ok"),
+            (4, None),
+            (5, "a б"),  # 1 latin, 1 cyrillic -> tie breaks in class order
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].n_latin == 10
+    assert out[2].dominant_script == "cyrillic" and out[2].n_latin == 0
+    assert out[3].dominant_script == "cjk" and out[3].n_cjk == 6
+    assert out[4].dominant_script == "none" and out[4].n_latin == 0
+    assert out[5].dominant_script == "latin"  # tie -> first in SCRIPT_CLASSES
+
+
+def test_script_profiles_query_no_exchange(spark):
+    from dq.queries import script_profiles
+
+    plan_str = (
+        script_profiles(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan_str
