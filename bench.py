@@ -68,6 +68,9 @@ HEADLINE = [
     "domain_pagerank",           # webgraph tier: html href mining + integer PageRank
     "user_sessions",             # clickstream sessionization (events table)
     "crawl_snapshot_diff",       # refresh analytics: narrow full-outer fingerprint diff
+    "temperature_sampled",       # corpus-derived language reweighting
+    "anchor_top_terms",          # link-text mining
+    "script_profiles",           # unicode script routing
 ]
 
 

@@ -211,6 +211,12 @@ def minhash_signatures(
 
 def band_key_cols(num_hashes: int = 32, bands: int = 8) -> list[Column]:
     """LSH band digests over signature columns h0..h{k-1}."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): trailing hashes would be computed but never banded, "
+            "silently flattening the recall/precision curve"
+        )
     r = num_hashes // bands
     return [
         F.xxhash64(F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"band{b}")

@@ -75,16 +75,20 @@ def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     transactional REPLACE — this is the path-based fallback (fmt may be
     ``orc`` for reference parity).
     """
+    import shutil
+
     stage = path.rstrip("/") + ".staging"
-    df.write.mode("overwrite").format(fmt).save(stage)
     final_tmp = path.rstrip("/") + ".old"
+    # clear debris from a previously interrupted swap: a stale non-empty
+    # '.old' dir would make the os.rename below raise ENOTEMPTY forever
+    for debris in (stage, final_tmp):
+        shutil.rmtree(debris, ignore_errors=True)
+    df.write.mode("overwrite").format(fmt).save(stage)
     spark = df.sparkSession
     if os.path.exists(path):
         os.rename(path, final_tmp)
     os.rename(stage, path)
     if os.path.exists(final_tmp):
-        import shutil
-
         shutil.rmtree(final_tmp)
     _ = spark  # session kept for API symmetry with the Iceberg backend
 

@@ -1481,7 +1481,7 @@ WITH t AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events),
 g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
 SELECT g.event_type, g.n, g.n / t.c AS fraction
 FROM g, t
-WHERE g.n >= CAST(floor(t.c * {HOT_KEY_MIN_FRACTION!r}) AS BIGINT)
+WHERE g.n >= greatest(CAST(floor(t.c * {HOT_KEY_MIN_FRACTION!r}) AS BIGINT), 2)
 """,
     "heuristic_metrics": "WITH "
     + _heuristics_cte()

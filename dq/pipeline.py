@@ -227,6 +227,15 @@ def enrich_sql_only(
     return out.withColumn("keep", F.col("keep_heuristic") & ~F.col("is_exact_dup"))
 
 
+# read-back shape of the accumulated lineage directory (lineage_metrics
+# columns + the dt_foto partition column); used for the empty-input path
+LINEAGE_SCHEMA_DDL = (
+    "n_input bigint, n_kept bigint, n_dropped bigint, n_scrubbed bigint, "
+    "n_exact_dups bigint, n_extraction_ok bigint, dt_processamento string, "
+    "status bigint, dt_foto string"
+)
+
+
 def lineage_metrics(enriched: DataFrame) -> DataFrame:
     """Per-partition lineage row (DQ_LINEAGE shape): input/kept/dropped/
     scrubbed/dup counts — one hash-agg pass, map-side partials.
@@ -334,6 +343,21 @@ def run(
             .partitionBy(PARTITION_COL)
             .parquet(os.path.join(out_dir, "lineage"))
         )
+        # dynamic overwrite only replaces partitions PRESENT in the kept
+        # frame: a re-processed partition whose kept set became empty (e.g.
+        # stricter config) would otherwise keep its stale files — delete it
+        # explicitly, matching per-partition mode's whole-directory overwrite
+        kept_parts = {
+            r[0] for r in kept.select(PARTITION_COL).distinct().collect()
+        }
+        import shutil
+
+        for part in pending:
+            if part not in kept_parts:
+                shutil.rmtree(
+                    os.path.join(out_dir, f"kept/{PARTITION_COL}={part}"),
+                    ignore_errors=True,
+                )
 
     if pending and not per_partition:
         scoped = pages.where(_ts_range_pred(pending))
@@ -344,7 +368,16 @@ def run(
         enriched = enrich(scoped, config=config, dedup_scope=scope).where(
             F.col(PARTITION_COL).isin(pending)
         )
-        write_partitioned(enriched)
+        # one UDF pass, three actions (kept write, lineage write, empty-
+        # partition probe): without the persist each action re-runs the
+        # whole extract+langid+ppl+scrub plan — the dominant cost at scale
+        from pyspark import StorageLevel
+
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_partitioned(enriched)
+        finally:
+            enriched.unpersist()
         for part in pending:
             manifest.mark_done(table_name, part)
     elif pending:
@@ -352,14 +385,21 @@ def run(
         # into a shared root: concurrent jobs would collide in the output
         # committer's _temporary staging)
         def do_partition(part: str) -> None:
+            from pyspark import StorageLevel
+
             scoped = pages.where(_ts_range_pred([part]))
-            part_df = enrich(scoped, config=config).where(F.col(PARTITION_COL) == part)
-            kept_projection(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"kept/{PARTITION_COL}={part}")
-            )
-            lineage_metrics(part_df).drop(PARTITION_COL).write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}")
-            )
+            part_df = enrich(scoped, config=config).where(
+                F.col(PARTITION_COL) == part
+            ).persist(StorageLevel.MEMORY_AND_DISK)  # one UDF pass, two writes
+            try:
+                kept_projection(part_df).drop(PARTITION_COL).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out_dir, f"kept/{PARTITION_COL}={part}"))
+                lineage_metrics(part_df).drop(PARTITION_COL).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out_dir, f"lineage/{PARTITION_COL}={part}"))
+            finally:
+                part_df.unpersist()
             manifest.mark_done(table_name, part)
 
         if parallelism > 1 and len(pending) > 1:
@@ -370,7 +410,13 @@ def run(
         else:
             for part in pending:
                 do_partition(part)
+    lineage_dir = os.path.join(out_dir, "lineage")
+    if not os.path.exists(lineage_dir):
+        # empty input on a first run (a day with no crawl): nothing was
+        # written — return an empty, correctly-typed lineage frame rather
+        # than crashing on a missing path
+        return spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
     # partition-dir type inference would surface dt_foto as int; pin string
-    return spark.read.parquet(os.path.join(out_dir, "lineage")).withColumn(
+    return spark.read.parquet(lineage_dir).withColumn(
         PARTITION_COL, F.col(PARTITION_COL).cast("string")
     )

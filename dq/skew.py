@@ -89,10 +89,15 @@ def top_keys(df: DataFrame, key: str, min_fraction: float = 0.01) -> DataFrame:
     :func:`hybrid_hot_cold_join`: broadcast-join the hot keys' rows,
     shuffle the cold rest). One pass, algebraic aggs only."""
     total = df.count()
+    # floor(2) guard: on tiny inputs int(total*min_fraction) degenerates to
+    # <= 1 and EVERY key with a single row counts as hot — hybrid_hot_cold_
+    # join would then broadcast the entire small side, the exact failure the
+    # hot/cold split exists to avoid (the oracle twin applies the same max)
+    threshold = max(int(total * min_fraction), 2)
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= F.lit(int(total * min_fraction)))
+        .where(F.col("n") >= F.lit(threshold))
         .withColumn("fraction", F.col("n") / F.lit(total))
     )
 

@@ -24,10 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dq import heuristics
 from dq.pipeline import PipelineConfig, nlp_udf, with_partition
 from dq.schema import PAGES
-from dq.scrub import scrub_col
 
 WATERMARK = "2 days"
 
@@ -47,10 +45,14 @@ def streaming_enrich(
     """Stateless stages + watermarked exact-dedup; mirrors batch ``enrich``
     minus the window-based survivor pick. ``dedup=False`` yields a fully
     stateless plan (for complete-mode downstream aggregations)."""
+    from dq.dedup import fingerprint_col
+    from dq.pipeline import _native_stages
+
     cfg = config or PipelineConfig()
-    out = with_partition(pages)
-    out = heuristics.with_heuristic_metrics(out)
-    out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
+    # the SQL-expressible chain is SHARED with batch enrich (_native_stages:
+    # heuristics + keep_heuristic + scrub + pii_found) — one definition, so
+    # threshold/wiring changes cannot drift between the two modes
+    out = _native_stages(with_partition(pages), cfg)
     nlp = nlp_udf(F.col("text"))
     out = (
         out.withColumn("_nlp", nlp)
@@ -63,8 +65,9 @@ def streaming_enrich(
         F.col("lang_pred") == F.lit(cfg.target_lang) if cfg.target_lang else F.lit(True),
     )
     out = out.withColumn("keep_ppl", F.col("ppl") <= F.lit(cfg.max_perplexity))
-    out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
-    out = out.withColumn("content_hash", F.sha2(F.col("text"), 256))
+    # the SHARED null-safe fingerprint: streaming hashes must join against
+    # batch/ledger fingerprints (sha2 of NULL text would never match)
+    out = out.withColumn("content_hash", fingerprint_col(F.col("text")))
     if dedup:
         out = out.withWatermark("warc_ts", WATERMARK).dropDuplicatesWithinWatermark(
             ["content_hash"]
@@ -182,7 +185,7 @@ def run_stream_with_ledger(
 
 def domain_col(url_col="url"):
     """Domain extracted from the url (the natural hot key of a crawl)."""
-    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    return F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1)
 
 
 def domain_running_counts(pages: DataFrame) -> DataFrame:

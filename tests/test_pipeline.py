@@ -174,3 +174,45 @@ def test_url_with_two_texts_keeps_unique_content(spark):
     x_rows = out[out["url"] == "https://x.example/p"]
     assert not x_rows[x_rows["text"].str.startswith("unique")]["is_exact_dup"].iloc[0]
     assert x_rows[x_rows["text"].str.startswith("dolor")]["is_exact_dup"].iloc[0]
+
+
+def test_run_empty_input_returns_typed_empty_lineage(spark, tmp_path):
+    from dq import synth
+    from dq.pipeline import run
+
+    pages = synth.generate_pages(spark, 50).where("1=0")
+    out = run(spark, pages, str(tmp_path / "empty"))
+    assert out.count() == 0
+    assert "n_kept" in out.columns and "dt_foto" in out.columns
+
+
+def test_run_rerun_clears_partitions_that_kept_nothing(spark, tmp_path):
+    import glob
+
+    from dq import synth
+    from dq.pipeline import PipelineConfig, run
+
+    out_dir = str(tmp_path / "strict")
+    pages = synth.generate_pages(spark, 80)
+    run(spark, pages, out_dir)
+    assert glob.glob(out_dir + "/kept/dt_foto=*")
+    # stricter rerun keeps zero docs: stale kept partitions must vanish,
+    # not survive the dynamic overwrite (single-pass == per-partition mode)
+    run(spark, pages, out_dir, resume=False, config=PipelineConfig(max_perplexity=0.0))
+    assert glob.glob(out_dir + "/kept/dt_foto=*") == []
+
+
+def test_overwrite_table_survives_stale_old_dir(spark, tmp_path):
+    import os
+
+    from dq import io as dqio
+
+    p = str(tmp_path / "t")
+    spark.range(5).write.parquet(p)
+    # simulate a crash that left non-empty debris from a prior swap
+    os.makedirs(p + ".old")
+    spark.range(2).write.mode("overwrite").parquet(p + ".old")
+    os.makedirs(p + ".staging", exist_ok=True)
+    dqio.overwrite_table(spark.read.parquet(p).where("id < 3"), p)
+    assert spark.read.parquet(p).count() == 3
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".staging")
