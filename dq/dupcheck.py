@@ -39,10 +39,14 @@ def dup_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     per_row = df.groupBy(row_fingerprint(df, cols).alias("_fp")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    # coalesce: on empty input sum() is NULL — the metric must report
+    # (0, 0, 0) exactly like the reference two-scan formulation
     return per_row.agg(
-        F.sum("_cnt").cast("bigint").alias("qtde1"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("qtde1"),
         F.count(F.lit(1)).cast("bigint").alias("qtde2"),
-        (F.sum("_cnt") - F.count(F.lit(1))).cast("bigint").alias("diferenca"),
+        (F.coalesce(F.sum("_cnt"), F.lit(0)) - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("diferenca"),
     )
 
 

@@ -132,7 +132,7 @@ def keep_expr(t: dict | None = None) -> Column:
 
 # ---------------------------------------------------------------- oracle ---
 
-_WS = re.compile(r"\s+")
+_WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only; Python str \s is not
 _SYM = re.compile(SYMBOL_CLASS)
 _ALPHA = re.compile(r"[A-Za-zÀ-ÿ]")
 _STOPSET = set(STOPWORDS)

@@ -39,6 +39,9 @@ from dq.queries import (
     PLANT_NEAR_OFFSET,
     PCT_POINTS,
     PLANT_NEAR_SUFFIX,
+    PII_PLANT_IP_MOD,
+    PII_PLANT_PARTS,
+    RECENT_DT_CUTOFF,
     PRICE_BAND_EDGES,
     PRICE_BAND_LABELS,
     REMEDIATION_EXCLUDED,
@@ -243,6 +246,7 @@ def _url_expr(id_sql: str = "doc_id") -> str:
     """SQL expr mirroring dq.urlstats.url_expr, parameterized over the
     doc-id expression exactly like the Column-level twin."""
     from dq.urlstats import (
+        TRACKING_QUERY,
         BANNED_MOD,
         BANNED_PATH_TOKENS,
         COLD_DOMAINS,
@@ -267,7 +271,7 @@ def _url_expr(id_sql: str = "doc_id") -> str:
         f"THEN (CASE {id_sql} % {len(BANNED_PATH_TOKENS)} {tok_whens} END) || '/' "
         f"ELSE '' END"
     )
-    query = f"CASE WHEN {id_sql} % {QUERY_MOD} = 0 THEN '?utm_source=feed' ELSE '' END"
+    query = f"CASE WHEN {id_sql} % {QUERY_MOD} = 0 THEN '{_sq(TRACKING_QUERY)}' ELSE '' END"
     return (
         f"'https://' || {domain} || '/' || {seg} || 'item-' || "
         f"CAST({id_sql} AS VARCHAR) || {query}"
@@ -825,8 +829,10 @@ def _heuristics_cte(from_sql: str = "documents", id_col: str = "doc_id") -> str:
     oracle (pipeline_keep_sql keys by url over a pages CTE)."""
     stop_hits = f"list_filter(words, x -> list_contains({_STOPS}, lower(x)))"
     return f"""
-base AS (
-  SELECT {id_col}, text, {_WORDS} AS words, {_LINES} AS lines FROM {from_sql}
+base0 AS (
+  SELECT {id_col}, coalesce(text, '') AS text FROM {from_sql}
+), base AS (
+  SELECT {id_col}, text, {_WORDS} AS words, {_LINES} AS lines FROM base0
 ), m AS (
   SELECT {id_col},
     CAST(len(words) AS BIGINT) AS n_words,
@@ -1016,7 +1022,7 @@ pairs AS (
          CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
               THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
                    i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
-              ELSE [array_to_string(words, ' ')] END AS s
+              ELSE [coalesce(array_to_string(words, ' '), '')] END AS s
   FROM w
 )
 SELECT p.id_a, p.id_b,
@@ -1046,7 +1052,7 @@ WITH pages AS (
   FROM documents
 ), {_heuristics_cte(from_sql="pages", id_col="url")},
 s AS (
-  SELECT url, {_scrub_chain("text")} <> text AS pii_found FROM pages
+  SELECT url, {_scrub_chain("text")} IS DISTINCT FROM text AS pii_found FROM pages
 ), d AS (
   SELECT url, url <> min(url) OVER (PARTITION BY text) AS is_exact_dup FROM pages
 )
@@ -1315,7 +1321,7 @@ WHERE c = 0
     "volumetria_recent_by_type": f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS qtde
 FROM events
-WHERE {_DT} >= '20240129' AND event_type <> 'error'
+WHERE {_DT} >= '{RECENT_DT_CUTOFF}' AND event_type <> 'error'
 GROUP BY event_type
 """,
     "dup_metric_text": """
@@ -1494,9 +1500,10 @@ FROM m
     "scrub_pii": f"""
 WITH planted AS (
   SELECT doc_id,
-         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
-              || '@mail.example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
-              || '.25 ssn 123-45-6789' AS ptext
+         text || '{_sq(PII_PLANT_PARTS[0])}' || CAST(doc_id AS VARCHAR)
+              || '{_sq(PII_PLANT_PARTS[1])}'
+              || CAST(doc_id % {PII_PLANT_IP_MOD} AS VARCHAR)
+              || '{_sq(PII_PLANT_PARTS[2])}' AS ptext
   FROM documents
 )
 SELECT doc_id,
@@ -1575,7 +1582,7 @@ FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 """,
     "doc_fingerprints": """
 SELECT doc_id,
-       sha256(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fingerprint
+       sha256(coalesce(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' '), '')) AS fingerprint
 FROM documents
 """,
     "tfidf_top_terms": _tfidf_sql(),

@@ -206,7 +206,11 @@ def _native_stages(out: DataFrame, cfg: PipelineConfig) -> DataFrame:
     out = heuristics.with_heuristic_metrics(out)
     out = out.withColumn("keep_heuristic", heuristics.keep_expr(cfg.thresholds))
     out = out.withColumn("text_scrubbed", scrub_col(F.col("text")))
-    return out.withColumn("pii_found", F.col("text_scrubbed") != F.col("text"))
+    # null-safe: NULL text scrubs to NULL — pii_found must be false, not
+    # NULL (a NULL boolean poisons downstream sums and the oracle compare)
+    return out.withColumn(
+        "pii_found", ~F.col("text_scrubbed").eqNullSafe(F.col("text"))
+    )
 
 
 def enrich_sql_only(

@@ -100,11 +100,14 @@ def volumetria_gate_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECENT_DT_CUTOFF = "20240129"  # dq.oracles builds its twin from this
+
+
 def volumetria_recent_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range filter on date labels + equality conjunction (P6/P8)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.where(F.expr(EVENT_DT) >= F.lit("20240129"))
+        ev.where(F.expr(EVENT_DT) >= F.lit(RECENT_DT_CUTOFF))
         .where(F.col("event_type") != F.lit("error"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("qtde"))
@@ -505,6 +508,12 @@ def heuristic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted-PII construction pieces (dq.oracles generates the twin SQL from
+# these — never hand-duplicate the literals)
+PII_PLANT_PARTS = (" reach me at user", "@mail.example.com or 10.0.", ".25 ssn 123-45-6789")
+PII_PLANT_IP_MOD = 200
+
+
 def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub chain; PII planted deterministically via concat so the
     replacement path is exercised on every row."""
@@ -513,11 +522,11 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(" reach me at user"),
+        F.lit(PII_PLANT_PARTS[0]),
         F.col("doc_id").cast("string"),
-        F.lit("@mail.example.com or 10.0."),
-        (F.col("doc_id") % 200).cast("string"),
-        F.lit(".25 ssn 123-45-6789"),
+        F.lit(PII_PLANT_PARTS[1]),
+        (F.col("doc_id") % PII_PLANT_IP_MOD).cast("string"),
+        F.lit(PII_PLANT_PARTS[2]),
     )
     return docs.select(
         "doc_id",

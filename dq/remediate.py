@@ -79,7 +79,13 @@ def remediate_volumetria(
         .collect()  # control table only: O(#failures) rows
     ]
 
-    new_history, new_failures = history, failures
+    # accumulate every healed failure's fresh row and fixed flag, then do
+    # ONE merge + ONE flip: the old per-failure chaining stacked an
+    # anti-join + union + dropDuplicates PER manifest entry, so a 300-
+    # failure backlog built a 300-deep lazy plan (the iterative-loop trap —
+    # CLAUDE.md documents a 12-round uncheckpointed loop hanging >5 min)
+    fresh_rows: list[DataFrame] = []
+    fixed: list[Failure] = []
     for f in manifest:
         try:
             monitored = table_loader(f.banco, f.tabela)
@@ -91,9 +97,18 @@ def remediate_volumetria(
         pexpr = partition_expr_for(f.var_nome_campo, f.var_formato_dt_foto)
         if not partition_exists(monitored, pexpr, f.dt_foto):
             continue  # hole still there; failure row stays open
-        fresh = volumetry.measure_row(monitored, f.banco, f.tabela, f.dt_foto, pexpr, fonte="3")
-        new_history = volumetry.merge_history(new_history, fresh)
-        new_failures = flip_status(spark, new_failures, f)
+        fresh_rows.append(
+            volumetry.measure_row(monitored, f.banco, f.tabela, f.dt_foto, pexpr, fonte="3")
+        )
+        fixed.append(f)
+
+    if not fixed:
+        return history, failures
+    from functools import reduce
+
+    all_fresh = reduce(lambda a, b: a.unionByName(b), fresh_rows)
+    new_history = volumetry.merge_history(history, all_fresh)
+    new_failures = flip_status_all(spark, failures, fixed)
     return new_history, new_failures
 
 
@@ -105,14 +120,25 @@ def default_partition_expr(campo: str, formato: str) -> str:
     return campo if formato == "1" else f"date_format({campo}, 'yyyyMMdd')"
 
 
-def flip_status(spark: SparkSession, failures: DataFrame, f: Failure) -> DataFrame:
-    """Status flip 0->1 (≙ CorrigirBuraco.scala:172-215): replace the failure
-    row via anti-join on (banco, tabela, dt_foto) + union of the status=1 row."""
+def flip_status_all(
+    spark: SparkSession, failures: DataFrame, fs: list[Failure]
+) -> DataFrame:
+    """Status flip 0->1 for a BATCH of healed failures (≙ CorrigirBuraco.
+    scala:172-215): one anti-join on (banco, tabela, dt_foto) + one union of
+    the status=1 rows — plan depth is constant in the number of failures."""
     fixed = spark.createDataFrame(
-        [(f.banco, f.tabela, f.dt_foto, f.var_nome_campo, f.var_formato_dt_foto, 1)],
+        [
+            (f.banco, f.tabela, f.dt_foto, f.var_nome_campo, f.var_formato_dt_foto, 1)
+            for f in fs
+        ],
         schema=DQ_FAILURES,
     )
     keys = ["banco", "tabela", "dt_foto"]
     cond = [failures[k].eqNullSafe(fixed[k]) for k in keys]
     kept = failures.join(F.broadcast(fixed), cond, "left_anti")
     return kept.unionByName(fixed).dropDuplicates()
+
+
+def flip_status(spark: SparkSession, failures: DataFrame, f: Failure) -> DataFrame:
+    """Single-failure convenience wrapper over :func:`flip_status_all`."""
+    return flip_status_all(spark, failures, [f])

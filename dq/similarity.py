@@ -520,14 +520,22 @@ def embedding_near_dups(
         ).alias("chunk_id", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    # dedupe candidate PAIRS before scoring: a near-identical pair collides
+    # on up to all n_bits/bits_per chunks and would re-run the 3 full-array
+    # cosine aggregates once per collision (the sibling LSH top-k already
+    # distincts first); score each unique pair exactly once
+    cand = (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            "id_a", "id_b", cosine_col(F.col("_va"), F.col("_vb")).alias("cosine")
         )
         .where(F.col("cosine") >= min_cosine)
-        .distinct()
     )

@@ -50,7 +50,8 @@ HOT_REM = 4          # doc_id % HOT_MOD < HOT_REM -> hot domain (~40% of docs)
 BLOCKED_DOMAINS = ["shop.gamma.example"]
 BANNED_PATH_TOKENS = ["ads", "tracker", "signup"]
 BANNED_MOD = 5       # every BANNED_MOD-th doc gets a banned path segment
-QUERY_MOD = 4        # every QUERY_MOD-th doc's url carries ?utm_source=feed
+QUERY_MOD = 4        # every QUERY_MOD-th doc's url carries TRACKING_QUERY
+TRACKING_QUERY = "?utm_source=feed"
 
 # a domain with >= this % of docs is a hot (skew) key. 25 splits the
 # planted corpus (hot 40%, wiki.epsilon 20%, other colds 10%) so the gate
@@ -76,7 +77,7 @@ def url_expr(did: Column) -> Column:
         F.concat(F.element_at(banned, (did % len(BANNED_PATH_TOKENS) + 1).cast("int")),
                  F.lit("/")),
     ).otherwise(F.lit(""))
-    query = F.when(did % QUERY_MOD == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
+    query = F.when(did % QUERY_MOD == 0, F.lit(TRACKING_QUERY)).otherwise(F.lit(""))
     return F.concat(F.lit("https://"), domain, F.lit("/"), seg,
                     F.lit("item-"), did.cast("string"), query)
 

@@ -22,10 +22,6 @@ from dq.schema import DQ_FAILURES, DQ_VOLUMETRIA
 MERGE_KEYS = ["banco", "tabela", "dt_foto", "dt_processamento"]
 
 
-def _today(spark: SparkSession) -> DataFrame:
-    return spark.range(1).select(F.date_format(F.current_date(), "yyyyMMdd").alias("dt_processamento"))
-
-
 def failure_row(
     spark: SparkSession, banco: str, tabela: str, dt_foto: str, campo: str, formato: str
 ) -> DataFrame:

@@ -36,6 +36,21 @@ TEXT_QUERIES = [
     "token_counts",
     "script_profiles",
     "corpus_report",
+    "heuristic_metrics",
+    "pipeline_keep_sql",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "doc_fingerprints",
+    "quality_scores",
+    "lang_hint_sql",
+    "repetition_metrics",
+    "dup_ngram_metrics",
+    "dup_span_fractions",
+    "contamination_scores",
+    "c4_line_filter",
+    "nfc_normalized",
+    "exact_dedup_survivors",
+    "dup_metric_text",
 ]
 
 
