@@ -123,6 +123,12 @@ def kmeans_assign(
     cents = base.where(F.col("_id") % cent_mod == 0).select(
         F.col("_id").alias("_cid"), F.col("_q").alias("_cq")
     )
+    if not cents.head(1):
+        raise ValueError(
+            f"no seed vectors: no {id_col} is a multiple of cent_mod="
+            f"{cent_mod} — an empty centroid set would silently assign "
+            "nothing (and semdedup_keep would drop every vector)"
+        )
     for _ in range(iters):
         # localCheckpoint each round: the centroid frame is k rows, but its
         # lineage contains every previous round — without the cut, each

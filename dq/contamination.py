@@ -113,6 +113,10 @@ def contamination_scores(
     bench = benchmark_fingerprints(docs, id_col, text_col)
     eval_docs = docs.where(F.col(id_col) % BENCH_DOC_MOD != 0)
     per_doc = _gram_fps(eval_docs, id_col, text_col)
+    # materialize once: per_doc feeds both the hits branch and the final
+    # join-back, and without the cut Spark duplicates the whole
+    # tokenize+zip_with gram-hash subtree — 2x the dominant cost
+    per_doc = per_doc.localCheckpoint()
     hits = (
         per_doc.select("doc_id", F.explode_outer("_fps").alias("fp"))
         .join(F.broadcast(bench), "fp")

@@ -26,27 +26,40 @@ def asof_join(
 
     Scale shape — the union-merge formulation: tag both sides, union, ONE
     shuffle by key, sort within partition by (time, side), and carry the
-    latest right values forward with last(ignoreNulls) over an unbounded
-    preceding window. Cost is a single exchange + sort of |L|+|R| rows —
-    never the O(|L|x|R|) range explosion of an inequality join, and no
-    per-key driver loop. Right rows must be unique per (key, time) for
-    deterministic output (pre-aggregate ties away).
+    latest right ROW forward as a single struct with last(ignoreNulls) over
+    an unbounded preceding window. Cost is a single exchange + sort of
+    |L|+|R| rows — never the O(|L|x|R|) range explosion of an inequality
+    join, and no per-key driver loop. Right rows must be unique per
+    (key, time) for deterministic output (pre-aggregate ties away).
+
+    The carried value is one STRUCT, not per-column lasts: per-column
+    ignoreNulls would skip a newer matching row's NULL column and reach
+    back to an older row's value, stitching together a right row that
+    never existed. The struct is non-NULL for every right row, so the
+    whole match is atomic and its NULL fields stay NULL.
     """
     lcols = left.columns
-    l = (
-        left.withColumn("_k", F.col(left_key))
-        .withColumn("_t", F.col(left_time))
-        .withColumn("_is_r", F.lit(0))
+    overlap = set(lcols) & set(right_cols)
+    if overlap:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(overlap)} — "
+            "rename before joining (the output would overwrite left data)"
+        )
+    l = left.select(
+        *lcols,
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+        ).alias("_r"),
     )
-    for c in right_cols:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     r = right.select(
-        F.col(right_key).alias("_k"), F.col(right_time).alias("_t"), *right_cols
-    ).withColumn("_is_r", F.lit(1))
-    for c in lcols:
-        r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    merged = l.select(*lcols, *right_cols, "_k", "_t", "_is_r").unionByName(
-        r.select(*lcols, *right_cols, "_k", "_t", "_is_r")
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.struct(*right_cols).alias("_r"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_is_r", F.when(F.col("_r").isNotNull(), 1).otherwise(0)
     )
     # right rows sort before left rows at equal time => <= semantics
     w = (
@@ -57,9 +70,11 @@ def asof_join(
     carried = merged.select(
         *lcols,
         "_is_r",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_rc"),
     )
-    return carried.where(F.col("_is_r") == 0).drop("_is_r")
+    return carried.where(F.col("_is_r") == 0).select(
+        *lcols, *[F.col(f"_rc.{c}").alias(c) for c in right_cols]
+    )
 
 
 def range_join_small(

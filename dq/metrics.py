@@ -23,7 +23,12 @@ def band_col(value: Column, edges: list[float], labels: list[str] | None = None)
     (edges[i-1], edges[i]]; an ``over_<last>`` band catches the tail.
     """
     labels = labels or [f"<= {e:g}" for e in edges] + [f"> {edges[-1]:g}"]
-    expr = F.when(value <= F.lit(edges[0]), F.lit(labels[0]))
+    # NULL value -> NULL band: without the guard every when() is NULL (not
+    # true) and the CASE falls through to the overflow label, silently
+    # counting missing values in the top band
+    expr = F.when(value.isNull(), F.lit(None).cast("string")).when(
+        value <= F.lit(edges[0]), F.lit(labels[0])
+    )
     for i in range(1, len(edges)):
         expr = expr.when(value <= F.lit(edges[i]), F.lit(labels[i]))
     return expr.otherwise(F.lit(labels[len(edges)]))

@@ -78,7 +78,9 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            content = pdf["content"]
+            # content is nullable (MEDIA_ASSETS): a NULL payload must yield
+            # a zero-byte row, not a task-killing TypeError in the worker
+            content = pdf["content"].map(lambda b: b if b is not None else b"")
             feats = [
                 _fake_feature(c) if fake else _decode_real(c, m)
                 for c, m in zip(content, pdf["media_type"])
@@ -108,7 +110,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) ->
         for pdf in batches:
             out_ids, out_idx, out_sha = [], [], []
             for aid, content, mtype in zip(pdf["asset_id"], pdf["content"], pdf["media_type"]):
-                if mtype != "video":
+                if mtype != "video" or content is None:
                     continue
                 if not fake:
                     _decode_real(content, mtype)

@@ -71,7 +71,8 @@ def _sql_list(items: list[str]) -> str:
 
 
 def _band_case(col: str, edges: list[float], labels: list[str]) -> str:
-    parts = [f"WHEN {col} <= {edges[0]!r} THEN '{labels[0]}'"]
+    parts = [f"WHEN {col} IS NULL THEN NULL",
+             f"WHEN {col} <= {edges[0]!r} THEN '{labels[0]}'"]
     for i in range(1, len(edges)):
         parts.append(f"WHEN {col} <= {edges[i]!r} THEN '{labels[i]}'")
     whens = " ".join(parts)

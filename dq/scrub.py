@@ -45,8 +45,12 @@ def scrub_col(text: Column) -> Column:
 
 
 def scrubbed_flag_col(text: Column) -> Column:
-    """True when the document contained any PII (pre/post inequality)."""
-    return scrub_col(text) != text
+    """True when the document contained any PII (pre/post inequality) —
+    null-safe: NULL text scrubs to NULL and must flag False, not NULL (a
+    three-valued flag poisons filters and sums downstream)."""
+    from pyspark.sql import functions as F
+
+    return ~scrub_col(text).eqNullSafe(text)
 
 
 _COMPILED = [(re.compile(p), r) for _, p, r in SCRUB_RULES]

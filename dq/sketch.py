@@ -87,8 +87,12 @@ def kmv_overlap(
     jaccard_est. The union sketch is the k smallest of the two sketches'
     union — never recomputed from the raw corpora.
     """
-    sa = kmv_sketch(fps_a, fp_col, k)
-    sb = kmv_sketch(fps_b, fp_col, k)
+    # localCheckpoint the k-row sketches: each is referenced three times
+    # (union sketch, intersection, estimate) and TakeOrdered has no
+    # exchange for ReuseExchange to dedup — without the cut each corpus
+    # scans + fingerprints 3x (the module's cost claim is TWO scans)
+    sa = kmv_sketch(fps_a, fp_col, k).localCheckpoint()
+    sb = kmv_sketch(fps_b, fp_col, k).localCheckpoint()
     su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
     both = sa.join(sb, "h")                       # <= k rows each side
     est_a = kmv_estimate(sa, k).select(

@@ -66,3 +66,28 @@ def test_langid_broadcast_variant_equal(spark, pages):
     # groups repeated grams before summing, the broadcast path does not)
     assert all(x["lang_pred"] == y["lang_pred"] for x, y in zip(u1["a"], u2["a"]))
     assert all(abs(x["lang_margin"] - y["lang_margin"]) < 1e-9 for x, y in zip(u1["a"], u2["a"]))
+
+
+def test_asof_carries_whole_row_not_stitched_columns(spark):
+    """A newer matching right row's NULL column must stay NULL — per-column
+    ignoreNulls carries would reach back to an older row's value and emit a
+    composite right row that never existed."""
+    from dq.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 1, 2), ("k", 2, 3, None)], "rk string, rt int, a int, b int"
+    )
+    left = spark.createDataFrame([("k", 3)], "lk string, lt int")
+    out = asof_join(left, right, "lk", "rk", "lt", "rt", ["a", "b"]).collect()[0]
+    assert (out.a, out.b) == (3, None)  # the t=2 row, atomically
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest
+
+    from dq.joins import asof_join
+
+    right = spark.createDataFrame([("k", 1, 5)], "rk string, rt int, px int")
+    left = spark.createDataFrame([("k", 2, 9)], "lk string, lt int, px int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "lk", "rk", "lt", "rt", ["px"])
