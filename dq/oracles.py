@@ -1066,6 +1066,18 @@ FROM m JOIN s USING (url) JOIN d USING (url)
 """
 
 
+def _pipeline_funnel_sql() -> str:
+    """Gate-combination funnel: the flagship CTEs grouped by the three
+    boolean gates (composes _pipeline_keep_sql's already-oracled wiring)."""
+    body = _pipeline_keep_sql()
+    return f"""
+WITH flags AS ({body})
+SELECT keep_heuristic, is_exact_dup, pii_found,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM flags GROUP BY 1, 2, 3
+"""
+
+
 def _bloom_ledger_probe_sql() -> str:
     """Bloom-filter twin of dq.bloom over the incremental-dedup batches:
     k bit positions per sha256 fingerprint from disjoint 8-hex-char slices,
@@ -1651,6 +1663,7 @@ SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id
 """.format(jaccard=_ngram_jaccard_sql(), thresh=repr(NEAR_CLUSTER_MIN_JACCARD)),
     "pipeline_keep_sql": _pipeline_keep_sql(),
+    "pipeline_funnel": _pipeline_funnel_sql(),
     # ledger twin on raw text (sha2 is content-injective for the oracle's
     # purposes): batch-2 non-survivor = within-batch rank loser OR content
     # present in batch 1 (the ledger holds exactly b1's distinct fps).

@@ -1252,6 +1252,23 @@ def pipeline_keep_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-combination funnel over the UDF-free flagship tier: one row per
+    (keep_heuristic, is_exact_dup, pii_found) cell with its doc count —
+    the drop-reason attribution report a filter pipeline publishes next to
+    its lineage (which gate costs how many docs, where gates overlap).
+    Map-side-combinable hash-agg over three booleans: ≤8 output rows at
+    any corpus size."""
+    from dq.pipeline import DOCS_CONFIG, enrich_sql_only
+
+    pages = docs_as_pages(spark, sf_dir)
+    return (
+        enrich_sql_only(pages, config=DOCS_CONFIG)
+        .groupBy("keep_heuristic", "is_exact_dup", "pii_found")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def domain_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level link graph mined from the pages' html (dq.webgraph):
     hrefs come out of the SYNTHESIZED html via a codegen regexp — the
@@ -1385,6 +1402,7 @@ QUERIES = {
     "pipeline_lineage": pipeline_lineage,
     "pipeline_keep_decisions": pipeline_keep_decisions,
     "pipeline_keep_sql": pipeline_keep_sql,
+    "pipeline_funnel": pipeline_funnel,
     "incremental_dedup_batch2": incremental_dedup_batch2,
     "bloom_ledger_probe": bloom_ledger_probe,
     "kmv_corpus_overlap": kmv_corpus_overlap,

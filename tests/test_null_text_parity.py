@@ -38,6 +38,7 @@ TEXT_QUERIES = [
     "corpus_report",
     "heuristic_metrics",
     "pipeline_keep_sql",
+    "pipeline_funnel",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "doc_fingerprints",
