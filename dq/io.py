@@ -79,8 +79,15 @@ def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
 
     stage = path.rstrip("/") + ".staging"
     final_tmp = path.rstrip("/") + ".old"
+    # a crash between the two renames below leaves path MISSING and '.old'
+    # holding the last good copy — restore it BEFORE any debris is deleted,
+    # so the recovery data can never be destroyed ahead of a replacement
+    # write that might itself fail
+    if not os.path.exists(path) and os.path.exists(final_tmp):
+        os.rename(final_tmp, path)
     # clear debris from a previously interrupted swap: a stale non-empty
     # '.old' dir would make the os.rename below raise ENOTEMPTY forever
+    # (safe now: path exists, or never existed and '.old' was absent)
     for debris in (stage, final_tmp):
         shutil.rmtree(debris, ignore_errors=True)
     df.write.mode("overwrite").format(fmt).save(stage)
@@ -147,7 +154,12 @@ def compact_table(
     ``.name.old``) — Spark's file listing ignores hidden paths, so a
     concurrent reader of a partitioned root never sees the in-flight or
     just-replaced copy as a phantom partition, and a crash leaves only
-    hidden debris (cleaned on the next run), never a corrupt partition.
+    hidden debris, never a corrupt partition. A crash BETWEEN the two
+    renames leaves the path briefly missing (a reader in that instant gets
+    FileNotFound — the one window a filesystem swap can't close; Iceberg's
+    atomic snapshot commit is the prod fix); the next run restores it
+    before doing anything else: the finished staging copy if its _SUCCESS
+    marker exists, else the preserved original.
 
     A hive-partitioned table (``key=value`` subdirs) is compacted leaf
     partition by leaf partition — rewriting through a flat read would
@@ -163,6 +175,21 @@ def compact_table(
     """
     import math
     import shutil
+
+    parent, name = os.path.dirname(path.rstrip("/")), os.path.basename(path.rstrip("/"))
+    stage = os.path.join(parent, f".{name}.staging")
+    old = os.path.join(parent, f".{name}.old")
+    # crash recovery FIRST: a crash between the two renames leaves the
+    # table path missing entirely — '.old' holds the pre-compaction data
+    # and '.staging' the finished compacted copy; prefer completing the
+    # swap (stage is only written whole), else restore the original
+    if not os.path.exists(path):
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, path)  # write provably finished: finish the swap
+        elif os.path.exists(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(path)
 
     part_dirs = sorted(
         os.path.join(path, d)
@@ -189,9 +216,6 @@ def compact_table(
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     else:
         df = df.repartition(n_files)
-    parent, name = os.path.dirname(path.rstrip("/")), os.path.basename(path.rstrip("/"))
-    stage = os.path.join(parent, f".{name}.staging")
-    old = os.path.join(parent, f".{name}.old")
     for debris in (stage, old):  # crash leftovers from a prior run
         shutil.rmtree(debris, ignore_errors=True)
     df.write.mode("overwrite").parquet(stage)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -49,8 +50,10 @@ def asof_join(
         *lcols,
         F.col(left_key).alias("_k"),
         F.col(left_time).alias("_t"),
+        # programmatic type, not a DDL string: quoted/reserved column names
+        # and char/varchar types survive (ADVICE r3)
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+            T.StructType([right.schema[c] for c in right_cols])
         ).alias("_r"),
     )
     r = right.select(
@@ -73,7 +76,7 @@ def asof_join(
         F.last("_r", ignorenulls=True).over(w).alias("_rc"),
     )
     return carried.where(F.col("_is_r") == 0).select(
-        *lcols, *[F.col(f"_rc.{c}").alias(c) for c in right_cols]
+        *lcols, *[F.col("_rc").getField(c).alias(c) for c in right_cols]
     )
 
 

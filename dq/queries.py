@@ -290,13 +290,24 @@ def doclen_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom membership, GK quantiles). Rows-only: sketch estimates are
     engine-specific by design; tests/test_metrics.py bounds the rank error
     of every estimate against the exact sorted values (eps = 1/accuracy).
-    The exact-percentile shape lives in qualitativo_percentiles."""
+    The exact-percentile shape lives in qualitativo_percentiles.
+
+    Output is flattened to scalar p25/p50/p75 columns: the driver's
+    canonicalizer sorts output columns and cannot hash an array cell
+    (r3 gate err: "unhashable type: 'list'"); the array stays internal."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
+    agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.percentile_approx("n_chars", QUANTILE_PROBS, QUANTILE_ACCURACY).alias(
             "len_quantiles"
         ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.element_at("len_quantiles", 1).alias("p25_len"),
+        F.element_at("len_quantiles", 2).alias("p50_len"),
+        F.element_at("len_quantiles", 3).alias("p75_len"),
     )
 
 

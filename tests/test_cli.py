@@ -59,7 +59,7 @@ def test_remediar_cli_flips_status(spark, tmp_path):
               "--table", f"testdata.events={real}", "--today", "20240106"])
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
-    assert out == {"status": "ok", "open_failures": 0}
+    assert out == {"status": "ok", "open_failures": 0, "unmapped": []}
     hrows = spark.read.parquet(hist).collect()
     assert len(hrows) == 1 and hrows[0].fonte == "3" and hrows[0].qtde_registros > 0
 
@@ -91,7 +91,8 @@ def test_remediar_cli_config_exclusion_and_unmapped(spark, tmp_path):
               "--failures-path", fail, "--config", cfg, "--today", "20240106"])
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
-    assert out == {"status": "ok", "open_failures": 2}
+    assert out == {"status": "ok", "open_failures": 2,
+                   "unmapped": ["testdata.nomap"]}
     rows = {(x.tabela, x.status) for x in spark.read.parquet(fail).collect()}
     assert rows == {("events", 1), ("skipme", 0), ("nomap", 0)}
 

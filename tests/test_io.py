@@ -18,6 +18,56 @@ def test_overwrite_then_read_back(spark, tmp_path):
     assert not os.path.exists(p + ".staging") and not os.path.exists(p + ".old")
 
 
+def test_overwrite_recovers_midswap_crash(spark, tmp_path):
+    """Crash between the two renames leaves path missing and '.old' holding
+    the last good copy; the next overwrite_table must RESTORE it before
+    deleting any debris — never destroy the only copy ahead of a write that
+    could itself fail (ADVICE r3)."""
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    # simulate the crash window: path renamed away, swap never completed
+    os.rename(p, p + ".old")
+    assert not os.path.exists(p)
+    dqio.overwrite_table(spark.range(3), p)
+    assert spark.read.parquet(p).count() == 3
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".staging")
+
+
+def test_overwrite_recovery_restores_before_write_failure(spark, tmp_path):
+    """If the replacement write itself fails after a mid-swap crash, the
+    recovered original must still be on disk (the old code rmtree'd '.old'
+    first, so a second failure lost the table entirely)."""
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    os.rename(p, p + ".old")
+    bad = spark.range(5).selectExpr("assert_true(id < 3) as x", "id")
+    try:
+        dqio.overwrite_table(bad, p)
+    except Exception:
+        pass
+    assert spark.read.parquet(p).count() == 10  # last good copy survived
+
+
+def test_compact_recovers_midswap_crash(spark, tmp_path):
+    """compact_table finds the table path missing after a mid-swap crash:
+    with a finished staging copy (_SUCCESS present) it completes the swap;
+    with only '.old' it restores the original (ADVICE r3)."""
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(p)
+    # crash after rename(path, old), staging fully written
+    os.rename(p, str(tmp_path / ".t.old"))
+    spark.range(100).coalesce(1).write.parquet(str(tmp_path / ".t.staging"))
+    n = dqio.compact_table(spark, p, target_bytes=10**9)
+    assert n == 1 and spark.read.parquet(p).count() == 100
+    # crash with an UNFINISHED staging copy (no _SUCCESS): restore original
+    os.rename(p, str(tmp_path / ".t.old"))
+    os.makedirs(str(tmp_path / ".t.staging"))
+    dqio.compact_table(spark, p, target_bytes=10**9)
+    assert spark.read.parquet(p).count() == 100
+    leftover = [d for d in os.listdir(tmp_path) if "staging" in d or ".old" in d]
+    assert leftover == []
+
+
 def test_append(spark, tmp_path):
     p = str(tmp_path / "t")
     dqio.append_table(spark.range(3), p)

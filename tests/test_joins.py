@@ -91,3 +91,20 @@ def test_asof_rejects_column_collision(spark):
     left = spark.createDataFrame([("k", 2, 9)], "lk string, lt int, px int")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "lk", "rk", "lt", "rt", ["px"])
+
+
+def test_asof_awkward_right_column_names(spark):
+    """Right columns needing quoting (spaces, hyphens) must survive: the
+    NULL-struct type is built programmatically from the right schema, not a
+    DDL string that would fail to parse on such names (ADVICE r3)."""
+    right = spark.createDataFrame(
+        [("k", 1, 5, "x")], ["rk", "rt", "px value", "tag-name"]
+    )
+    left = spark.createDataFrame([("k", 2), ("k", 0)], ["lk", "lt"])
+    out = {
+        r.lt: (r["px value"], r["tag-name"])
+        for r in asof_join(
+            left, right, "lk", "rk", "lt", "rt", ["px value", "tag-name"]
+        ).collect()
+    }
+    assert out == {2: (5, "x"), 0: (None, None)}

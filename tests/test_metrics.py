@@ -75,7 +75,8 @@ def test_doclen_quantile_sketch_rank_error_bound(spark):
         vals.sort()
         n = len(vals)
         assert out[lang].n_docs == n
-        for p, est in zip(QUANTILE_PROBS, out[lang].len_quantiles):
+        ests = [out[lang].p25_len, out[lang].p50_len, out[lang].p75_len]
+        for p, est in zip(QUANTILE_PROBS, ests):
             rank_lo = sum(1 for v in vals if v < est)   # lowest rank est could hold
             rank_hi = sum(1 for v in vals if v <= est)  # highest rank
             target = p * n
