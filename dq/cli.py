@@ -75,7 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pipeline":
         from dq.pipeline import run
 
-        lineage = run(spark, read_path(spark, args.pages_path), args.out_dir, resume=not args.no_resume)
+        lineage = run(
+            spark, read_path(spark, args.pages_path), args.out_dir,
+            resume=not args.no_resume,
+            source=args.pages_path,  # dt_foto-partitioned → metadata discovery
+        )
         print(json.dumps({"partitions": lineage.count()}))
         return 0
 

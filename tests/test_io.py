@@ -335,3 +335,62 @@ def test_compact_preserves_sorted_layout_and_hides_staging(spark, tmp_path):
         assert h1 < l2  # clustering survived the compaction
     # nothing visible leaked into the parent (hidden debris is cleaned up)
     assert [d for d in os.listdir(tmp_path) if "staging" in d or ".old" in d] == []
+
+
+def test_merge_upsert_partitioned_catalog_table(spark):
+    """C2 as a real catalog-table MERGE (VERDICT r3 missing-#1): keyed
+    upsert via dynamic partition overwrite — matched rows replaced,
+    unmatched kept, upserting twice idempotent, and ONLY the partitions
+    present in the fresh frame rewritten (untouched partition files keep
+    their inodes)."""
+    import glob
+
+    dqio.drop_table(spark, "dq_hist")
+    base = spark.createDataFrame(
+        [("b", "t1", "d1", 10), ("b", "t2", "d1", 20), ("b", "t1", "d2", 30)],
+        "banco string, tabela string, dt string, n long",
+    )
+    dqio.save_as_table(base, "dq_hist", partition_by=["dt"])
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    untouched = sorted(glob.glob(os.path.join(wh, "dq_hist", "dt=d2", "*.parquet")))
+    assert untouched
+    before = [(p, os.stat(p).st_ino, os.path.getmtime(p)) for p in untouched]
+
+    fresh = spark.createDataFrame(
+        [("b", "t1", "d1", 99), ("b", "t3", "d1", 7)],  # update + insert, d1 only
+        "banco string, tabela string, dt string, n long",
+    )
+    keys = ["banco", "tabela", "dt"]
+    dqio.merge_upsert(spark, "dq_hist", fresh, keys, "dt")
+    got = {(r.banco, r.tabela, r.dt, r.n) for r in spark.table("dq_hist").collect()}
+    assert got == {
+        ("b", "t1", "d1", 99),  # matched -> updated
+        ("b", "t3", "d1", 7),   # unmatched fresh -> inserted
+        ("b", "t2", "d1", 20),  # unmatched old in touched partition -> kept
+        ("b", "t1", "d2", 30),  # untouched partition -> kept
+    }
+    # idempotent second upsert
+    dqio.merge_upsert(spark, "dq_hist", fresh, keys, "dt")
+    got2 = {(r.banco, r.tabela, r.dt, r.n) for r in spark.table("dq_hist").collect()}
+    assert got2 == got
+    # d2 was never rewritten: same files, same inodes, same mtimes
+    after = [
+        (p, os.stat(p).st_ino, os.path.getmtime(p))
+        for p in sorted(glob.glob(os.path.join(wh, "dq_hist", "dt=d2", "*.parquet")))
+    ]
+    assert after == before
+    dqio.drop_table(spark, "dq_hist")
+
+
+def test_merge_upsert_rejects_nonkey_partition_col(spark):
+    import pytest
+
+    dqio.drop_table(spark, "dq_hist2")
+    dqio.save_as_table(
+        spark.createDataFrame([("a", "p1", 1)], "k string, p string, v long"),
+        "dq_hist2", partition_by=["p"],
+    )
+    fresh = spark.createDataFrame([("a", "p1", 2)], "k string, p string, v long")
+    with pytest.raises(ValueError, match="merge key"):
+        dqio.merge_upsert(spark, "dq_hist2", fresh, ["k"], "p")
+    dqio.drop_table(spark, "dq_hist2")

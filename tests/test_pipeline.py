@@ -216,3 +216,73 @@ def test_overwrite_table_survives_stale_old_dir(spark, tmp_path):
     dqio.overwrite_table(spark.read.parquet(p).where("id < 3"), p)
     assert spark.read.parquet(p).count() == 3
     assert not os.path.exists(p + ".old") and not os.path.exists(p + ".staging")
+
+
+def test_partition_labels_metadata_only(spark, tmp_path):
+    """dq.io.partition_labels reads partition METADATA: hive-layout dirs by
+    listing, catalog tables via SHOW PARTITIONS; flat paths and
+    non-partitioned tables yield None (caller falls back to a scan)."""
+    from dq import io as dqio
+    from dq import synth
+    from dq.pipeline import with_partition
+
+    pages = with_partition(synth.generate_pages(spark, 60))
+    part = str(tmp_path / "part")
+    pages.write.partitionBy("dt_foto").parquet(part)
+    labels = dqio.partition_labels(spark, part, "dt_foto")
+    expected = sorted(r[0] for r in pages.select("dt_foto").distinct().collect())
+    assert labels == expected
+
+    flat = str(tmp_path / "flat")
+    pages.write.parquet(flat)
+    assert dqio.partition_labels(spark, flat, "dt_foto") is None
+    assert dqio.partition_labels(spark, "no_such_table_xyz", "dt_foto") is None
+
+
+def test_run_metadata_discovery_matches_scan_discovery(spark, tmp_path):
+    """run(source=<dt_foto-partitioned path>) discovers partitions from the
+    directory layout and produces the same lineage as the raw-frame scan
+    fallback (VERDICT r3 missing-#3)."""
+    from dq import synth
+    from dq.pipeline import run, with_partition
+
+    pages = synth.generate_pages(spark, 120)
+    part = str(tmp_path / "pages")
+    with_partition(pages).write.partitionBy("dt_foto").parquet(part)
+    base = {
+        (r.dt_foto, r.n_input, r.n_kept, r.n_exact_dups)
+        for r in run(spark, pages, str(tmp_path / "o_scan")).collect()
+    }
+    via_meta = {
+        (r.dt_foto, r.n_input, r.n_kept, r.n_exact_dups)
+        for r in run(
+            spark, spark.read.parquet(part), str(tmp_path / "o_meta"), source=part
+        ).collect()
+    }
+    assert via_meta == base and base
+
+
+def test_run_fully_resumed_does_zero_data_reads(spark, tmp_path):
+    """With a partitioned source and every partition already marked done,
+    run() must touch NO data files: discovery is pure metadata. Proven by
+    resuming with a poisoned frame whose warc_ts column raises on any
+    execution — the old derived-distinct discovery would trip it."""
+    from pyspark.sql import functions as F
+
+    from dq import synth
+    from dq.pipeline import run, with_partition
+
+    pages = synth.generate_pages(spark, 80)
+    part = str(tmp_path / "pages")
+    with_partition(pages).write.partitionBy("dt_foto").parquet(part)
+    out_dir = str(tmp_path / "out")
+    first = run(spark, spark.read.parquet(part), out_dir, source=part)
+    n = first.count()
+
+    @F.udf("timestamp")
+    def boom(ts):
+        raise RuntimeError("discovery scanned the corpus")
+
+    poisoned = spark.read.parquet(part).withColumn("warc_ts", boom("warc_ts"))
+    again = run(spark, poisoned, out_dir, source=part)  # resume: all done
+    assert again.count() == n

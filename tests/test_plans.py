@@ -494,3 +494,31 @@ def test_url_canonicalize_exchange_carries_no_text(spark):
     base = url_docs(spark.read.parquet(f"{SF}/documents.parquet"))
     plan = simple_plan_of(url_canonicalize(base))
     assert "text#" not in plan  # url-only rows through the window
+
+
+def test_token_packing_single_global_window_over_super_buckets_only(spark):
+    """Pin the prefix-sum's one allowed unpartitioned window (VERDICT r3
+    next-#6): exactly ONE Window in the plan has no partition spec, and its
+    input is exactly the super-bucket aggregate (_sup, _sup_tokens) — a
+    future edit cannot silently route the full row set through one task
+    without failing this assertion."""
+    import re
+
+    from dq.queries import token_budget_packing
+
+    plan = plan_of(token_budget_packing(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    globals_ = []
+    for node in nodes:
+        if not re.match(r"\(\d+\) Window\b", node.split("\n")[0]):
+            continue
+        args = re.search(r"Arguments: (.*)", node).group(1)
+        # partitioned windows carry 3 top-level bracket groups
+        # ([exprs], [partition spec], [ordering]); the global one only 2
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\]]*\][^\[\]]*)*\]", args)
+        if len(groups) == 2:
+            globals_.append(node)
+    assert len(globals_) == 1, plan
+    inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", globals_[0]).group(1)
+    cols = sorted(c.strip().split("#")[0] for c in inp.split(","))
+    assert cols == ["_sup", "_sup_tokens"], globals_[0]
