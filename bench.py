@@ -119,16 +119,35 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     from dq.session import get_spark
 
     spark = get_spark("dq-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    # warmup outside measurement: JVM/codegen (native query) AND the python
-    # worker pool (UDF query at the smallest sf — spawning ~cpus workers is
-    # a one-time cost that would otherwise land on the first UDF timing)
+    # warmup outside measurement: JVM/codegen (native query) AND the FULL
+    # python worker pool — the sf0.001 pipeline pass alone runs on a
+    # handful of input partitions, so most of the ~cpus workers used to
+    # spawn inside the first timed UDF query (BENCH_r03 caught
+    # pipeline_keep_decisions at 5.8 s vs its 2.6-3.6 s steady range);
+    # a cpus-wide pandas-UDF job forces every worker up front
+    from pyspark.sql import functions as F
+
+    from dq.pipeline import nlp_udf
+
     _noop(QUERIES["volumetria_partition_counts"](spark, sf_dir))
+    _noop(
+        spark.range(cpus * 64)
+        .repartition(cpus)
+        .select(nlp_udf(F.concat(F.lit("warm up the pool "), F.col("id"))).alias("x"))
+    )
     _noop(QUERIES["pipeline_keep_decisions"](spark, "/root/testdata/sf0.001"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _noop(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # best-of-2 per query (CLAUDE.md noisy-host protocol: warm first,
+    # best-of across passes) — a single pass leaves ±2x host-weather
+    # outliers in the committed number
+    passes: list[dict[str, float]] = []
+    for _ in range(2):
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _noop(QUERIES[name](spark, sf_dir))
+            t[name] = round(time.perf_counter() - t0, 3)
+        passes.append(t)
+    timings = {n: min(p[n] for p in passes) for n in HEADLINE}
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     t0 = time.perf_counter()
     _noop(QUERIES["pipeline_keep_decisions"](spark, sf_dir))
@@ -165,10 +184,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         }
     except OSError:
         pass
-    # per-query round-over-round visibility
+    # per-query round-over-round visibility (best-of plus raw passes, so
+    # variance stays auditable)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/headline.jsonl", "a") as f:
-        f.write(json.dumps({"sf": out["sf"], "cpus": cpus, "queries": timings}) + "\n")
+        f.write(
+            json.dumps(
+                {"sf": out["sf"], "cpus": cpus, "queries": timings, "passes": passes}
+            )
+            + "\n"
+        )
     return out
 
 

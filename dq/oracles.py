@@ -1521,7 +1521,7 @@ WITH planted AS (
 )
 SELECT doc_id,
        {_scrub_chain("ptext")} AS text_scrubbed,
-       {_scrub_chain("ptext")} <> ptext AS pii_found
+       {_scrub_chain("ptext")} IS DISTINCT FROM ptext AS pii_found
 FROM planted
 """,
     "token_counts": f"""

@@ -44,7 +44,13 @@ def _build_lm(lang: str) -> tuple[dict[tuple[str, str], float], dict[str, float]
 BI_LOGP, UNI_LOGP, UNK_LOGP = _build_lm(_TARGET)
 
 
-def perplexity_one(text: str | None) -> float:
+def perplexity_one(
+    text: str | None,
+    lm: tuple[dict[tuple[str, str], float], dict[str, float], float] | None = None,
+) -> float:
+    """``lm`` overrides the module-default (bi, uni, unk) tables — the
+    injection point for broadcast-file model artifacts (dq/artifacts.py)."""
+    bi_logp, uni_logp, unk_logp = lm if lm is not None else (BI_LOGP, UNI_LOGP, UNK_LOGP)
     if not text:
         return float("inf")
     words = text.lower().split()[:500]  # scoring prefix cap, like CCNet
@@ -53,10 +59,10 @@ def perplexity_one(text: str | None) -> float:
     lp = 0.0
     prev = None
     for w in words:
-        if prev is not None and (prev, w) in BI_LOGP:
-            lp += BI_LOGP[(prev, w)]
+        if prev is not None and (prev, w) in bi_logp:
+            lp += bi_logp[(prev, w)]
         else:
-            lp += UNI_LOGP.get(w, UNK_LOGP)
+            lp += uni_logp.get(w, unk_logp)
         prev = w
     return math.exp(-lp / len(words))
 

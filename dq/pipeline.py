@@ -51,11 +51,18 @@ class PipelineConfig:
 
     ``target_lang=None`` disables the language gate (keep_lang == True)
     while still computing lang_pred/lang_margin for lineage.
+
+    ``model_artifact`` points at a dq.artifacts JSON file: the langid +
+    perplexity weights then ship via SparkContext.broadcast instead of
+    module import — swapping models is a config/file change, no code edit
+    (the MB-scale-model seam SCALING.md promises). None keeps the
+    in-module default weights.
     """
 
     target_lang: str | None = TARGET_LANG
     max_perplexity: float = MAX_PERPLEXITY
     thresholds: dict = field(default_factory=lambda: dict(heuristics.THRESHOLDS))
+    model_artifact: str | None = None
 
 
 _NLP_TYPE = T.StructType(
@@ -176,7 +183,12 @@ def enrich(
             "extraction_ok", F.col("text_extracted").eqNullSafe(F.col("text"))
         )
     out = _native_stages(out, cfg)
-    nlp = nlp_udf(F.col("text"))
+    if cfg.model_artifact is not None:
+        from dq.artifacts import nlp_udf_from_artifact
+
+        nlp = nlp_udf_from_artifact(df.sparkSession, cfg.model_artifact)(F.col("text"))
+    else:
+        nlp = nlp_udf(F.col("text"))
     out = (
         out.withColumn("_nlp", nlp)
         .withColumn("lang_pred", F.col("_nlp.lang_pred"))

@@ -539,10 +539,13 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % PII_PLANT_IP_MOD).cast("string"),
         F.lit(PII_PLANT_PARTS[2]),
     )
+    # null-safe inequality: NULL text plants to NULL and scrubs to NULL —
+    # pii_found must be false, never three-valued (NULL booleans break the
+    # gate's hash compare: Spark None vs DuckDB NaN)
     return docs.select(
         "doc_id",
         scrub_col(planted).alias("text_scrubbed"),
-        (scrub_col(planted) != planted).alias("pii_found"),
+        (~scrub_col(planted).eqNullSafe(planted)).alias("pii_found"),
     )
 
 

@@ -228,3 +228,43 @@ def test_dup_span_planted_overlap(spark):
     assert got[4]["n_shared_grams"] == 0
     # gram-less doc scores zero, never flagged
     assert got[5]["n_distinct_grams"] == 0 and got[5]["dup_span_bp"] == 0
+
+
+def test_star_cc_matches_minlabel_on_mixed_graph(spark):
+    """Large-star/small-star labels are identical to min-label propagation
+    (same contract: component = min vertex id, every pair vertex labeled)."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(250)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = {r.id: r.comp for r in dedup.connected_components(pairs, max_iter=60).collect()}
+    star = {r.id: r.comp for r in dedup.connected_components_star(pairs).collect()}
+    assert star == base
+
+
+def test_star_cc_deep_chain_logarithmic_rounds(spark):
+    """The deep-graph escape (VERDICT r3 next-#7): a 1000-deep chain — which
+    min-label needs 1000 rounds for — converges in O(log n) large/small-star
+    alternations and labels every vertex with the chain minimum."""
+    import math
+
+    from dq.dedup import _connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
+    )
+    labels, rounds = _connected_components_star(pairs, "id_a", "id_b", max_iter=50)
+    assert rounds <= 2 * math.ceil(math.log2(1000)) + 2  # 22
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(1001)}
+
+
+def test_star_cc_edgeless_and_islands(spark):
+    """Self-pairs only → every vertex is its own component, zero rounds."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 7), (9, 8)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in dedup.connected_components_star(pairs).collect()}
+    assert got == {5: 5, 7: 7, 8: 8, 9: 8}

@@ -52,6 +52,9 @@ TEXT_QUERIES = [
     "nfc_normalized",
     "exact_dedup_survivors",
     "dup_metric_text",
+    "scrub_pii",
+    "doc_chunks",
+    "dup_by_source",
 ]
 
 
@@ -88,3 +91,17 @@ def test_null_text_query_vs_oracle(spark, null_sf, null_con, name):
     assert len(s) == len(o)
     assert sorted(s.columns) == sorted(o.columns)
     assert frame_hash(s) == frame_hash(o)
+
+
+def test_text_queries_list_is_complete():
+    """CLAUDE.md invariant, enforced mechanically: every oracled query whose
+    SQL reads documents.text must be in TEXT_QUERIES (ADVICE r3 found three
+    absentees by hand; this makes the next one a test failure)."""
+    import re
+
+    missing = []
+    for k, sql in oracle_sql().items():
+        s = sql.lower()
+        if "documents" in s and re.search(r"\btext\b", s) and k not in TEXT_QUERIES:
+            missing.append(k)
+    assert missing == [], f"oracled text readers absent from TEXT_QUERIES: {missing}"
