@@ -71,6 +71,10 @@ HEADLINE = [
     "temperature_sampled",       # corpus-derived language reweighting
     "anchor_top_terms",          # link-text mining
     "script_profiles",           # unicode script routing
+    "token_drift_topk",          # round-4: cross-snapshot distribution drift
+    "soft404_filter",            # round-4: error-page rules over rendered html
+    "compression_ratios",        # round-4: zlib repetition/noise signal
+    "neardup_ledger_batch2",     # round-4: LSH band ledger cross-run probe
 ]
 
 

@@ -96,6 +96,76 @@ def diff_counts(diff: DataFrame) -> DataFrame:
     )
 
 
+DRIFT_TOP_K = 50
+
+
+def token_drift_topk(
+    old: DataFrame, new: DataFrame, text_col: str = "text", k: int = DRIFT_TOP_K
+) -> DataFrame:
+    """Cross-snapshot token-distribution drift: the k tokens whose relative
+    frequency moved most between two crawls — the corpus-level drift
+    monitor that catches template churn, spam bursts, and language-mix
+    shifts BEFORE they poison a training mix (the distributional sibling of
+    the per-url crawl_diff and the GK quantile drift tier).
+
+    The statistic is integer-exact so the DuckDB twin hash-matches: with
+    per-token counts c_old/c_new and corpus totals t_old/t_new, the
+    cross-multiplied drift |c_old*t_new - c_new*t_old| ranks tokens by
+    |rate_old - rate_new| without a single float (the shared denominator
+    t_old*t_new is constant). Reported rates are basis points via integer
+    division. int64 headroom: c*t overflows only past ~3x10^9 tokens per
+    snapshot x corpus — the 100-TB deployment casts the product to
+    decimal(38,0) (one-line change, documented here rather than paid on
+    every row at test scale).
+
+    Shape at scale: tokenize -> (token) hash-agg per side (uniform keys,
+    map-side combine — the same budget as tfidf's tf pass), vocabulary-
+    sized full-outer join on token, 1-row totals broadcast back (J4
+    driving-join shape), TakeOrdered(k) — no global sort, no unpartitioned
+    window; text never enters an exchange.
+    """
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        words = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+        # explode_outer + isNotNull on the OUTPUT (InferFiltersFromGenerate
+        # guard — CLAUDE.md rule)
+        return (
+            df.select(words.alias("_w"))
+            .select(F.explode_outer("_w").alias("token"))
+            .where(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    joined = side_counts(old, "n_old").join(
+        side_counts(new, "n_new"), "token", "full_outer"
+    ).select(
+        "token",
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    totals = joined.agg(
+        F.sum("n_old").cast("bigint").alias("t_old"),
+        F.sum("n_new").cast("bigint").alias("t_new"),
+    )
+    scored = joined.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "n_old",
+        "n_new",
+        # integer division (DIV), never float `/` + cast: the truncation
+        # must be exact-rational on both engines (CLAUDE.md invariant)
+        F.expr("CAST((n_old * 10000) DIV t_old AS BIGINT)").alias("old_bp"),
+        F.expr("CAST((n_new * 10000) DIV t_new AS BIGINT)").alias("new_bp"),
+        F.abs(F.col("n_old") * F.col("t_new") - F.col("n_new") * F.col("t_old"))
+        .cast("bigint")
+        .alias("drift_score"),
+    )
+    return scored.orderBy(F.col("drift_score").desc(), F.col("token").asc()).limit(k)
+
+
 def planted_snapshots(docs: DataFrame, url_col: Column) -> tuple[DataFrame, DataFrame]:
     """Deterministic (old, new) crawl pair constructed from ``documents``:
     OLD drops doc_id % OLD_DROP_MOD == OLD_DROP_REM (-> added in the diff),

@@ -609,6 +609,76 @@ def incremental_non_survivor_units(
     return dups.select("_fp", key_col).distinct(), new_fps.select(F.col("_fp").alias("fp"))
 
 
+def minhash_band_units(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(band, key, doc) LSH bucket rows — the NEAR-dup ledger unit (the
+    fuzzy sibling of the exact ledger's 32-byte fingerprint). 16 B of
+    (band, key) per doc per band; xxhash64 keys are uniform, unskewable."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    return sigs.select(
+        "doc",
+        F.posexplode(F.array(*band_key_cols(num_hashes, bands))).alias("band", "key"),
+    )
+
+
+def incremental_neardup_flags(
+    batch: DataFrame,
+    ledger_bands: DataFrame | None,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run NEAR-dup candidates against an LSH band ledger — the
+    incremental tier for fuzzy dedup (the exact tier is
+    :func:`incremental_non_survivor_units`): a new crawl batch is flagged
+    against every PRIOR run's content without re-scanning prior text.
+
+    Returns ``(flags, new_ledger_bands)``:
+    - ``flags`` = (id, neardup_prior): True when the doc shares >= 1 LSH
+      band bucket with any previously-ledgered doc — CANDIDATE semantics
+      (the LSH contract): callers wanting verified pairs keep per-doc
+      signatures in a side table and run the jaccard verify stage on hits
+      only (~dup-rate fraction of the batch, the same funnel shape as the
+      Bloom ledger's exact-verify);
+    - ``new_ledger_bands`` = this batch's distinct (band, key) pairs not
+      yet ledgered; append after the batch commits (idempotent — the
+      distinct ledger read collapses a crash-replayed append).
+
+    Scale shape: the ledger holds DISTINCT (band, key) pairs — 16 B each,
+    sublinear in docs once near-dup families repeat; the probe is a
+    band+key equi-join (left_semi, uniform keys), batch text never enters
+    an exchange beyond the signature pass. Bucket the ledger table by
+    (band, key) to make its side of the probe exchange-free per run.
+    """
+    units = minhash_band_units(batch, id_col, text_col, shingle_n, num_hashes, bands)
+    batch_bands = units.select("band", "key").distinct()
+    ids = batch.select(F.col(id_col).alias("doc")).distinct()
+    if ledger_bands is None:
+        flags = ids.select(
+            F.col("doc").alias(id_col), F.lit(False).alias("neardup_prior")
+        )
+        return flags, batch_bands
+    prior = ledger_bands.select("band", "key").distinct()
+    hits = (
+        units.join(prior, ["band", "key"], "left_semi").select("doc").distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    flags = ids.join(hits, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("_hit", F.lit(False)).alias("neardup_prior"),
+    )
+    new_bands = batch_bands.join(prior, ["band", "key"], "left_anti")
+    return flags, new_bands
+
+
 # ---- duplicate-span detection (substring-level dedup) ----------------------
 
 DUP_SPAN_NGRAM_N = 5    # span unit: 5-word grams (Lee et al. use 50-token

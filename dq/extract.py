@@ -62,3 +62,33 @@ def extract_text(html: bytes | str) -> str:
     for pat, rep in _COMPILED:
         s = pat.sub(rep, s)
     return s
+
+
+# ------------------------------------------------- soft-404 / error pages --
+# Crawl hygiene: pages an HTTP-200 response delivered that are actually
+# error/placeholder content ("soft 404s" — Bar-Yossef et al., WWW'04).
+# Common-Crawl-scale pipelines drop these by TITLE phrase rules plus a
+# thin-content gate before any quality model runs. Shared constants; the
+# DuckDB twin is generated from these (dq/oracles.py) — patterns stay in
+# the Java ∩ Python-re ∩ RE2 dialect subset (no lookbehind).
+
+SOFT404_TITLE_PHRASES: tuple[str, ...] = (
+    "404 not found",
+    "page not found",
+    "error 404",
+    "access denied",
+    "under construction",
+    "domain for sale",
+)
+# one alternation, applied to the LOWERCASED title
+SOFT404_TITLE_RE = "(" + "|".join(SOFT404_TITLE_PHRASES) + ")"
+# title extractor over the raw html string ((?s): titles never span tags
+# here, but NULL-safe group-1 extract needs the match to exist)
+TITLE_RE = r"(?s)<title>(.*?)</title>"
+SOFT404_MIN_WORDS = 10  # thin-content gate (error pages carry ~no body)
+
+
+def title_col(html_col: Column) -> Column:
+    """<title> contents from binary html (empty string when absent —
+    regexp_extract's no-match convention, identical in DuckDB)."""
+    return F.regexp_extract(F.decode(html_col, "UTF-8"), TITLE_RE, 1)

@@ -1317,6 +1317,88 @@ FROM documents d JOIN {final} r ON r.domain = d.source
 """
 
 
+def _token_drift_sql() -> str:
+    """Twin of dq.crawldiff.token_drift_topk over the planted snapshot pair.
+    Every term is integer-exact: counts, DIV basis points, cross-multiplied
+    drift (DuckDB's BIGINT sums widen to HUGEINT — the final CASTs pin the
+    BIGINT the Spark side emits)."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        DRIFT_TOP_K,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+
+    tok = (
+        "unnest(list_filter(regexp_split_to_array(lower(coalesce({t}, '')), "
+        "'\\s+'), x -> x <> ''))"
+    )
+    new_text = (
+        f"CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM} "
+        f"THEN text || '{_sq(CHANGED_SUFFIX)}' ELSE text END"
+    )
+    return f"""
+WITH old_t AS (
+  SELECT {tok.format(t="text")} AS token
+  FROM documents WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
+), new_t AS (
+  SELECT {tok.format(t=new_text)} AS token
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+), co AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_old FROM old_t GROUP BY token
+), cn AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_new FROM new_t GROUP BY token
+), j AS (
+  SELECT coalesce(co.token, cn.token) AS token,
+         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+  FROM co FULL OUTER JOIN cn ON co.token = cn.token
+), tot AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new FROM j
+)
+SELECT token, n_old, n_new,
+       CAST((n_old * 10000) // t_old AS BIGINT) AS old_bp,
+       CAST((n_new * 10000) // t_new AS BIGINT) AS new_bp,
+       CAST(abs(n_old * t_new - n_new * t_old) AS BIGINT) AS drift_score
+FROM j, tot
+ORDER BY drift_score DESC, token ASC
+LIMIT {DRIFT_TOP_K}
+"""
+
+
+def _soft404_sql() -> str:
+    """Twin of queries.soft404_filter: the title is CONSTRUCTED from the
+    same shared constants the Spark side renders into html and re-extracts
+    (the render->extract chain itself is byte-checked by the flagship)."""
+    from dq.extract import SOFT404_MIN_WORDS, SOFT404_TITLE_PHRASES, SOFT404_TITLE_RE
+    from dq.queries import SOFT404_MOD, SOFT404_REM
+
+    phrases = "[" + ", ".join(f"'{_sq(p)}'" for p in SOFT404_TITLE_PHRASES) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % {SOFT404_MOD} = {SOFT404_REM}
+               THEN {_url_expr()} || ' - '
+                    || list_element({phrases},
+                         CAST(doc_id % {len(SOFT404_TITLE_PHRASES)} AS INT) + 1)
+               ELSE {_url_expr()} END) AS title,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT doc_id, title, n_words,
+       regexp_matches(title, '{_sq(SOFT404_TITLE_RE)}') AS is_error_title,
+       (n_words < {SOFT404_MIN_WORDS}) AS is_thin,
+       (NOT regexp_matches(title, '{_sq(SOFT404_TITLE_RE)}')
+        AND n_words >= {SOFT404_MIN_WORDS}) AS keep
+FROM t
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -1756,4 +1838,6 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <= {ANN_K}
 """,
+    "token_drift_topk": _token_drift_sql(),
+    "soft404_filter": _soft404_sql(),
 }

@@ -1344,6 +1344,110 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets, fake=True).select("asset_id", "media_type", "n_bytes", "sha256")
 
 
+# ----------------------------------------------------- round-4 additions ----
+
+
+def token_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot token-distribution drift (dq.crawldiff.token_drift_topk)
+    over the SAME planted crawl pair as crawl_snapshot_diff: top-K tokens by
+    the integer-exact cross-multiplied rate change. The planted CHANGED_SUFFIX
+    tokens ('[revised', 'edition]') must surface near the top — the drift
+    monitor catching exactly the template churn the diff planted."""
+    from dq import crawldiff
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    old, new = crawldiff.planted_snapshots(docs, url_expr(F.col("doc_id")))
+    return crawldiff.token_drift_topk(old, new)
+
+
+# every SOFT404_MOD-th doc's title gains a rotating error phrase
+SOFT404_MOD, SOFT404_REM = 9, 4
+
+
+def soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 / error-page filter (crawl hygiene, Bar-Yossef et al.):
+    title error-phrase rules + thin-content gate. The Spark side renders
+    real html (title planted per SOFT404_MOD) and re-extracts <title> —
+    checking the render->extract->rule chain like domain_link_edges — while
+    the oracle constructs the title string directly from the same shared
+    constants. Zero exchanges (codegen projection)."""
+    from dq.extract import (
+        SOFT404_MIN_WORDS,
+        SOFT404_TITLE_PHRASES,
+        SOFT404_TITLE_RE,
+        title_col,
+    )
+    from dq.synth import render_html_col
+    from dq.textstats import whitespace_token_count
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = url_expr(did)
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in SOFT404_TITLE_PHRASES]),
+        (did % len(SOFT404_TITLE_PHRASES)).cast("int") + 1,
+    )
+    title_in = F.when(
+        did % SOFT404_MOD == SOFT404_REM, F.concat(url, F.lit(" - "), phrase)
+    ).otherwise(url)
+    # NULL text renders as '' so the html (and title) stay non-NULL — the
+    # thin gate still reads the raw text (0 tokens -> thin)
+    html = render_html_col(F.coalesce(F.col("text"), F.lit("")), title_in)
+    title = F.lower(title_col(html))
+    n_words = whitespace_token_count(F.col("text")).cast("bigint")
+    is_err = title.rlike(SOFT404_TITLE_RE)
+    is_thin = n_words < SOFT404_MIN_WORDS
+    return docs.select(
+        "doc_id",
+        title.alias("title"),
+        n_words.alias("n_words"),
+        is_err.alias("is_error_title"),
+        is_thin.alias("is_thin"),
+        (~is_err & ~is_thin).alias("keep"),
+    )
+
+
+def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (dq.textstats.compression_stats):
+    repetition/noise proxy in basis points. Rows-only (no zlib in DuckDB);
+    the UDF body is the pytest oracle."""
+    from dq.textstats import compression_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_stats(docs)
+
+
+def neardup_ledger_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run NEAR-dup candidates via the LSH band ledger
+    (dq.dedup.incremental_neardup_flags): batch 1 = even doc_ids ledgered,
+    batch 2 = odd doc_ids probed — every doc_id % 10 == 5 doc in batch 2
+    carries its doc_id-1 neighbor's text verbatim, so it MUST hit the
+    ledger (identical text -> identical signature -> identical bands).
+    Rows-only (xxhash64 tier); pytest pins the planted hits + the verify
+    funnel."""
+    from dq.dedup import incremental_neardup_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    batch1 = docs.where(did % 2 == 0).select("doc_id", "text")
+    # planted copies: doc_id % 10 == 5 takes the text of doc_id - 1 (even,
+    # so in batch 1) via a shifted self-join on the unique doc_id
+    donors = docs.select((did + 1).alias("doc_id"), F.col("text").alias("_donor"))
+    batch2 = (
+        docs.where(did % 2 == 1)
+        .join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(did % 10 == 5, F.col("_donor")).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    _, ledger = incremental_neardup_flags(batch1, None, id_col="doc_id")
+    flags, _ = incremental_neardup_flags(batch2, ledger, id_col="doc_id")
+    return flags.select("doc_id", "neardup_prior")
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -1425,4 +1529,10 @@ QUERIES = {
     "domain_pagerank": domain_pagerank,
     "page_rank_prior": page_rank_prior,
     "media_features": media_features,
+    # round-4 additions APPENDED — names above keep their positions so the
+    # driver's correctness sampler rotation stays comparable across rounds
+    "token_drift_topk": token_drift_topk,
+    "soft404_filter": soft404_filter,
+    "compression_ratios": compression_ratios,
+    "neardup_ledger_batch2": neardup_ledger_batch2,
 }

@@ -3,13 +3,18 @@ document fingerprinting — all native Catalyst expressions (no Python).
 
 These are the training-data-pipeline additions on top of the reference's
 operator set (SURVEY.md §2.8 'our engine adds' list): every function here
-is a pure column expression usable inside any groupBy/select, codegen'd.
+is a pure column expression usable inside any groupBy/select, codegen'd —
+except the zlib compression-ratio signal at the bottom, which is inherently
+bytes-level and runs as one Arrow-batched pandas UDF.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # BPE-ish word/number/punct tokenizer (shared, dialect-portable regex).
 BPE_SPLIT_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
@@ -274,4 +279,67 @@ def script_profile(df, id_col: str = "doc_id", text_col: str = "text"):
         "doc_id",
         *[f"n_{n}" for n, _ in SCRIPT_CLASSES],
         dom.alias("dominant_script"),
+    )
+
+
+# ------------------------------------------------ compression-ratio signal --
+# Classic repetition/quality proxy (used alongside Gopher's rules): highly
+# compressible text is boilerplate/template/repetition; incompressible text
+# is noise/binary junk. zlib level pinned for determinism; the UDF body
+# doubles as the pandas test oracle (CLAUDE.md invariant). Rows-only at the
+# gate (DuckDB exposes no zlib) — pytest pins the python twin.
+
+COMPRESS_LEVEL = 6
+COMPRESS_LOW_BP = 2200   # ratio below: repetition/template suspicion
+COMPRESS_HIGH_BP = 9000  # ratio above: noise/garbage suspicion
+
+
+def compression_stats_batch(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc zlib stats: raw/compressed byte counts + ratio in basis
+    points (floor(10000*compressed/raw); NULL/empty text -> 10000, the
+    'incompressible' convention keeps the column two-valued-safe)."""
+    import zlib
+
+    raws, comps, bps = [], [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        c = zlib.compress(b, COMPRESS_LEVEL)
+        raws.append(len(b))
+        comps.append(len(c))
+        bps.append(10000 * len(c) // len(b) if b else 10000)
+    return pd.DataFrame(
+        {"n_bytes": raws, "n_zlib_bytes": comps, "compress_bp": bps},
+        index=texts.index, dtype="int64",
+    )
+
+
+_COMPRESS_TYPE = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_zlib_bytes", T.LongType()),
+        T.StructField("compress_bp", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_COMPRESS_TYPE)
+def compression_udf(texts: pd.Series) -> pd.DataFrame:
+    return compression_stats_batch(texts)
+
+
+def compression_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_bytes, n_zlib_bytes, compress_bp, flags) — one Arrow crossing
+    per doc; zero exchanges (per-row projection)."""
+    s = compression_udf(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        s["n_bytes"].alias("n_bytes"),
+        s["n_zlib_bytes"].alias("n_zlib_bytes"),
+        s["compress_bp"].alias("compress_bp"),
+        (s["compress_bp"] < F.lit(COMPRESS_LOW_BP)).alias("too_compressible"),
+        # NULL/empty text is 'neither' (the thin-content gate owns it), not
+        # 'random' — its conventional bp 10000 must not trip the flag
+        ((s["compress_bp"] > F.lit(COMPRESS_HIGH_BP)) & (s["n_bytes"] > 0)).alias(
+            "too_random"
+        ),
     )

@@ -77,3 +77,35 @@ def test_diff_counts_four_rows_only(spark):
         "changed",
         "unchanged",
     }
+
+
+def test_token_drift_surfaces_planted_churn(spark):
+    """The planted CHANGED_SUFFIX tokens are absent from the old snapshot
+    and present in the new one — they must rank at the very top of the
+    drift report; every figure is integer-exact."""
+    from dq.crawldiff import DRIFT_TOP_K, planted_snapshots, token_drift_topk
+    from dq.urlstats import url_expr
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old, new = planted_snapshots(docs, url_expr(F.col("doc_id")))
+    rows = token_drift_topk(old, new).collect()
+    assert 0 < len(rows) <= DRIFT_TOP_K
+    planted = {"[revised", "edition]"}
+    top2 = {r.token for r in rows[:2]}
+    assert top2 == planted
+    for r in rows:
+        assert r.drift_score >= 0 and isinstance(r.drift_score, int)
+        if r.token in planted:
+            assert r.n_old == 0 and r.n_new > 0 and r.old_bp == 0
+
+
+def test_token_drift_zero_on_identical_snapshots(spark):
+    """Same corpus on both sides: every token's drift is exactly zero (the
+    cross-multiplication cancels — no float noise can leak in)."""
+    from dq.crawldiff import token_drift_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = token_drift_topk(docs, docs).collect()
+    assert rows and all(r.drift_score == 0 for r in rows)
+    assert all(r.n_old == r.n_new for r in rows)

@@ -268,3 +268,39 @@ def test_star_cc_edgeless_and_islands(spark):
     )
     got = {r.id: r.comp for r in dedup.connected_components_star(pairs).collect()}
     assert got == {5: 5, 7: 7, 8: 8, 9: 8}
+
+
+def test_incremental_neardup_ledger_flags_cross_run_copies(spark):
+    """LSH band ledger: a batch-2 doc sharing most shingles with a ledgered
+    batch-1 doc is flagged; fresh content is not; re-appending the returned
+    new-band set is idempotent (distinct collapse)."""
+    from dq.dedup import incremental_neardup_flags
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    b1 = spark.createDataFrame(
+        [("a1", base), ("a2", "one two three four five six seven eight nine ten")],
+        "url string, text string",
+    )
+    flags1, ledger = incremental_neardup_flags(b1, None)
+    assert {r.url: r.neardup_prior for r in flags1.collect()} == {
+        "a1": False, "a2": False,  # first run: no prior
+    }
+    b2 = spark.createDataFrame(
+        [
+            ("b1", base + " extra"),  # near-copy of a1 (one appended word)
+            ("b2", "completely different words about cooking pasta tonight "
+                   "with garlic and olive oil in a big red pot"),
+        ],
+        "url string, text string",
+    )
+    flags2, new_bands = incremental_neardup_flags(b2, ledger)
+    got = {r.url: r.neardup_prior for r in flags2.collect()}
+    assert got == {"b1": True, "b2": False}
+    # idempotent append: replaying the same batch adds no new bands
+    merged = ledger.unionByName(new_bands)
+    flags3, new_again = incremental_neardup_flags(b2, merged)
+    assert {r.url: r.neardup_prior for r in flags3.collect()} == {
+        "b1": True, "b2": True,  # now its own bands are ledgered too
+    }
+    assert new_again.count() == 0

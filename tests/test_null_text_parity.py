@@ -55,6 +55,8 @@ TEXT_QUERIES = [
     "scrub_pii",
     "doc_chunks",
     "dup_by_source",
+    "token_drift_topk",
+    "soft404_filter",
 ]
 
 

@@ -522,3 +522,38 @@ def test_token_packing_single_global_window_over_super_buckets_only(spark):
     inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", globals_[0]).group(1)
     cols = sorted(c.strip().split("#")[0] for c in inp.split(","))
     assert cols == ["_sup", "_sup_tokens"], globals_[0]
+
+
+def test_soft404_filter_no_exchange(spark):
+    """Title rules + thin gate are one codegen projection — zero exchanges."""
+    from dq.queries import soft404_filter
+
+    assert "Exchange" not in simple_plan_of(soft404_filter(spark, SF))
+
+
+def test_compression_ratios_no_exchange(spark):
+    """One Arrow crossing per doc, no shuffle."""
+    from dq.queries import compression_ratios
+
+    plan = simple_plan_of(compression_ratios(spark, SF))
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+def test_token_drift_exchanges_carry_tokens_only(spark):
+    """Drift's exchanges carry (token, count) — the text column never
+    shuffles; totals come back via a broadcast (J4 driving join)."""
+    import re
+
+    from dq.queries import token_drift_topk
+
+    plan = plan_of(token_drift_topk(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    saw_exchange = False
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        saw_exchange = True
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp and "text#" not in inp.group(2), node
+    assert saw_exchange
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

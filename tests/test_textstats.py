@@ -146,3 +146,41 @@ def test_script_profiles_query_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan_str
+
+
+def test_compression_stats_udf_matches_batch_twin(spark):
+    """The Spark column output equals the shared pandas body per doc, and
+    the signal orders repetitive below normal below random text."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from dq.textstats import compression_stats, compression_stats_batch
+
+    rng = random.Random(3)
+    # random over the FULL printable set measures ~9300 bp (random letters
+    # or CJK still compress — zlib squeezes narrow alphabets and UTF-8
+    # lead-byte structure); this is the base64-blob/minified-junk shape
+    # the too_random flag exists for
+    rand_text = "".join(rng.choice(string.printable) for _ in range(400))
+    rows = [
+        (0, "spam " * 100),                   # highly compressible
+        (1, "the quick brown fox " * 5),      # mildly repetitive
+        (2, rand_text),                       # incompressible
+        (3, None),                            # NULL -> 10000 convention
+        (4, ""),                              # empty -> 10000
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_stats(df).collect()}
+    twin = compression_stats_batch(pd.Series([t for _, t in rows]))
+    for i, (_, t) in enumerate(rows):
+        assert got[i].n_bytes == twin.n_bytes[i]
+        assert got[i].n_zlib_bytes == twin.n_zlib_bytes[i]
+        assert got[i].compress_bp == twin.compress_bp[i]
+    assert got[0].compress_bp < got[1].compress_bp < got[2].compress_bp
+    assert got[3].compress_bp == 10000 and got[4].compress_bp == 10000
+    assert got[0].too_compressible and not got[0].too_random
+    assert got[2].too_random and not got[2].too_compressible
+    # flags are two-valued even on NULL text (gate hash-compare invariant)
+    assert got[3].too_compressible is False and got[3].too_random is False
