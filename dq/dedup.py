@@ -224,6 +224,48 @@ def band_key_cols(num_hashes: int = 32, bands: int = 8) -> list[Column]:
     ]
 
 
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(two docs with Jaccard s share >= 1 LSH band) = 1 - (1 - s^r)^b —
+    the banding S-curve (Mining of Massive Datasets §3.4)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def tune_lsh_params(
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    steps: int = 200,
+) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == num_hashes minimizing the
+    weighted false-positive + false-negative area of the S-curve around
+    ``threshold`` (trapezoid quadrature of the curve below/above the
+    threshold — the standard LSH parameter selection; re-derived from the
+    MMDS banding analysis). Returns the (bands, rows) to pass to
+    :func:`minhash_candidates` / :func:`minhash_band_units`, so the
+    near-dup tier's recall knob is a declared threshold instead of a
+    hand-picked band count."""
+    best, best_err = None, float("inf")
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        fp = fn = 0.0
+        dx = threshold / steps
+        for i in range(steps):  # FP mass: candidates below the threshold
+            x = (i + 0.5) * dx
+            fp += lsh_candidate_probability(x, bands, rows) * dx
+        dx = (1.0 - threshold) / steps
+        for i in range(steps):  # FN mass: misses above the threshold
+            x = threshold + (i + 0.5) * dx
+            fn += (1.0 - lsh_candidate_probability(x, bands, rows)) * dx
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    assert best is not None
+    return best
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "url",

@@ -304,3 +304,25 @@ def test_incremental_neardup_ledger_flags_cross_run_copies(spark):
         "b1": True, "b2": True,  # now its own bands are ledgered too
     }
     assert new_again.count() == 0
+
+
+def test_lsh_tuner_tracks_threshold():
+    """tune_lsh_params: valid factorization, S-curve crosses ~0.5 near the
+    requested threshold, and raising the threshold never increases the band
+    count (more selective banding = fewer, longer bands)."""
+    from dq.dedup import lsh_candidate_probability, tune_lsh_params
+
+    prev_bands = None
+    for thr in (0.2, 0.4, 0.6, 0.8):
+        b, r = tune_lsh_params(num_hashes=32, threshold=thr)
+        assert b * r == 32 and b >= 1 and r >= 1
+        # the curve's steep section straddles the threshold
+        assert lsh_candidate_probability(min(1.0, thr + 0.25), b, r) > 0.5
+        assert lsh_candidate_probability(max(0.0, thr - 0.25), b, r) < 0.9
+        if prev_bands is not None:
+            assert b <= prev_bands
+        prev_bands = b
+    # FN-averse weighting must not pick FEWER bands than the balanced pick
+    b_bal, _ = tune_lsh_params(32, 0.5)
+    b_fn, _ = tune_lsh_params(32, 0.5, fp_weight=0.1, fn_weight=0.9)
+    assert b_fn >= b_bal
