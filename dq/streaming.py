@@ -183,6 +183,61 @@ def run_stream_with_ledger(
     return writer.start()
 
 
+def run_stream_with_neardup_ledger(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    ledger_path: str,
+    config: PipelineConfig | None = None,
+    available_now: bool = True,
+):
+    """Continuous ingest with CROSS-RUN *near*-dup suppression: each
+    micro-batch probes the durable LSH band ledger
+    (dq.dedup.incremental_neardup_flags), drops docs sharing a band bucket
+    with any previously-ledgered content (near-copies, boilerplate
+    re-crawls), and appends the batch's new band keys.
+
+    The fuzzy sibling of :func:`run_stream_with_ledger` (which catches
+    byte-exact re-crawls): the ledger holds distinct (band, key) pairs —
+    16 B each, sublinear once near-dup families repeat — and lives on
+    storage, not in the streaming state store. LSH-candidate semantics: a
+    band hit is a high-overlap candidate, the right default for dropping
+    boilerplate at ingest; pipelines needing verified Jaccard keep per-doc
+    signatures in a side table and verify hits only. Replay safety matches
+    the exact ledger: band appends distinct-collapse on read, so a
+    re-processed batch is harmless.
+    """
+    from pyspark.errors import AnalysisException
+
+    from dq.dedup import incremental_neardup_flags
+
+    enriched = streaming_enrich(stream_pages(spark, in_path), config, dedup=False)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        try:
+            ledger = spark.read.parquet(ledger_path)
+        except AnalysisException:
+            ledger = None
+        flags, new_bands = incremental_neardup_flags(batch_df, ledger, id_col="url")
+        kept = (
+            batch_df.join(flags, "url")
+            .where(F.col("keep") & ~F.col("neardup_prior"))
+            .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
+        )
+        kept.write.mode("append").parquet(out_path)
+        new_bands.write.mode("append").parquet(ledger_path)
+
+    writer = (
+        enriched.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def domain_col(url_col="url"):
     """Domain extracted from the url (the natural hot key of a crawl)."""
     return F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1)

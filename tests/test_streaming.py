@@ -141,3 +141,54 @@ def test_domain_running_counts_state_survives_batches(spark, pages, tmp_path):
     # state actually crossed batches: some domain must have been updated twice
     n_updates = spark.sql("select count(*) c from domain_counts").collect()[0].c
     assert n_updates > len(want)
+
+
+def test_stream_neardup_ledger_drops_cross_run_near_copies(spark, tmp_path):
+    """Cross-RUN near-dup suppression through the durable LSH band ledger:
+    run 2 sees a near-copy (one appended word) of run-1 content under a new
+    url and drops it; genuinely fresh content passes; within-run-1 docs all
+    pass (first run has no prior)."""
+    from dq import heuristics
+    from dq.pipeline import PipelineConfig
+
+    permissive = PipelineConfig(
+        target_lang=None,
+        max_perplexity=float("inf"),
+        thresholds={
+            **heuristics.THRESHOLDS,
+            "min_words": 0, "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
+            "max_symbol_ratio": 1.0, "min_stop_ratio": 0.0,
+            "min_distinct_stops": 0, "max_dup_line_ratio": 1.0,
+            "max_ellipsis_line_ratio": 1.0, "min_alpha_word_ratio": 0.0,
+        },
+    )
+    in_dir = str(tmp_path / "in")
+    out, ck, ledger = (str(tmp_path / d) for d in ("out", "ck", "ledger"))
+    alpha = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+             "kilo lima mike november oscar papa quebec romeo sierra tango")
+    fresh = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+             "once doce trece catorce quince dieciseis diecisiete dieciocho")
+
+    def drop(name, rows):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, text string"
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
+            "html", F.lit(None).cast("binary")
+        ).withColumn("lang", F.lit("en"))
+        df.select("url", "warc_ts", "html", "text", "lang").write.parquet(
+            f"{in_dir}/{name}"
+        )
+
+    drop("d1", [("u://1", "2024-03-01 01:00:00", alpha)])
+    q1 = streaming.run_stream_with_neardup_ledger(
+        spark, f"{in_dir}/*", out, ck, ledger, config=permissive
+    )
+    q1.awaitTermination(120)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u://1"}
+    drop("d2", [("u://2", "2024-03-10 01:00:00", alpha + " extra"),  # near-copy
+                ("u://3", "2024-03-10 02:00:00", fresh)])
+    q2 = streaming.run_stream_with_neardup_ledger(
+        spark, f"{in_dir}/*", out, ck, ledger, config=permissive
+    )
+    q2.awaitTermination(120)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u://1", "u://3"}
