@@ -126,3 +126,67 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) ->
             )
 
     return df.mapInPandas(op, schema=_FRAMES_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "asset_id long, width int, height int, out_width int, out_height int, "
+    "resized_sha256 string"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> DataFrame:
+    """mapInPandas operator: image 'resize' plumbing (the third leg of the
+    decode / feature-extract / resize / frame-sample family).
+
+    Real impl decodes and resamples pixels (PIL — absent here, stubbed);
+    the geometry is REAL either way: the output dims preserve aspect ratio
+    with the long side clamped to ``max_side`` (integer floor, never
+    upscaled), which is the contract a training-prep resize must honor.
+    The fake 'resized payload' is a deterministic digest of
+    (payload, out_w, out_h) so downstream dedup over resized assets is
+    exercisable. Non-image rows are dropped (filtering operator — the
+    output schema carries no media_type)."""
+
+    def _out_dims(w: int, h: int) -> tuple[int, int]:
+        long_side = max(w, h)
+        if long_side <= max_side:
+            return w, h
+        if w >= h:
+            return max_side, max(1, (h * max_side) // w)
+        return max(1, (w * max_side) // h), max_side
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("asset_id", "width", "height", "out_width", "out_height",
+                     "resized_sha256")}
+            for aid, content, mtype, w, h in zip(
+                pdf["asset_id"], pdf["content"], pdf["media_type"],
+                pdf["width"], pdf["height"],
+            ):
+                if mtype != "image" or content is None or pd.isna(w) or pd.isna(h):
+                    continue
+                if not fake:
+                    _decode_real(content, mtype)
+                ow, oh = _out_dims(int(w), int(h))
+                digest = hashlib.sha256(
+                    bytes(content) + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")
+                ).hexdigest()
+                rows["asset_id"].append(aid)
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized_sha256"].append(digest)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(rows["asset_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "out_width": pd.Series(rows["out_width"], dtype="int32"),
+                    "out_height": pd.Series(rows["out_height"], dtype="int32"),
+                    "resized_sha256": pd.Series(rows["resized_sha256"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=_RESIZE_SCHEMA)
