@@ -332,6 +332,7 @@ def run(
     parallelism: int = 1,
     per_partition: bool = False,
     source: str | None = None,
+    lineage_table: str | None = None,
 ) -> DataFrame:
     """Materializing run: kept docs + lineage to side tables, checkpointed
     for idempotent resume (north rule). Returns lineage.
@@ -366,6 +367,15 @@ def run(
     to exactly the pending days (VERDICT r3 missing-#3). A fully-resumed
     run then does ZERO data reads. The derived-column distinct scan remains
     as the raw-frame fallback.
+
+    ``lineage_table`` names a partitioned CATALOG side table to upsert this
+    run's lineage rows into (the north rule's 'per-partition lineage to
+    Iceberg side tables' — Iceberg MERGE INTO in prod, dq.io.merge_upsert's
+    staged dynamic partition overwrite here): one row per dt_foto, keyed on
+    dt_foto, so a re-run REPLACES its partitions' rows instead of
+    duplicating them — the same idempotence contract as the kept output.
+    The partitioned-parquet lineage dir is still written (it is the
+    read-back source and the path-deployment form).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = CheckpointManifest(os.path.join(out_dir, "manifest.json"))
@@ -474,6 +484,18 @@ def run(
         # than crashing on a missing path
         return spark.createDataFrame([], LINEAGE_SCHEMA_DDL)
     # partition-dir type inference would surface dt_foto as int; pin string
-    return spark.read.parquet(lineage_dir).withColumn(
+    lineage = spark.read.parquet(lineage_dir).withColumn(
         PARTITION_COL, F.col(PARTITION_COL).cast("string")
     )
+    if lineage_table is not None and parts:
+        from dq.io import merge_upsert, save_as_table, table_exists
+
+        fresh = lineage.where(F.col(PARTITION_COL).isin(sorted(parts)))
+        if not table_exists(spark, lineage_table):
+            save_as_table(fresh, lineage_table, partition_by=[PARTITION_COL])
+        else:
+            merge_upsert(
+                spark, lineage_table, fresh, keys=[PARTITION_COL],
+                partition_col=PARTITION_COL,
+            )
+    return lineage

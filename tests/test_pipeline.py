@@ -286,3 +286,31 @@ def test_run_fully_resumed_does_zero_data_reads(spark, tmp_path):
     poisoned = spark.read.parquet(part).withColumn("warc_ts", boom("warc_ts"))
     again = run(spark, poisoned, out_dir, source=part)  # resume: all done
     assert again.count() == n
+
+
+def test_run_lineage_catalog_side_table_idempotent(spark, tmp_path):
+    """lineage_table= upserts this run's lineage rows into a partitioned
+    catalog table (north-rule side-table contract): re-running REPLACES a
+    partition's row, never duplicates it; a config change shows up as the
+    replaced row's new figures."""
+    from dq import io as dqio
+    from dq import synth
+    from dq.pipeline import PipelineConfig, run
+
+    dqio.drop_table(spark, "dq_lineage_t")
+    pages = synth.generate_pages(spark, 120)
+    out1 = str(tmp_path / "o1")
+    lin = run(spark, pages, out1, lineage_table="dq_lineage_t")
+    tbl = spark.table("dq_lineage_t")
+    assert tbl.count() == lin.count() > 0
+    base = {(r.dt_foto, r.n_kept) for r in tbl.collect()}
+    # resume into the same out dir: nothing pending, table unchanged
+    run(spark, pages, out1, lineage_table="dq_lineage_t")
+    assert {(r.dt_foto, r.n_kept) for r in spark.table("dq_lineage_t").collect()} == base
+    # stricter full re-run: same partition KEYS, replaced figures (0 kept)
+    run(spark, pages, out1, resume=False, lineage_table="dq_lineage_t",
+        config=PipelineConfig(max_perplexity=0.0))
+    rows = spark.table("dq_lineage_t").collect()
+    assert len(rows) == len(base)  # replaced, not appended
+    assert all(r.n_kept == 0 for r in rows)
+    dqio.drop_table(spark, "dq_lineage_t")
