@@ -26,7 +26,6 @@ import json
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql import SparkSession
 
 FORMAT_VERSION = 1
@@ -75,43 +74,52 @@ def _decode_lm(art: dict) -> tuple[dict[tuple[str, str], float], dict[str, float
     return bi, ppl["uni"], ppl["unk"]
 
 
-_NLP_TYPE = T.StructType(
-    [
-        T.StructField("lang_pred", T.StringType()),
-        T.StructField("lang_margin", T.DoubleType()),
-        T.StructField("ppl", T.DoubleType()),
-    ]
-)
+# per-python-worker decode cache. MODULE-level, not closure-captured: the
+# UDF closure is pickled into every task, so a dict captured there is
+# re-created per task and the bigram-key decode would re-run on each one;
+# this module is imported once per worker process and the dict survives
+# across tasks. Keyed on a token minted on the DRIVER at UDF construction
+# (worker-side Broadcast objects expose no stable id) — bounded: one entry
+# per constructed artifact UDF in the app's lifetime.
+_DECODE_CACHE: dict = {}
+
+
+def _decoded_state(bc, key: str) -> tuple[dict, tuple]:
+    state = _DECODE_CACHE.get(key)
+    if state is None:
+        a = bc.value
+        state = (a["langid"]["profiles"], _decode_lm(a))
+        _DECODE_CACHE[key] = state
+    return state
 
 
 def nlp_udf_from_artifact(spark: SparkSession, path: str):
-    """The fused langid+perplexity pandas UDF (same output struct as
-    pipeline.nlp_udf) with weights from ``path``, shipped once per executor
-    via ``SparkContext.broadcast``. The artifact is parsed on the DRIVER
-    (fail fast on a bad file); executors deserialize the broadcast value
-    once and decode the bigram keys once per python worker, cached on the
-    function object."""
+    """The fused langid+perplexity pandas UDF with weights from ``path``,
+    shipped once per executor via ``SparkContext.broadcast``. The artifact
+    is parsed on the DRIVER (fail fast on a bad file); executors
+    deserialize the broadcast value once and decode the bigram keys once
+    per python worker (module-level cache keyed on broadcast id).
+
+    Output struct and batch bodies are SHARED with pipeline.nlp_udf
+    (dq.langid.detect_lang_batch / dq.perplexity.perplexity_batch with the
+    artifact's tables injected) — the UDF-body-is-the-test-oracle invariant
+    holds for the artifact path too."""
+    from dq.pipeline import _NLP_TYPE
+
+    import uuid
+
     art = load_artifact(path)
     bc = spark.sparkContext.broadcast(art)
-    cache: dict = {}  # per-python-worker decode cache (closure-captured)
+    cache_key = f"{path}:{uuid.uuid4()}"  # plain string, pickles into the closure
 
     @F.pandas_udf(_NLP_TYPE)
     def udf(texts: pd.Series) -> pd.DataFrame:
-        from dq.langid import detect_one
-        from dq.perplexity import perplexity_one
+        from dq.langid import detect_lang_batch
+        from dq.perplexity import perplexity_batch
 
-        if "state" not in cache:
-            a = bc.value
-            cache["state"] = (a["langid"]["profiles"], _decode_lm(a))
-        profiles, lm = cache["state"]
-        pairs = [detect_one(t, profiles) for t in texts]
-        return pd.DataFrame(
-            {
-                "lang_pred": [p[0] for p in pairs],
-                "lang_margin": [p[1] for p in pairs],
-                "ppl": [perplexity_one(t, lm) for t in texts],
-            },
-            index=texts.index,
-        )
+        profiles, lm = _decoded_state(bc, cache_key)
+        out = detect_lang_batch(texts, profiles)
+        out["ppl"] = perplexity_batch(texts, lm)
+        return out
 
     return udf

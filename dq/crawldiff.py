@@ -31,6 +31,7 @@ Scale shape (100 TB notes):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,6 +148,13 @@ def token_drift_topk(
         F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
         F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
     )
+    # joined feeds TWO consumers (the 1-row totals and the scored
+    # projection); persist the vocabulary-sized narrow frame (token + 2
+    # longs) so the tokenize + hash-agg + full-outer subtree — the
+    # expensive part — runs once instead of once per consumer (lazy, keeps
+    # lineage recoverable; same pattern as dq.pipeline dup_units /
+    # dq.lines hot).
+    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
     totals = joined.agg(
         F.sum("n_old").cast("bigint").alias("t_old"),
         F.sum("n_new").cast("bigint").alias("t_new"),

@@ -677,6 +677,7 @@ def incremental_neardup_flags(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    units: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run NEAR-dup candidates against an LSH band ledger — the
     incremental tier for fuzzy dedup (the exact tier is
@@ -699,8 +700,14 @@ def incremental_neardup_flags(
     band+key equi-join (left_semi, uniform keys), batch text never enters
     an exchange beyond the signature pass. Bucket the ledger table by
     (band, key) to make its side of the probe exchange-free per run.
+
+    Pass precomputed ``units`` (from :func:`minhash_band_units`, ideally
+    persisted) when the caller also needs the units for within-batch
+    suppression (:func:`neardup_batch_losers`) — the signature pass is the
+    dominant per-batch cost and must not run twice.
     """
-    units = minhash_band_units(batch, id_col, text_col, shingle_n, num_hashes, bands)
+    if units is None:
+        units = minhash_band_units(batch, id_col, text_col, shingle_n, num_hashes, bands)
     batch_bands = units.select("band", "key").distinct()
     ids = batch.select(F.col(id_col).alias("doc")).distinct()
     if ledger_bands is None:
@@ -719,6 +726,30 @@ def incremental_neardup_flags(
     )
     new_bands = batch_bands.join(prior, ["band", "key"], "left_anti")
     return flags, new_bands
+
+
+def neardup_batch_losers(units: DataFrame) -> DataFrame:
+    """WITHIN-batch near-dup candidate suppression over (band, key, doc)
+    units: a doc loses if any of its band buckets contains a smaller doc id
+    — each near-dup family (transitively band-connected docs) keeps exactly
+    its minimal member, every other member appears here. One-representative
+    semantics, same contract as connected-components dedup but computed
+    with a single (band, key)-partitioned window over 24-byte rows instead
+    of an iterative join — the right cost for a per-micro-batch guard.
+    Candidate semantics like the ledger probe: a band hit means high
+    overlap, not verified Jaccard.
+
+    Returns distinct losing ``doc`` ids. The ledger probe alone misses
+    these: it only compares against PRIOR batches, so a backlog drained in
+    one micro-batch would emit every near-copy it contains.
+    """
+    w = Window.partitionBy("band", "key")
+    return (
+        units.withColumn("_min", F.min("doc").over(w))
+        .where(F.col("doc") != F.col("_min"))
+        .select("doc")
+        .distinct()
+    )
 
 
 # ---- duplicate-span detection (substring-level dedup) ----------------------

@@ -37,9 +37,24 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def _recover_swap_debris(path: str) -> None:
+    """A crash between overwrite_table's two renames leaves ``path`` missing
+    and ``path + '.old'`` holding the last good copy. Restore it so readers
+    (and the next overwrite) see the last committed data instead of an
+    empty/absent table — without this, a remediation run that READS the
+    table before writing it would compute from an empty frame and then
+    legitimately overwrite the restored copy with that empty result."""
+    final_tmp = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(final_tmp):
+        os.rename(final_tmp, path)
+
+
 def read_path(spark: SparkSession, path: str, default_schema=None, fmt: str = "parquet") -> DataFrame:
     """Read a parquet/orc path; absent path + default_schema -> empty frame
-    (first run of a history table)."""
+    (first run of a history table). Restores interrupted-swap debris first:
+    a path missing because a previous overwrite crashed mid-swap must read
+    as the last committed copy, never as "first run"."""
+    _recover_swap_debris(path)
     if not os.path.exists(path):
         if default_schema is not None:
             return spark.createDataFrame([], schema=default_schema)
@@ -83,8 +98,7 @@ def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     # holding the last good copy — restore it BEFORE any debris is deleted,
     # so the recovery data can never be destroyed ahead of a replacement
     # write that might itself fail
-    if not os.path.exists(path) and os.path.exists(final_tmp):
-        os.rename(final_tmp, path)
+    _recover_swap_debris(path)
     # clear debris from a previously interrupted swap: a stale non-empty
     # '.old' dir would make the os.rename below raise ENOTEMPTY forever
     # (safe now: path exists, or never existed and '.old' was absent)

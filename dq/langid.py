@@ -122,9 +122,11 @@ def detect_one(text: str | None, profiles: dict | None = None) -> tuple[str, flo
     return (best[0], best[1] - second[1])
 
 
-def detect_lang_batch(texts: pd.Series) -> pd.DataFrame:
-    """Batch body shared by the pandas UDF and the test oracle."""
-    pairs = [detect_one(t) for t in texts]
+def detect_lang_batch(texts: pd.Series, profiles: dict | None = None) -> pd.DataFrame:
+    """Batch body shared by the pandas UDF and the test oracle. ``profiles``
+    overrides the module-default language profiles (broadcast-artifact
+    injection point, dq/artifacts.py)."""
+    pairs = [detect_one(t, profiles) for t in texts]
     return pd.DataFrame(
         {"lang_pred": [p[0] for p in pairs], "lang_margin": [p[1] for p in pairs]},
         index=texts.index,

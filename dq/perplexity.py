@@ -67,8 +67,9 @@ def perplexity_one(
     return math.exp(-lp / len(words))
 
 
-def perplexity_batch(texts: pd.Series) -> pd.Series:
-    return pd.Series([perplexity_one(t) for t in texts], index=texts.index, dtype="float64")
+def perplexity_batch(texts: pd.Series, lm=None) -> pd.Series:
+    """``lm`` overrides the module-default tables (see perplexity_one)."""
+    return pd.Series([perplexity_one(t, lm) for t in texts], index=texts.index, dtype="float64")
 
 
 @F.pandas_udf(T.DoubleType())

@@ -99,8 +99,14 @@ DOCS_CONFIG = PipelineConfig(
 
 
 def with_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
-    """Derive the reference-style yyyyMMdd partition label from crawl time
-    (format normalization once at ingest — SURVEY.md §1.4)."""
+    """Reference-style yyyyMMdd partition label (SURVEY.md §1.4). A STORED
+    dt_foto column is authoritative — late-arriving data is filed under its
+    ingest partition, which may disagree with the warc_ts day, and the
+    stored label is what partition metadata enumerates and what resume
+    marks done. Only an unpartitioned raw frame derives it from crawl
+    time (format normalization once at ingest)."""
+    if PARTITION_COL in df.columns:
+        return df.withColumn(PARTITION_COL, F.col(PARTITION_COL).cast("string"))
     return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
 
 
@@ -346,7 +352,8 @@ def run(
     ``per_partition=True`` keeps the per-partition fan-out (C4 ≙ the
     reference's `nohup … &` shell layer, todos.sh:1-5, but in ONE Spark app:
     with ``parallelism > 1`` the FIFO scheduler interleaves the jobs'
-    stages). Each partition job filters the SOURCE by its warc_ts day range
+    stages). Each partition job filters the SOURCE by its stored dt_foto
+    (partition-pruned) or, for raw frames, its warc_ts day range
     (pushable), so even this mode scans only the partition it processes.
 
     Dedup scope: single-pass mode always dedups against the FULL run input
@@ -363,8 +370,9 @@ def run(
     comes from partition METADATA (SHOW PARTITIONS / directory listing —
     ≙ ColetaDuplicidade.scala:44-58; Iceberg's partitions metadata table in
     prod) instead of a full-corpus distinct scan, and the per-run scope
-    filter gains a dt_foto predicate so Catalyst partition-prunes the scan
-    to exactly the pending days (VERDICT r3 missing-#3). A fully-resumed
+    filter becomes a dt_foto isin predicate so Catalyst partition-prunes
+    the scan to exactly the pending days (VERDICT r3 missing-#3), with the
+    stored label authoritative for late-arriving rows. A fully-resumed
     run then does ZERO data reads. The derived-column distinct scan remains
     as the raw-frame fallback.
 
@@ -380,16 +388,19 @@ def run(
     os.makedirs(out_dir, exist_ok=True)
     manifest = CheckpointManifest(os.path.join(out_dir, "manifest.json"))
     parts = discover_partitions(spark, pages, source)
-    # a stored dt_foto partition column prunes directly; the warc_ts range
-    # still applies (row-group skipping within partitions, and the derived
-    # dt_foto downstream is always warc_ts-based regardless of storage)
+    # a stored dt_foto partition column is authoritative AND prunes exactly
+    # (isin on the partition column — no min/max over-coverage); conjoining
+    # the warc_ts range here would silently DROP late-arriving rows whose
+    # stored partition disagrees with their warc_ts day: neither partition's
+    # scope would admit them, yet both get marked done. Unpartitioned raw
+    # frames fall back to the pushable warc_ts range, and with_partition
+    # re-derives the same label downstream.
     part_pred = PARTITION_COL in pages.columns
 
     def _scope_pred(plist: list[str]) -> F.Column:
-        pred = _ts_range_pred(plist)
         if part_pred:
-            pred = pred & F.col(PARTITION_COL).cast("string").isin(plist)
-        return pred
+            return F.col(PARTITION_COL).cast("string").isin(plist)
+        return _ts_range_pred(plist)
     todo = manifest.pending([(table_name, p) for p in sorted(parts)]) if resume else [
         (table_name, p) for p in sorted(parts)
     ]

@@ -153,6 +153,8 @@ def run_stream_with_ledger(
     enriched = streaming_enrich(stream_pages(spark, in_path), config, dedup=False)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
         # first-batch probe must work on any Hadoop filesystem (s3a/hdfs
         # paths would always fail a driver-local os.path check and silently
         # disable the ledger) — let the storage layer answer
@@ -160,18 +162,26 @@ def run_stream_with_ledger(
             ledger = spark.read.parquet(ledger_path)
         except AnalysisException:
             ledger = None
-        units, new_fps = incremental_non_survivor_units(batch_df, ledger)
-        # drop by (fingerprint, url) UNIT, not by url: a url that carries a
-        # duplicate text AND unique text loses only the losing copy — same
-        # semantics as the batch join-back (dq.dedup.non_survivor_units)
-        kept = (
-            batch_df.withColumn("_fp", fingerprint_col(F.col("text")))
-            .join(units, ["_fp", "url"], "left_anti")
-            .where(F.col("keep"))
-            .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
-        )
-        kept.write.mode("append").parquet(out_path)
-        new_fps.write.mode("append").parquet(ledger_path)
+        # foreachBatch actions re-execute the batch plan from the source:
+        # without the persist, the kept write and the ledger append would
+        # each re-run the whole enrich chain (the fused NLP UDF is the
+        # dominant per-batch cost)
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            units, new_fps = incremental_non_survivor_units(batch_df, ledger)
+            # drop by (fingerprint, url) UNIT, not by url: a url that carries a
+            # duplicate text AND unique text loses only the losing copy — same
+            # semantics as the batch join-back (dq.dedup.non_survivor_units)
+            kept = (
+                batch_df.withColumn("_fp", fingerprint_col(F.col("text")))
+                .join(units, ["_fp", "url"], "left_anti")
+                .where(F.col("keep"))
+                .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
+            )
+            kept.write.mode("append").parquet(out_path)
+            new_fps.write.mode("append").parquet(ledger_path)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         enriched.writeStream.foreachBatch(process_batch)
@@ -196,7 +206,10 @@ def run_stream_with_neardup_ledger(
     micro-batch probes the durable LSH band ledger
     (dq.dedup.incremental_neardup_flags), drops docs sharing a band bucket
     with any previously-ledgered content (near-copies, boilerplate
-    re-crawls), and appends the batch's new band keys.
+    re-crawls) OR with a smaller-id doc in the SAME batch (within-batch
+    family pick, dq.dedup.neardup_batch_losers — without it a backlog
+    drained in one micro-batch would emit every near-copy it contains),
+    and appends the batch's new band keys.
 
     The fuzzy sibling of :func:`run_stream_with_ledger` (which catches
     byte-exact re-crawls): the ledger holds distinct (band, key) pairs —
@@ -210,23 +223,49 @@ def run_stream_with_neardup_ledger(
     """
     from pyspark.errors import AnalysisException
 
-    from dq.dedup import incremental_neardup_flags
+    from dq.dedup import (
+        incremental_neardup_flags,
+        minhash_band_units,
+        neardup_batch_losers,
+    )
 
     enriched = streaming_enrich(stream_pages(spark, in_path), config, dedup=False)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
         try:
             ledger = spark.read.parquet(ledger_path)
         except AnalysisException:
             ledger = None
-        flags, new_bands = incremental_neardup_flags(batch_df, ledger, id_col="url")
-        kept = (
-            batch_df.join(flags, "url")
-            .where(F.col("keep") & ~F.col("neardup_prior"))
-            .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
+        # two persists: the batch frame (foreachBatch actions re-run the
+        # enrich UDF chain otherwise) and the band units (the MinHash
+        # signature pass feeds flags, the within-batch pick AND the ledger
+        # append — three consumers, one computation)
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        units = minhash_band_units(batch_df, id_col="url").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        kept.write.mode("append").parquet(out_path)
-        new_bands.write.mode("append").parquet(ledger_path)
+        try:
+            flags, new_bands = incremental_neardup_flags(
+                batch_df, ledger, id_col="url", units=units
+            )
+            # within-batch suppression: the ledger only knows PRIOR batches,
+            # so a drained backlog's near-copy family would otherwise be
+            # emitted in full — keep one representative per band-connected
+            # family (same funnel as the exact sibling's rank() pick)
+            losers = neardup_batch_losers(units).select(F.col("doc").alias("url"))
+            kept = (
+                batch_df.join(flags, "url")
+                .where(F.col("keep") & ~F.col("neardup_prior"))
+                .join(losers, "url", "left_anti")
+                .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
+            )
+            kept.write.mode("append").parquet(out_path)
+            new_bands.write.mode("append").parquet(ledger_path)
+        finally:
+            units.unpersist()
+            batch_df.unpersist()
 
     writer = (
         enriched.writeStream.foreachBatch(process_batch)

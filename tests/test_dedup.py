@@ -306,6 +306,26 @@ def test_incremental_neardup_ledger_flags_cross_run_copies(spark):
     assert new_again.count() == 0
 
 
+def test_neardup_batch_losers_keeps_min_per_family(spark):
+    """WITHIN-batch family pick over (band, key, doc) units: each
+    band-connected near-dup family loses every member except its minimal
+    doc id; singleton docs lose nothing."""
+    from dq.dedup import minhash_band_units, neardup_batch_losers
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    batch = spark.createDataFrame(
+        [
+            ("a1", base),
+            ("a2", base + " extra"),        # near-copy of a1 -> loses to a1
+            ("a3", "one two three four five six seven eight nine ten"),
+        ],
+        "url string, text string",
+    )
+    units = minhash_band_units(batch, id_col="url")
+    assert {r.doc for r in neardup_batch_losers(units).collect()} == {"a2"}
+
+
 def test_lsh_tuner_tracks_threshold():
     """tune_lsh_params: valid factorization, S-curve crosses ~0.5 near the
     requested threshold, and raising the threshold never increases the band

@@ -48,6 +48,22 @@ def test_overwrite_recovery_restores_before_write_failure(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10  # last good copy survived
 
 
+def test_read_path_recovers_midswap_crash(spark, tmp_path):
+    """read_path must see the last COMMITTED copy after a mid-swap crash,
+    never 'first run': a remediation flow that reads the history table
+    before rewriting it would otherwise compute from an empty frame and
+    then legitimately overwrite the recoverable copy with that emptiness."""
+    import pyspark.sql.types as T
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    os.rename(p, p + ".old")  # crash window: swap never completed
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    got = dqio.read_path(spark, p, default_schema=schema)
+    assert got.count() == 10  # restored, NOT the empty first-run frame
+    assert os.path.exists(p) and not os.path.exists(p + ".old")
+
+
 def test_compact_recovers_midswap_crash(spark, tmp_path):
     """compact_table finds the table path missing after a mid-swap crash:
     with a finished staging copy (_SUCCESS present) it completes the swap;

@@ -158,6 +158,31 @@ def test_resume_dedup_scope_spans_marked_partitions(spark, tmp_path):
     assert int(lin2.loc["20240302", "n_exact_dups"]) == 1
 
 
+def test_run_stored_partition_label_is_authoritative(spark, tmp_path):
+    """A late-arriving row whose STORED dt_foto disagrees with its warc_ts
+    day is processed under the stored label — the partition the catalog
+    lists and resume marks done. Conjoining the warc_ts day range with the
+    stored label would silently drop it from BOTH partitions' scopes while
+    both get marked done."""
+    rows = [
+        ("u://a/1", "2024-03-01 01:00:00", "regular english prose here " * 30, "20240301"),
+        # crawled on day 1, but ingested (filed) under day 3's partition
+        ("u://late/2", "2024-03-01 02:00:00", "late arriving prose copy " * 30, "20240303"),
+        ("u://b/3", "2024-03-03 01:00:00", "other unrelated prose text " * 30, "20240303"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "url string, warc_ts string, text string, dt_foto string"
+        )
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        .withColumn("lang", F.lit("en"))
+    )
+    lin = run(spark, df, str(tmp_path / "o")).toPandas().set_index("dt_foto")
+    assert int(lin["n_input"].sum()) == 3  # nothing silently dropped
+    assert int(lin.loc["20240301", "n_input"]) == 1
+    assert int(lin.loc["20240303", "n_input"]) == 2  # late row under stored label
+
+
 def test_url_with_two_texts_keeps_unique_content(spark):
     """The (url, fingerprint) unit join drops only the losing COPY: a url
     that also carries globally-unique content keeps that row."""

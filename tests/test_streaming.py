@@ -192,3 +192,46 @@ def test_stream_neardup_ledger_drops_cross_run_near_copies(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert {r.url for r in spark.read.parquet(out).collect()} == {"u://1", "u://3"}
+
+
+def test_stream_neardup_within_single_batch_keeps_one(spark, tmp_path):
+    """WITHIN-batch near-dup suppression: a backlog drained in ONE
+    micro-batch containing a near-copy family emits exactly one
+    representative (the minimal url) — the band ledger alone only knows
+    PRIOR batches, so without the in-batch pick the whole family would
+    pass."""
+    from dq import heuristics
+    from dq.pipeline import PipelineConfig
+
+    permissive = PipelineConfig(
+        target_lang=None,
+        max_perplexity=float("inf"),
+        thresholds={
+            **heuristics.THRESHOLDS,
+            "min_words": 0, "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
+            "max_symbol_ratio": 1.0, "min_stop_ratio": 0.0,
+            "min_distinct_stops": 0, "max_dup_line_ratio": 1.0,
+            "max_ellipsis_line_ratio": 1.0, "min_alpha_word_ratio": 0.0,
+        },
+    )
+    in_dir = str(tmp_path / "in")
+    out, ck, ledger = (str(tmp_path / d) for d in ("out", "ck", "ledger"))
+    alpha = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+             "kilo lima mike november oscar papa quebec romeo sierra tango")
+    fresh = ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+             "once doce trece catorce quince dieciseis diecisiete dieciocho")
+    df = spark.createDataFrame(
+        [("u://1", "2024-03-01 01:00:00", alpha),
+         ("u://2", "2024-03-01 02:00:00", alpha + " extra"),  # in-batch near-copy
+         ("u://3", "2024-03-01 03:00:00", fresh)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
+        "html", F.lit(None).cast("binary")
+    ).withColumn("lang", F.lit("en"))
+    df.select("url", "warc_ts", "html", "text", "lang").write.parquet(f"{in_dir}/d1")
+
+    q = streaming.run_stream_with_neardup_ledger(
+        spark, f"{in_dir}/*", out, ck, ledger, config=permissive
+    )
+    q.awaitTermination(120)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u://1", "u://3"}
