@@ -93,24 +93,41 @@ def _decoded_state(bc, key: str) -> tuple[dict, tuple]:
     return state
 
 
+# driver-side UDF memo: one broadcast per (SparkContext, artifact file
+# CONTENT) — without it, per-partition pipeline runs call enrich() once per
+# partition and would ship + pin one full model artifact (MB-GB in prod)
+# per call on every executor for the app lifetime. Keyed on (mtime, size)
+# so swapping the file's contents under the same path invalidates.
+_UDF_CACHE: dict = {}
+
+
 def nlp_udf_from_artifact(spark: SparkSession, path: str):
     """The fused langid+perplexity pandas UDF with weights from ``path``,
-    shipped once per executor via ``SparkContext.broadcast``. The artifact
-    is parsed on the DRIVER (fail fast on a bad file); executors
-    deserialize the broadcast value once and decode the bigram keys once
-    per python worker (module-level cache keyed on broadcast id).
+    shipped once per executor via ``SparkContext.broadcast`` and memoized
+    per (SparkContext, file version) on the driver. The artifact is parsed
+    on the DRIVER (fail fast on a bad file); executors deserialize the
+    broadcast value once and decode the bigram keys once per python worker
+    (module-level cache, driver-minted key).
 
     Output struct and batch bodies are SHARED with pipeline.nlp_udf
     (dq.langid.detect_lang_batch / dq.perplexity.perplexity_batch with the
     artifact's tables injected) — the UDF-body-is-the-test-oracle invariant
     holds for the artifact path too."""
+    import os
+
     from dq.pipeline import _NLP_TYPE
 
-    import uuid
+    st = os.stat(path)
+    memo_key = (
+        id(spark.sparkContext), os.path.abspath(path), st.st_mtime_ns, st.st_size
+    )
+    cached = _UDF_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
 
     art = load_artifact(path)
     bc = spark.sparkContext.broadcast(art)
-    cache_key = f"{path}:{uuid.uuid4()}"  # plain string, pickles into the closure
+    cache_key = f"{path}:{st.st_mtime_ns}:{st.st_size}"  # per-worker decode key
 
     @F.pandas_udf(_NLP_TYPE)
     def udf(texts: pd.Series) -> pd.DataFrame:
@@ -122,4 +139,5 @@ def nlp_udf_from_artifact(spark: SparkSession, path: str):
         out["ppl"] = perplexity_batch(texts, lm)
         return out
 
+    _UDF_CACHE[memo_key] = udf
     return udf

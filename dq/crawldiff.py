@@ -31,7 +31,6 @@ Scale shape (100 TB notes):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -149,12 +148,13 @@ def token_drift_topk(
         F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
     )
     # joined feeds TWO consumers (the 1-row totals and the scored
-    # projection); persist the vocabulary-sized narrow frame (token + 2
-    # longs) so the tokenize + hash-agg + full-outer subtree — the
-    # expensive part — runs once instead of once per consumer (lazy, keeps
-    # lineage recoverable; same pattern as dq.pipeline dup_units /
-    # dq.lines hot).
-    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+    # projection) in ONE physical plan, so Catalyst's ReuseExchange dedups
+    # the identical shuffle subtrees: the tokenize + partial-agg map work
+    # runs once, only the vocabulary-sized post-shuffle join repeats
+    # (ReusedExchange presence is plan-asserted in tests/test_plans.py).
+    # Deliberately NOT persist(): a cached fragment would leak one entry
+    # per (old, new) pair for the session lifetime and substitute into
+    # later matching plans, hiding the exchanges from plan audits.
     totals = joined.agg(
         F.sum("n_old").cast("bigint").alias("t_old"),
         F.sum("n_new").cast("bigint").alias("t_new"),

@@ -205,6 +205,27 @@ def compact_table(
         else:
             raise FileNotFoundError(path)
 
+    # LEAF-partition crash recovery: a crash during a partition dir's swap
+    # leaves '<path>/.{part}.old' / '.{part}.staging' with the visible dir
+    # MISSING — it would silently vanish from the listing below (hidden
+    # names filtered out), the run would return success, and the partition
+    # would be gone forever. Restore every such leaf first, same preference
+    # order as above (finished staging, else the pre-compaction copy).
+    for entry in os.listdir(path):
+        base, _, suffix = entry.rpartition(".")
+        if not entry.startswith(".") or suffix not in ("old", "staging"):
+            continue
+        vis = os.path.join(path, base[1:])  # strip the hidden-prefix dot
+        if os.path.exists(vis):
+            continue  # leaf intact: its own recursive call clears debris
+        leaf_stage, leaf_old = vis + ".staging", vis + ".old"
+        leaf_stage = os.path.join(path, "." + os.path.basename(leaf_stage))
+        leaf_old = os.path.join(path, "." + os.path.basename(leaf_old))
+        if os.path.exists(os.path.join(leaf_stage, "_SUCCESS")):
+            os.rename(leaf_stage, vis)
+        elif os.path.exists(leaf_old):
+            os.rename(leaf_old, vis)
+
     part_dirs = sorted(
         os.path.join(path, d)
         for d in os.listdir(path)

@@ -43,6 +43,16 @@ from dq.scrub import scrub_col
 TARGET_LANG = "en"
 MAX_PERPLEXITY = 2000.0
 PARTITION_COL = "dt_foto"
+# Engine label for rows with NO partition (stored NULL dt_foto — surfaced by
+# Hive/Spark as the __HIVE_DEFAULT_PARTITION__ directory — or a NULL warc_ts
+# on a raw frame). A NULL label would silently fall out of every isin()
+# scope predicate while its partition still got marked done; this sentinel
+# is a real string that round-trips intact through partitionBy (unlike the
+# Hive default name, which Spark re-parses as NULL on read, and unlike an
+# all-digit label, which partition-dir type inference would collapse to an
+# int — '00000000' comes back as 0).
+PARTITION_NULL_LABEL = "unpartitioned"
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 @dataclass
@@ -106,8 +116,18 @@ def with_partition(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     marks done. Only an unpartitioned raw frame derives it from crawl
     time (format normalization once at ingest)."""
     if PARTITION_COL in df.columns:
-        return df.withColumn(PARTITION_COL, F.col(PARTITION_COL).cast("string"))
-    return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
+        return df.withColumn(
+            PARTITION_COL,
+            F.coalesce(
+                F.col(PARTITION_COL).cast("string"), F.lit(PARTITION_NULL_LABEL)
+            ),
+        )
+    return df.withColumn(
+        PARTITION_COL,
+        F.coalesce(
+            F.date_format(F.col(ts_col), "yyyyMMdd"), F.lit(PARTITION_NULL_LABEL)
+        ),
+    )
 
 
 # Broadcast budget for the dedup join-back, in (fingerprint, url) UNITS:
@@ -318,7 +338,13 @@ def discover_partitions(
 
         labels = partition_labels(spark, source, PARTITION_COL)
         if labels is not None:
-            return labels
+            # the Hive null partition surfaces as a directory literal in
+            # metadata but as NULL column values in the scan — map it to
+            # the engine's sentinel so the scope predicate can admit it
+            return sorted(
+                PARTITION_NULL_LABEL if v == HIVE_DEFAULT_PARTITION else v
+                for v in labels
+            )
     return [
         r.partition_value
         for r in with_partition(pages)
@@ -399,8 +425,18 @@ def run(
 
     def _scope_pred(plist: list[str]) -> F.Column:
         if part_pred:
-            return F.col(PARTITION_COL).cast("string").isin(plist)
-        return _ts_range_pred(plist)
+            # coalesce to the sentinel so NULL-stored rows (the Hive
+            # default partition) are admitted when their label is pending —
+            # a bare isin() is never true for NULL
+            return F.coalesce(
+                F.col(PARTITION_COL).cast("string"), F.lit(PARTITION_NULL_LABEL)
+            ).isin(plist)
+        real = [p for p in plist if p != PARTITION_NULL_LABEL]
+        # the sentinel is not a date: it must not enter the range bounds
+        pred = _ts_range_pred(real) if real else F.lit(False)
+        if PARTITION_NULL_LABEL in plist:
+            pred = pred | F.col("warc_ts").isNull()
+        return pred
     todo = manifest.pending([(table_name, p) for p in sorted(parts)]) if resume else [
         (table_name, p) for p in sorted(parts)
     ]

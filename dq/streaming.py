@@ -253,11 +253,16 @@ def run_stream_with_neardup_ledger(
             # within-batch suppression: the ledger only knows PRIOR batches,
             # so a drained backlog's near-copy family would otherwise be
             # emitted in full — keep one representative per band-connected
-            # family (same funnel as the exact sibling's rank() pick)
+            # family (same funnel as the exact sibling's rank() pick).
+            # BOTH drops are left_anti on url, matching the exact sibling's
+            # shape: an inner join against flags would silently discard
+            # NULL-url rows (NULL keys never match), diverging from
+            # run_stream_with_ledger on identical input.
+            prior = flags.where(F.col("neardup_prior")).select("url")
             losers = neardup_batch_losers(units).select(F.col("doc").alias("url"))
             kept = (
-                batch_df.join(flags, "url")
-                .where(F.col("keep") & ~F.col("neardup_prior"))
+                batch_df.where(F.col("keep"))
+                .join(prior, "url", "left_anti")
                 .join(losers, "url", "left_anti")
                 .select("url", "warc_ts", "dt_foto", F.col("text_scrubbed").alias("text"), "lang_pred")
             )

@@ -83,3 +83,21 @@ def test_artifact_format_and_profile_validation(tmp_path):
     artifacts.save_artifact(one, art)
     with pytest.raises(ValueError, match="2 language profiles"):
         artifacts.load_artifact(one)
+
+
+def test_artifact_udf_memoized_per_file_version(spark, tmp_path):
+    """One broadcast per (SparkContext, file version): repeated enrich()
+    calls (per-partition fan-out) must NOT ship a fresh copy of the model
+    artifact per call — same path+content returns the SAME udf object;
+    rewriting the file (new mtime) invalidates the memo."""
+    import time
+
+    p = str(tmp_path / "a.json")
+    artifacts.save_artifact(p)
+    u1 = artifacts.nlp_udf_from_artifact(spark, p)
+    u2 = artifacts.nlp_udf_from_artifact(spark, p)
+    assert u1 is u2
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    artifacts.save_artifact(p)
+    u3 = artifacts.nlp_udf_from_artifact(spark, p)
+    assert u3 is not u1

@@ -48,6 +48,34 @@ def test_overwrite_recovery_restores_before_write_failure(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10  # last good copy survived
 
 
+def test_compact_recovers_leaf_partition_midswap_crash(spark, tmp_path):
+    """A crash during ONE partition dir's swap leaves the table ROOT intact
+    but the leaf missing, with hidden debris beside it — the leaf would
+    silently vanish from the partition listing (hidden names are filtered)
+    and the run would report success. Recovery must restore it: finished
+    staging completes the swap, else the pre-compaction copy returns."""
+    root = str(tmp_path / "t")
+    (
+        spark.range(100)
+        .withColumn("dt", (F.col("id") % 2).cast("string"))
+        .write.partitionBy("dt")
+        .parquet(root)
+    )
+    # crash flavor 1: leaf renamed away, no staging — restore the original
+    os.rename(f"{root}/dt=1", f"{root}/.dt=1.old")
+    dqio.compact_table(spark, root, target_bytes=10**9)
+    assert spark.read.parquet(root).count() == 100
+    # crash flavor 2: finished staging (_SUCCESS present) — complete the swap
+    os.rename(f"{root}/dt=0", f"{root}/.dt=0.old")
+    spark.read.parquet(f"{root}/.dt=0.old").coalesce(1).write.parquet(
+        f"{root}/.dt=0.staging"
+    )
+    dqio.compact_table(spark, root, target_bytes=10**9)
+    assert spark.read.parquet(root).count() == 100
+    leftover = [d for d in os.listdir(root) if "staging" in d or ".old" in d]
+    assert leftover == []
+
+
 def test_read_path_recovers_midswap_crash(spark, tmp_path):
     """read_path must see the last COMMITTED copy after a mid-swap crash,
     never 'first run': a remediation flow that reads the history table

@@ -183,6 +183,61 @@ def test_run_stored_partition_label_is_authoritative(spark, tmp_path):
     assert int(lin.loc["20240303", "n_input"]) == 2  # late row under stored label
 
 
+def test_run_processes_hive_default_partition(spark, tmp_path):
+    """Rows stored under the Hive NULL partition (dt_foto was NULL at write
+    time → __HIVE_DEFAULT_PARTITION__ directory) must be PROCESSED under
+    the engine's sentinel label, not silently excluded: metadata discovery
+    lists the directory, but the column value is NULL in the scan, so a
+    bare isin() scope predicate never admits the rows while the label
+    still gets marked done."""
+    from dq.pipeline import PARTITION_NULL_LABEL
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("u://a/1", "2024-03-01 01:00:00", "regular english prose here " * 30, "20240301"),
+        ("u://b/2", "2024-03-02 01:00:00", "orphan row without partition " * 30, None),
+    ]
+    (
+        spark.createDataFrame(
+            rows, "url string, warc_ts string, text string, dt_foto string"
+        )
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        .withColumn("lang", F.lit("en"))
+        .write.partitionBy("dt_foto")
+        .parquet(src)
+    )
+    import os
+
+    assert os.path.isdir(f"{src}/dt_foto=__HIVE_DEFAULT_PARTITION__")
+    pages = spark.read.parquet(src)
+    lin = run(
+        spark, pages, str(tmp_path / "o"), source=src
+    ).toPandas().set_index("dt_foto")
+    assert int(lin["n_input"].sum()) == 2  # nothing silently dropped
+    assert int(lin.loc[PARTITION_NULL_LABEL, "n_input"]) == 1
+    assert int(lin.loc["20240301", "n_input"]) == 1
+
+
+def test_run_raw_frame_null_warc_ts_not_dropped(spark, tmp_path):
+    """Raw unpartitioned frame with a NULL crawl timestamp: the row has no
+    derivable day, so it files under the sentinel label via the isNull arm
+    of the scope predicate instead of matching no day range and vanishing."""
+    from dq.pipeline import PARTITION_NULL_LABEL
+
+    rows = [
+        ("u://a/1", "2024-03-01 01:00:00", "regular english prose here " * 30),
+        ("u://b/2", None, "timestampless prose row here " * 30),
+    ]
+    df = (
+        spark.createDataFrame(rows, "url string, warc_ts string, text string")
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        .withColumn("lang", F.lit("en"))
+    )
+    lin = run(spark, df, str(tmp_path / "o")).toPandas().set_index("dt_foto")
+    assert int(lin["n_input"].sum()) == 2
+    assert int(lin.loc[PARTITION_NULL_LABEL, "n_input"]) == 1
+
+
 def test_url_with_two_texts_keeps_unique_content(spark):
     """The (url, fingerprint) unit join drops only the losing COPY: a url
     that also carries globally-unique content keeps that row."""

@@ -541,12 +541,17 @@ def test_compression_ratios_no_exchange(spark):
 
 def test_token_drift_exchanges_carry_tokens_only(spark):
     """Drift's exchanges carry (token, count) — the text column never
-    shuffles; totals come back via a broadcast (J4 driving join)."""
+    shuffles; totals come back via a broadcast (J4 driving join); and the
+    double-consumer subtree (totals + scored both read `joined`) is
+    deduplicated by AQE exchange reuse, so the tokenize map stage runs
+    once — NOT by a persist(), which would hide the exchanges from this
+    audit and leak a cache entry per input pair."""
     import re
 
     from dq.queries import token_drift_topk
 
-    plan = plan_of(token_drift_topk(spark, SF))
+    df = token_drift_topk(spark, SF)
+    plan = plan_of(df)
     nodes = re.split(r"\n(?=\(\d+\) )", plan)
     saw_exchange = False
     for node in nodes:
@@ -557,3 +562,9 @@ def test_token_drift_exchanges_carry_tokens_only(spark):
         assert inp and "text#" not in inp.group(2), node
     assert saw_exchange
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "InMemoryRelation" not in plan  # persist would blind this test
+    # runtime reuse: AQE substitutes ReusedExchange for the repeated
+    # side-count shuffles (visible only in the EXECUTED plan)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

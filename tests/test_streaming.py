@@ -235,3 +235,39 @@ def test_stream_neardup_within_single_batch_keeps_one(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r.url for r in spark.read.parquet(out).collect()} == {"u://1", "u://3"}
+
+
+def test_stream_neardup_keeps_null_url_rows(spark, tmp_path):
+    """Anti-join shape parity with the exact-ledger sibling: a NULL-url row
+    that passes the keep gate is RETAINED (an inner join on url silently
+    drops NULL keys — the two streaming variants must not diverge)."""
+    from dq import heuristics
+    from dq.pipeline import PipelineConfig
+
+    permissive = PipelineConfig(
+        target_lang=None,
+        max_perplexity=float("inf"),
+        thresholds={
+            **heuristics.THRESHOLDS,
+            "min_words": 0, "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
+            "max_symbol_ratio": 1.0, "min_stop_ratio": 0.0,
+            "min_distinct_stops": 0, "max_dup_line_ratio": 1.0,
+            "max_ellipsis_line_ratio": 1.0, "min_alpha_word_ratio": 0.0,
+        },
+    )
+    in_dir = str(tmp_path / "in")
+    out, ck, ledger = (str(tmp_path / d) for d in ("out", "ck", "ledger"))
+    df = spark.createDataFrame(
+        [(None, "2024-03-01 01:00:00", "orphan prose without a url " * 8),
+         ("u://1", "2024-03-01 02:00:00", "regular prose with a url here " * 8)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
+        "html", F.lit(None).cast("binary")
+    ).withColumn("lang", F.lit("en"))
+    df.select("url", "warc_ts", "html", "text", "lang").write.parquet(f"{in_dir}/d1")
+
+    q = streaming.run_stream_with_neardup_ledger(
+        spark, f"{in_dir}/*", out, ck, ledger, config=permissive
+    )
+    q.awaitTermination(120)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {None, "u://1"}
