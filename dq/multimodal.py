@@ -30,14 +30,38 @@ _FEATURES_SCHEMA = (
 _FRAMES_SCHEMA = "asset_id long, frame_index int, frame_sha256 string"
 
 
+def png_header(width: int, height: int) -> bytes:
+    """A REAL, spec-valid PNG signature + IHDR chunk (magic, length, type,
+    dims, bit depth 8 / RGBA, correct CRC32) — enough for any header
+    sniffer to identify the file and read its geometry. The pixel data that
+    would follow is whatever the caller appends (decode stays out of scope;
+    header parsing does not)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake assets (binary payload = seeded bytes)."""
+    """Deterministic fake assets. Image payloads carry a REAL PNG header
+    (valid magic + IHDR matching the declared width/height) so the header
+    sniffer has something true to parse; audio/video payloads are opaque
+    seeded bytes (opus/av1 carry no parser here — the unverifiable case)."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.bytes(128 + int(rng.randint(0, 512)))
+        if kind == "image":
+            payload = png_header(640, 480) + payload
         rows.append(
             (
                 i,
@@ -126,6 +150,125 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) ->
             )
 
     return df.mapInPandas(op, schema=_FRAMES_SCHEMA)
+
+
+# ---- REAL header sniffing (no codec libraries) ------------------------------
+
+# JPEG start-of-frame markers that carry geometry (baseline, progressive,
+# lossless, arithmetic variants)
+_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+_CODEC_ALIASES = {"jpg": "jpeg"}
+
+
+def sniff_header_one(content: bytes | None) -> dict:
+    """Parse container magic + header fields from raw bytes — PNG (IHDR
+    dims), JPEG (SOF dims), GIF (logical screen dims), RIFF/WAVE (fmt chunk
+    channels + sample rate). Pure function: this IS the pandas-UDF body and
+    the test oracle (CLAUDE.md invariant). Unknown/truncated containers
+    return all-None. No codec library involved — this is byte-layout
+    parsing, fully real in this container (unlike pixel/sample decode,
+    which stays stubbed in _decode_real)."""
+    out: dict = {
+        "sniffed_format": None,
+        "width": None,
+        "height": None,
+        "sample_rate_hz": None,
+        "channels": None,
+    }
+    if not content:
+        return out
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        out["sniffed_format"] = "png"
+        out["width"] = int.from_bytes(b[16:20], "big")
+        out["height"] = int.from_bytes(b[20:24], "big")
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["sniffed_format"] = "gif"
+        out["width"] = int.from_bytes(b[6:8], "little")
+        out["height"] = int.from_bytes(b[8:10], "little")
+    elif b[:2] == b"\xff\xd8":
+        out["sniffed_format"] = "jpeg"
+        i = 2  # walk the segment chain to the first start-of-frame
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in _SOF_MARKERS:
+                out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                break
+            if marker == 0xFF:  # fill byte
+                i += 1
+            elif 0xD0 <= marker <= 0xD9 or marker == 0x01:  # no payload
+                i += 2
+            else:
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["sniffed_format"] = "wav"
+        i = 12  # chunk walk to 'fmt '
+        while i + 8 <= len(b):
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if b[i : i + 4] == b"fmt " and i + 16 <= len(b):
+                out["channels"] = int.from_bytes(b[i + 10 : i + 12], "little")
+                out["sample_rate_hz"] = int.from_bytes(b[i + 12 : i + 16], "little")
+                break
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+_SNIFF_SCHEMA = (
+    "asset_id long, media_type string, declared_codec string, "
+    "sniffed_format string, width int, height int, sample_rate_hz int, "
+    "channels int, n_bytes long, format_ok boolean"
+)
+
+
+def sniff_headers(df: DataFrame) -> DataFrame:
+    """mapInPandas operator over :func:`sniff_header_one`: per-asset
+    container identification + geometry/audio params from the binary
+    payload, plus ``format_ok`` — the DQ verdict that the DECLARED codec
+    matches what the bytes actually are (mislabeled uploads, truncated
+    files, content-type lies). ``format_ok`` is NULL when the sniffer has
+    no parser for the container (opus/av1 here): unverifiable, not wrong —
+    keep this query rows-only, never oracled (CLAUDE.md three-valued-
+    boolean trap applies to oracle twins only)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [sniff_header_one(c) for c in pdf["content"]]
+            declared = [
+                _CODEC_ALIASES.get(c, c) if c is not None else None
+                for c in pdf["codec"]
+            ]
+            sniffed = [r["sniffed_format"] for r in recs]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "declared_codec": pd.Series(declared, dtype="object"),
+                    "sniffed_format": pd.Series(sniffed, dtype="object"),
+                    "width": pd.array([r["width"] for r in recs], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in recs], dtype="Int32"),
+                    "sample_rate_hz": pd.array(
+                        [r["sample_rate_hz"] for r in recs], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [r["channels"] for r in recs], dtype="Int32"
+                    ),
+                    "n_bytes": pdf["content"]
+                    .map(lambda b: len(b) if b is not None else 0)
+                    .astype("int64"),
+                    "format_ok": pd.array(
+                        [
+                            (s == d) if s is not None else None
+                            for s, d in zip(sniffed, declared)
+                        ],
+                        dtype="boolean",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, schema=_SNIFF_SCHEMA)
 
 
 _RESIZE_SCHEMA = (

@@ -1419,6 +1419,20 @@ def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_stats(docs)
 
 
+def media_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal header parsing (dq.multimodal.sniff_headers): PNG /
+    JPEG / GIF / WAV container magic + geometry/audio params from the raw
+    binary column, plus the format_ok mislabel verdict — no codec library,
+    pure byte-layout parsing, so unlike the decode stubs this path is fully
+    functional in-container. Rows-only: DuckDB cannot parse binary
+    containers (and format_ok is legitimately three-valued — NULL means no
+    parser for the declared codec, which the oracle hash compare cannot
+    represent)."""
+    from dq.multimodal import sniff_headers, synth_media
+
+    return sniff_headers(synth_media(spark, n=64))
+
+
 def neardup_ledger_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run NEAR-dup candidates via the LSH band ledger
     (dq.dedup.incremental_neardup_flags): batch 1 = even doc_ids ledgered,
@@ -1535,4 +1549,5 @@ QUERIES = {
     "soft404_filter": soft404_filter,
     "compression_ratios": compression_ratios,
     "neardup_ledger_batch2": neardup_ledger_batch2,
+    "media_header_sniff": media_header_sniff,
 }

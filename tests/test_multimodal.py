@@ -61,3 +61,78 @@ def test_resize_images_geometry_and_determinism(spark):
     assert all((r.out_width, r.out_height) == (640, 480) for r in small.values())
     with pytest.raises(Exception, match="NotImplementedError|real decoders"):
         multimodal.resize_images(assets, fake=False).collect()
+
+
+def test_sniff_header_one_parses_real_containers():
+    """Pure-function oracle: spec-valid PNG/JPEG/GIF/WAV headers parse to
+    their true geometry/audio params; garbage and truncated bytes are
+    all-None, never an exception."""
+    from dq.multimodal import png_header, sniff_header_one
+
+    png = sniff_header_one(png_header(640, 480) + b"\x00" * 32)
+    assert (png["sniffed_format"], png["width"], png["height"]) == ("png", 640, 480)
+
+    # JPEG: SOI + APP0 (empty) + SOF0 for a 1-component 320x200 frame
+    jpeg_bytes = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04\x00\x00"
+        + b"\xff\xc0\x00\x0b\x08" + (200).to_bytes(2, "big")
+        + (320).to_bytes(2, "big") + b"\x01\x11\x00\x00"
+    )
+    jpeg = sniff_header_one(jpeg_bytes)
+    assert (jpeg["sniffed_format"], jpeg["width"], jpeg["height"]) == ("jpeg", 320, 200)
+
+    gif = sniff_header_one(
+        b"GIF89a" + (13).to_bytes(2, "little") + (11).to_bytes(2, "little") + b"\x00" * 8
+    )
+    assert (gif["sniffed_format"], gif["width"], gif["height"]) == ("gif", 13, 11)
+
+    wav_bytes = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (2).to_bytes(2, "little")          # channels
+        + (44100).to_bytes(4, "little")      # sample rate
+        + (176400).to_bytes(4, "little") + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    wav = sniff_header_one(wav_bytes)
+    assert (wav["sniffed_format"], wav["channels"], wav["sample_rate_hz"]) == ("wav", 2, 44100)
+
+    for junk in (None, b"", b"\x00\x01\x02", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4):
+        assert sniff_header_one(junk)["sniffed_format"] is None
+
+
+def test_sniff_headers_over_synth_assets(spark):
+    """Synth image payloads carry a REAL PNG header: every image sniffs as
+    png 640x480 with format_ok TRUE; opus/av1 have no parser here, so they
+    sniff as None with format_ok NULL (unverifiable, not wrong)."""
+    from dq import multimodal
+
+    rows = multimodal.sniff_headers(multimodal.synth_media(spark, n=24)).collect()
+    assert len(rows) == 24
+    for r in rows:
+        if r.media_type == "image":
+            assert (r.sniffed_format, r.width, r.height) == ("png", 640, 480)
+            assert r.format_ok is True
+        else:
+            assert r.sniffed_format is None and r.format_ok is None
+
+
+def test_sniff_headers_flags_mislabeled_asset(spark):
+    """A GIF payload DECLARED as png gets format_ok FALSE — the mislabel
+    verdict the operator exists for."""
+    from dq.multimodal import sniff_headers
+    from dq.schema import MEDIA_ASSETS
+
+    gif_bytes = (
+        b"GIF89a" + (5).to_bytes(2, "little") + (7).to_bytes(2, "little") + b"\x00" * 16
+    )
+    df = spark.createDataFrame(
+        [(1, "u://x", "image", bytearray(gif_bytes), 5, 7, None, "png")],
+        schema=MEDIA_ASSETS,
+    )
+    r = sniff_headers(df).collect()[0]
+    assert r.sniffed_format == "gif" and r.declared_codec == "png"
+    assert r.format_ok is False
+    assert (r.width, r.height) == (5, 7)
