@@ -115,3 +115,44 @@ def bloom_probe(
         .groupBy(key_col)
         .agg(F.bool_and("_hit").alias("bloom_maybe"))
     )
+
+
+def bloom_probe_sharded(
+    df: DataFrame,
+    words: DataFrame,
+    fp_col: str = "fp",
+    key_col: str = "doc_id",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M_BITS,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Verdict-identical to :func:`bloom_probe` WITHOUT broadcasting the
+    word table — the documented escape hatch for when even the bit words
+    outgrow the broadcast ceiling (SCALING.md §4: a 2.5e9-key day ledger is
+    ~3 GB of words; a multi-day or lower-FP filter isn't broadcastable).
+
+    Both sides derive ``shard = word_idx % n_shards`` and the lookup is a
+    shuffle_hash equi-join on (shard, word_idx): each reducer builds a hash
+    map over only its shard's words (~|words|/n_shards), so memory per task
+    is bounded by the shard count knob, never the filter size; the probe
+    side stays k narrow rows per key either way. No sort of either side
+    (shuffle_hash, not sort-merge — the words side is the small build
+    side). Parity with the broadcast probe is pytest-pinned."""
+    shard = (F.col("word_idx") % n_shards).cast("int").alias("shard")
+    probes = df.select(
+        F.col(key_col), F.explode(bloom_positions(F.col(fp_col), k, m)).alias("_pos")
+    ).select(
+        key_col,
+        (F.col("_pos") / WORD_BITS).cast("bigint").alias("word_idx"),
+        (F.col("_pos") % WORD_BITS).cast("int").alias("_bit"),
+    ).select(key_col, shard, "word_idx", "_bit")
+    w = words.select(shard, "word_idx", "bits")
+    hit = F.col("bits").isNotNull() & (
+        F.expr("shiftright(bits, _bit)").bitwiseAND(F.lit(1)) == 1
+    )
+    return (
+        probes.join(w.hint("shuffle_hash"), ["shard", "word_idx"], "left")
+        .select(key_col, hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg(F.bool_and("_hit").alias("bloom_maybe"))
+    )

@@ -68,3 +68,47 @@ def test_probe_broadcasts_words(spark):
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     assert "BroadcastExchange" in buf.getvalue(), buf.getvalue()
+
+
+def test_sharded_probe_matches_broadcast_probe(spark, fps):
+    """bloom_probe_sharded is verdict-IDENTICAL to bloom_probe (same bit
+    math, different join strategy) — the escape hatch for word tables past
+    the broadcast ceiling must change the plan, never the answer."""
+    words = bloom.bloom_words(fps.select("fp").distinct())
+    from dq.dedup import fingerprint_col
+    from pyspark.sql import functions as F
+
+    fresh = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("probe text "), F.col("id").cast("string")).alias("text"),
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    base = {r.doc_id: r.bloom_maybe for r in bloom.bloom_probe(fresh, words).collect()}
+    for n_shards in (1, 7, 32):
+        sharded = {
+            r.doc_id: r.bloom_maybe
+            for r in bloom.bloom_probe_sharded(fresh, words, n_shards=n_shards).collect()
+        }
+        assert sharded == base, n_shards
+
+
+def test_sharded_probe_plan_has_no_broadcast_of_words(spark, fps):
+    """The sharded probe must NOT broadcast the word table (that ceiling is
+    the reason it exists) and must not sort either side: shuffle_hash join
+    on (shard, word_idx)."""
+    import contextlib
+    import io
+
+    from dq.dedup import fingerprint_col
+    from pyspark.sql import functions as F
+
+    words = bloom.bloom_words(fps.select("fp").distinct())
+    fresh = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("p "), F.col("id").cast("string")).alias("text"),
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bloom.bloom_probe_sharded(fresh, words).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
