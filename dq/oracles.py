@@ -1370,6 +1370,26 @@ LIMIT {DRIFT_TOP_K}
 """
 
 
+def _pii_type_counts_sql() -> str:
+    """Twin of queries.pii_type_counts: per-rule doc-hit counts over the
+    SAME planted text construction as scrub_pii, patterns straight from
+    SCRUB_RULES (one shared list — never hand-duplicate). regexp_matches is
+    a partial-match search like Spark's rlike; CASE folds the NULL-text
+    three-valued result to 0 on both engines."""
+    planted = (
+        f"text || '{_sq(PII_PLANT_PARTS[0])}' || CAST(doc_id AS VARCHAR)"
+        f" || '{_sq(PII_PLANT_PARTS[1])}'"
+        f" || CAST(doc_id % {PII_PLANT_IP_MOD} AS VARCHAR)"
+        f" || '{_sq(PII_PLANT_PARTS[2])}'"
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS pii_type, CAST(SUM(CASE WHEN regexp_matches(p, "
+        f"'{_sq(pat)}') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM planted"
+        for name, pat, _ in SCRUB_RULES
+    )
+    return f"WITH planted AS (SELECT {planted} AS p FROM documents)\n{arms}"
+
+
 def _soft404_sql() -> str:
     """Twin of queries.soft404_filter: the title is CONSTRUCTED from the
     same shared constants the Spark side renders into html and re-extracts
@@ -1840,4 +1860,5 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
 """,
     "token_drift_topk": _token_drift_sql(),
     "soft404_filter": _soft404_sql(),
+    "pii_type_counts": _pii_type_counts_sql(),
 }

@@ -549,6 +549,36 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule PII/toxicity hit counts — the DQ report behind the scrub
+    stage (which rule fires how often in a corpus, the figure a dataset
+    card publishes). Counts docs whose RAW planted text matches each rule
+    ON THE ORIGINAL BYTES, not post-scrub — rule order can never mask a
+    type. Patterns come from the ONE shared SCRUB_RULES list and the
+    planted construction is scrub_pii's (email/ip/ssn exercised on every
+    row); dq.oracles generates the DuckDB twin from the same constants.
+    Plan: one scan, k conditional sums (map-side partials), k-row stack."""
+    from dq.scrub import SCRUB_RULES
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(PII_PLANT_PARTS[0]),
+        F.col("doc_id").cast("string"),
+        F.lit(PII_PLANT_PARTS[1]),
+        (F.col("doc_id") % PII_PLANT_IP_MOD).cast("string"),
+        F.lit(PII_PLANT_PARTS[2]),
+    )
+    aggs = [
+        F.sum(F.when(planted.rlike(pat), 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pat, _ in SCRUB_RULES
+    ]
+    pairs = ", ".join(f"'{name}', {name}" for name, _, _ in SCRUB_RULES)
+    return docs.agg(*aggs).selectExpr(
+        f"stack({len(SCRUB_RULES)}, {pairs}) AS (pii_type, n_docs)"
+    )
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting (textstats)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1550,4 +1580,5 @@ QUERIES = {
     "compression_ratios": compression_ratios,
     "neardup_ledger_batch2": neardup_ledger_batch2,
     "media_header_sniff": media_header_sniff,
+    "pii_type_counts": pii_type_counts,
 }

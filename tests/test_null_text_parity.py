@@ -57,6 +57,7 @@ TEXT_QUERIES = [
     "dup_by_source",
     "token_drift_topk",
     "soft404_filter",
+    "pii_type_counts",
 ]
 
 

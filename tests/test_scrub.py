@@ -46,3 +46,19 @@ def test_planted_pii_all_scrubbed(spark, pages):
         F.col("t").rlike("|".join(f"({p})" for _, p, _ in SCRUB_RULES))
     ).count()
     assert leftovers == 0
+
+
+def test_pii_type_counts_planted_expectations(spark):
+    """Every non-NULL text gets a planted email + ipv4 + ssn (scrub_pii's
+    construction), so those three rules count every doc; cpf is never
+    planted and the corpus carries none."""
+    from dq.queries import pii_type_counts
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").where(
+        "text IS NOT NULL"
+    ).count()
+    got = {r.pii_type: r.n_docs for r in pii_type_counts(spark, sf).collect()}
+    assert got["email"] == got["ipv4"] == got["ssn"] == n_docs
+    assert got["cpf"] == 0
+    assert set(got) == {"email", "ipv4", "cpf", "ssn", "phone", "toxicity"}
