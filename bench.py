@@ -75,6 +75,9 @@ HEADLINE = [
     "soft404_filter",            # round-4: error-page rules over rendered html
     "compression_ratios",        # round-4: zlib repetition/noise signal
     "neardup_ledger_batch2",     # round-4: LSH band ledger cross-run probe
+    "pii_type_counts",           # round-4: per-rule scrub hit report
+    "mojibake_fixed",            # round-4: UTF-8-as-cp1252 repair pass
+    "media_header_sniff",        # round-4: binary container header parsing
 ]
 
 

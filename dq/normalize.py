@@ -48,3 +48,89 @@ def with_nfc_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         "changed",
         F.coalesce(F.col("text_nfc") != F.col(text_col), F.lit(False)),
     )
+
+
+# ---- mojibake repair (ftfy-lite) --------------------------------------------
+#
+# The classic crawl corruption: UTF-8 bytes decoded as cp1252/Latin-1 and
+# re-encoded ("café" -> "cafÃ©", "—" -> "â€”"). Repair = invert the wrong
+# decode: re-encode the text as cp1252 and, if the bytes are valid UTF-8
+# that actually changes the string, decode them as UTF-8; repeat for
+# doubly-mangled text. The round-trip test makes false repairs on genuine
+# text essentially impossible: normal language never consists purely of
+# cp1252-encodable chars that also happen to form valid multi-byte UTF-8.
+
+MOJIBAKE_MAX_ROUNDS = 2  # one round per wrong decode layer seen in the wild
+
+# the five bytes cp1252 leaves unmapped; lenient real-world decoders (and
+# ftfy's sloppy-windows-1252) pass them through as their latin-1 C1 controls
+_CP1252_UNMAPPED = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+
+
+def sloppy_cp1252_decode(raw: bytes) -> str:
+    """cp1252 with latin-1 passthrough for the unmapped bytes — how the
+    mis-decodes that CREATE mojibake actually behave (strict cp1252 would
+    throw on e.g. the third UTF-8 byte of a doubly-mangled em-dash)."""
+    return "".join(
+        chr(b) if b in _CP1252_UNMAPPED else bytes([b]).decode("cp1252")
+        for b in raw
+    )
+
+
+def _sloppy_cp1252_encode(text: str) -> bytes | None:
+    """Inverse of :func:`sloppy_cp1252_decode`; None when any char has no
+    byte (genuinely non-Western text — not a cp1252 mis-decode)."""
+    try:
+        return text.encode("cp1252")  # fast path: fully mapped
+    except UnicodeEncodeError:
+        pass
+    out = bytearray()
+    for c in text:
+        try:
+            out += c.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(c)
+            if o in _CP1252_UNMAPPED:  # C1 control from a latin-1 passthrough
+                out.append(o)
+            else:
+                return None
+    return bytes(out)
+
+
+def fix_mojibake_one(text: str | None) -> str | None:
+    """Pure repair twin (the UDF body and the test oracle). Returns the
+    input unchanged when no safe repair applies — never throws. The
+    round-trip guard (bytes must be VALID UTF-8 that decodes to something
+    new) makes false repairs on genuine text essentially impossible."""
+    if text is None:
+        return None
+    out = text
+    for _ in range(MOJIBAKE_MAX_ROUNDS):
+        raw = _sloppy_cp1252_encode(out)
+        if raw is None:
+            break
+        try:
+            decoded = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if decoded == out:  # pure ASCII or no layer left
+            break
+        out = decoded
+    return out
+
+
+def mojibake_batch(texts: pd.Series) -> pd.Series:
+    return texts.map(fix_mojibake_one, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def mojibake_udf(texts: pd.Series) -> pd.Series:
+    return mojibake_batch(texts)
+
+
+def with_fixed_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_fixed`` and ``mojibake_found`` (false for NULL text)."""
+    return df.withColumn("text_fixed", mojibake_udf(F.col(text_col))).withColumn(
+        "mojibake_found",
+        F.coalesce(F.col("text_fixed") != F.col(text_col), F.lit(False)),
+    )

@@ -1449,6 +1449,35 @@ def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_stats(docs)
 
 
+# planted mojibake: the UTF-8-as-cp1252 mis-decode of this suffix (computed,
+# never hand-typed — the bytes ARE the construction)
+MOJI_SUFFIX = " — café résumé"
+MOJI_MANGLED = MOJI_SUFFIX.encode("utf-8").decode("cp1252")
+MOJI_MOD, MOJI_REM = 6, 1
+
+
+def mojibake_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (dq.normalize.fix_mojibake_one — ftfy-lite: invert
+    UTF-8-read-as-cp1252 with a strict round-trip guard): every MOJI_MOD-th
+    doc gets the mangled rendering of MOJI_SUFFIX appended and must be
+    flagged + repaired; clean docs must come back byte-identical. Rows-only
+    (codec repair is not SQL-expressible); the planted recall/precision is
+    pytest-pinned."""
+    from dq.normalize import with_fixed_text
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % MOJI_MOD == MOJI_REM,
+            F.concat(F.col("text"), F.lit(MOJI_MANGLED)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_fixed_text(planted).select("doc_id", "mojibake_found")
+
+
 def media_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal header parsing (dq.multimodal.sniff_headers): PNG /
     JPEG / GIF / WAV container magic + geometry/audio params from the raw
@@ -1581,4 +1610,5 @@ QUERIES = {
     "neardup_ledger_batch2": neardup_ledger_batch2,
     "media_header_sniff": media_header_sniff,
     "pii_type_counts": pii_type_counts,
+    "mojibake_fixed": mojibake_fixed,
 }
