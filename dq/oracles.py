@@ -697,6 +697,67 @@ def _token_weight_sql() -> str:
     )
 
 
+def _dsir_selection_sql() -> str:
+    """Twin of dq.queries.dsir_selection. Same shared constants
+    (DSIR_BUCKETS/SCALE/TARGET_LANG/SELECT_K, POLY_MUL/MOD); the selection
+    is the plain ``row_number() OVER (ORDER BY imp DESC, doc_id) <= k``
+    form the engine's histogram-threshold pick is equivalent to by
+    construction. All ratio arithmetic is nonnegative int64, so DuckDB's
+    flooring ``//`` equals Spark's truncating ``DIV``."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.dsir import DSIR_BUCKETS, DSIR_SCALE, DSIR_SELECT_K, DSIR_TARGET_LANG
+
+    poly = (
+        "list_reduce(list_transform(string_split(gram, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, coalesce(lang = '{DSIR_TARGET_LANG}', FALSE) AS is_target,
+         {_WORDS_LOWER_NS} AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(words,
+             list_transform(range(1, greatest(len(words), 1)),
+                 i -> words[i] || ' ' || words[i + 1]))) AS gram
+  FROM w
+), h AS (
+  SELECT doc_id, is_target, ({poly}) % {DSIR_BUCKETS} AS bucket FROM g
+), o AS (
+  SELECT doc_id, bucket, bool_or(is_target) AS is_target,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM h GROUP BY doc_id, bucket
+), pb AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS raw_b,
+         CAST(coalesce(sum(CASE WHEN is_target THEN cnt END), 0) AS BIGINT) AS tgt_b
+  FROM o GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(raw_b) AS BIGINT) AS raw_total,
+         CAST(sum(tgt_b) AS BIGINT) AS tgt_total
+  FROM pb
+), r AS (
+  SELECT bucket,
+         ((tgt_b + 1) * (raw_total + {DSIR_BUCKETS}) * {DSIR_SCALE})
+           // ((raw_b + 1) * (tgt_total + {DSIR_BUCKETS})) AS ratio_micro
+  FROM pb, tot
+), s AS (
+  SELECT o.doc_id, CAST(sum(o.cnt) AS BIGINT) AS n_grams,
+         CAST(sum(o.cnt * r.ratio_micro) AS BIGINT) AS wsum
+  FROM o JOIN r USING (bucket) GROUP BY o.doc_id
+), wts AS (
+  SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(s.wsum // s.n_grams, {DSIR_SCALE}) AS BIGINT) AS imp_micro
+  FROM documents d LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id, n_grams, imp_micro,
+       (row_number() OVER (ORDER BY imp_micro DESC, doc_id) <= {DSIR_SELECT_K})
+         AS selected
+FROM wts
+"""
+
+
 def _quality_classifier_sql() -> str:
     from dq.classifier import KEEP_TAU_MICRO
 
@@ -1861,4 +1922,5 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "token_drift_topk": _token_drift_sql(),
     "soft404_filter": _soft404_sql(),
     "pii_type_counts": _pii_type_counts_sql(),
+    "dsir_selection": _dsir_selection_sql(),
 }

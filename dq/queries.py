@@ -1521,6 +1521,21 @@ def neardup_ledger_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select("doc_id", "neardup_prior")
 
 
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (dq.dsir, Xie et al. 2023): score
+    every document by the integer-exact target/raw hashed-ngram bucket
+    likelihood ratio — target distribution = the English slice — and select
+    the top DSIR_SELECT_K by (imp_micro DESC, doc_id). The oracle twin is
+    the plain ``row_number() <= k`` formulation; the engine reaches the
+    identical selection without a global document sort (histogram threshold
+    pick + bounded tie-group window, see dq/dsir.py)."""
+    from dq.dsir import DSIR_SELECT_K, DSIR_TARGET_LANG, dsir_select, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = F.coalesce(F.col("lang") == DSIR_TARGET_LANG, F.lit(False))
+    return dsir_select(dsir_weights(docs, pred), DSIR_SELECT_K)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -1611,4 +1626,5 @@ QUERIES = {
     "media_header_sniff": media_header_sniff,
     "pii_type_counts": pii_type_counts,
     "mojibake_fixed": mojibake_fixed,
+    "dsir_selection": dsir_selection,
 }

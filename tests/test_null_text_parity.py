@@ -58,6 +58,7 @@ TEXT_QUERIES = [
     "token_drift_topk",
     "soft404_filter",
     "pii_type_counts",
+    "dsir_selection",
 ]
 
 
