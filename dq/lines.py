@@ -64,6 +64,21 @@ C4_BANNED_RE = "|".join(C4_BANNED_PHRASES)
 # orders of magnitude smaller (each entry repeats across >= min_docs docs).
 HOT_LINES_BROADCAST_MAX = 1_000_000
 
+# ---- domain-scoped boilerplate (per-site template removal) ------------------
+# a line is boilerplate WITHIN a domain when it appears in >= MIN_DOCS docs
+# of that domain AND in >= NUM/DEN of them (integer cross-multiplied — no
+# doubles). The same line on another domain is untouched: site templates are
+# per-site, and a globally common but locally rare line (a quote, a shared
+# disclaimer) must survive where it is organic — the failure mode of GLOBAL
+# line dedup that per-domain scoping exists to fix (CCNet dedups per shard,
+# trafilatura/jusText de-template per site).
+DOMAIN_BOILER_MIN_DOCS = 2
+DOMAIN_BOILER_FRAC_NUM = 1
+DOMAIN_BOILER_FRAC_DEN = 2
+# planted corpus: the per-domain banner every doc of a source carries
+DOMAIN_BANNER_PREFIX = "Visit "
+DOMAIN_BANNER_SUFFIX = " for the latest updates"
+
 
 def multiline_docs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -149,6 +164,121 @@ def line_dedup_global(
         )
 
     kept_rows = lines_exploded.join(hot.hint("shuffle_hash"), "fp", "left_anti")
+    regrouped = kept_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        _reassemble(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            )
+        ).alias("_clean"),
+    )
+    return (
+        with_counts.select("doc_id", "n_lines")
+        .join(regrouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint").alias("n_dropped"),
+            F.coalesce("_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def domain_lines_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, lines) domain-template test corpus.
+
+    Three lines per doc: a per-domain banner (in EVERY doc of the source —
+    the site template that must be removed), a globally rotating
+    boilerplate line (common across the corpus but only ~1/len(BOILER) of
+    each domain — must SURVIVE domain-scoped removal), and the unique body.
+    """
+    n = len(BOILERPLATE_LINES)
+    boiler = F.array(*[F.lit(s) for s in BOILERPLATE_LINES])
+    did = F.col(id_col)
+    banner = F.concat(
+        F.lit(DOMAIN_BANNER_PREFIX), F.col(source_col), F.lit(DOMAIN_BANNER_SUFFIX)
+    )
+    rotating = F.element_at(boiler, (did % n + 1).cast("int"))
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.array(banner, rotating, body).alias("lines"),
+    )
+
+
+def domain_boilerplate_removal(
+    base: DataFrame,
+    min_docs: int = DOMAIN_BOILER_MIN_DOCS,
+    frac_num: int = DOMAIN_BOILER_FRAC_NUM,
+    frac_den: int = DOMAIN_BOILER_FRAC_DEN,
+    mode: str = "auto",
+    broadcast_max_lines: int = HOT_LINES_BROADCAST_MAX,
+) -> DataFrame:
+    """Remove per-domain template lines from (doc_id, source, lines).
+
+    A line is removed from a domain's docs iff it occurs in >= ``min_docs``
+    distinct docs of THAT domain and in >= frac_num/frac_den of them
+    (integer cross-multiplied). Returns (doc_id, n_lines, n_dropped,
+    text_clean) with survivors '\\n'-joined in original order.
+
+    Scale shape: the hot-set aggregation shuffles only (source, key,
+    doc_id) where key = xxhash64(source, line) — the line text never
+    shuffles; per-domain doc totals are one row per domain and broadcast.
+    Removal is count-gated like :func:`line_dedup_global`: under the
+    budget the (domain, line) keys broadcast as a plain int64 array and
+    the removal is a narrow array filter (docs never shuffle); over
+    budget it posexplodes and anti-joins on the 8-byte key. Both paths
+    are bit-identical; the key is a join/filter KEY only, so the DuckDB
+    oracle anti-joins on the raw (source, line) pair and still matches.
+    """
+    ex = base.select(
+        "doc_id", "source", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("key", F.xxhash64("source", "line"))
+    dom = base.groupBy("source").agg(F.count(F.lit(1)).alias("_dom_docs"))
+    hot = (
+        ex.groupBy("source", "key")
+        .agg(F.count_distinct("doc_id").alias("_n"))
+        .join(F.broadcast(dom), "source")
+        .where(
+            (F.col("_n") >= min_docs)
+            & (F.col("_n") * frac_den >= F.col("_dom_docs") * frac_num)
+        )
+        .select("key")
+    )
+
+    if mode == "auto":
+        hot = hot.persist()
+        use_broadcast = hot.count() <= broadcast_max_lines
+    else:
+        use_broadcast = mode == "broadcast"
+
+    with_counts = base.withColumn("n_lines", F.size("lines").cast("bigint"))
+    if use_broadcast:
+        hot_arr = hot.agg(
+            F.coalesce(F.collect_list("key"), F.array().cast("array<bigint>")).alias("_hot")
+        )
+        kept = F.filter(
+            F.col("lines"),
+            lambda l: ~F.coalesce(
+                F.array_contains(F.col("_hot"), F.xxhash64(F.col("source"), l)),
+                F.lit(False),
+            ),
+        )
+        return with_counts.crossJoin(F.broadcast(hot_arr)).select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.size(kept)).cast("bigint").alias("n_dropped"),
+            _reassemble(kept).alias("text_clean"),
+        )
+
+    kept_rows = ex.join(hot.hint("shuffle_hash"), "key", "left_anti")
     regrouped = kept_rows.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n_kept"),
         _reassemble(

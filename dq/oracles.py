@@ -697,6 +697,55 @@ def _token_weight_sql() -> str:
     )
 
 
+def _domain_boilerplate_sql() -> str:
+    """Twin of dq.queries.domain_boilerplate: anti-join on the raw
+    (source, line) pair (the engine's xxhash64(source, line) is a key
+    substitution); threshold is the same integer cross-multiplication."""
+    from dq.lines import (
+        BOILERPLATE_LINES,
+        DOMAIN_BANNER_PREFIX,
+        DOMAIN_BANNER_SUFFIX,
+        DOMAIN_BOILER_FRAC_DEN,
+        DOMAIN_BOILER_FRAC_NUM,
+        DOMAIN_BOILER_MIN_DOCS,
+    )
+
+    n = len(BOILERPLATE_LINES)
+    banner = (
+        f"'{_sq(DOMAIN_BANNER_PREFIX)}' || source || '{_sq(DOMAIN_BANNER_SUFFIX)}'"
+    )
+    rotating = _boiler_case(f"doc_id % {n}")
+    return f"""
+WITH l AS (
+  SELECT doc_id, source, 1 AS pos, {banner} AS line FROM documents
+  UNION ALL SELECT doc_id, source, 2 AS pos, {rotating} AS line FROM documents
+  UNION ALL SELECT doc_id, source, 3 AS pos, coalesce(text, '') AS line
+            FROM documents
+), dom AS (
+  SELECT source, count(*) AS dom_docs FROM documents GROUP BY source
+), hot AS (
+  SELECT l.source, l.line FROM l JOIN dom USING (source)
+  GROUP BY l.source, l.line, dom.dom_docs
+  HAVING count(DISTINCT doc_id) >= {DOMAIN_BOILER_MIN_DOCS}
+     AND count(DISTINCT doc_id) * {DOMAIN_BOILER_FRAC_DEN}
+         >= dom.dom_docs * {DOMAIN_BOILER_FRAC_NUM}
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN hot ON l.source = hot.source AND l.line = hot.line
+  WHERE hot.line IS NULL
+), re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(3 AS BIGINT) AS n_lines,
+       CAST(3 - COALESCE(re.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(re.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+"""
+
+
 def _dsir_selection_sql() -> str:
     """Twin of dq.queries.dsir_selection. Same shared constants
     (DSIR_BUCKETS/SCALE/TARGET_LANG/SELECT_K, POLY_MUL/MOD); the selection
@@ -1923,4 +1972,5 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "soft404_filter": _soft404_sql(),
     "pii_type_counts": _pii_type_counts_sql(),
     "dsir_selection": _dsir_selection_sql(),
+    "domain_boilerplate": _domain_boilerplate_sql(),
 }

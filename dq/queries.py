@@ -1521,6 +1521,19 @@ def neardup_ledger_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select("doc_id", "neardup_prior")
 
 
+def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain template-line removal (dq.lines.domain_boilerplate_removal)
+    over the planted (banner, rotating, body) corpus: the per-source banner
+    — present in EVERY doc of its domain — must vanish from exactly those
+    docs, while the globally common but per-domain rare rotating line
+    survives (the false positive GLOBAL line dedup would make). Count-gated
+    broadcast removal; the line text never shuffles."""
+    from dq.lines import domain_boilerplate_removal, domain_lines_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_boilerplate_removal(domain_lines_docs(docs))
+
+
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling (dq.dsir, Xie et al. 2023): score
     every document by the integer-exact target/raw hashed-ngram bucket
@@ -1627,4 +1640,5 @@ QUERIES = {
     "pii_type_counts": pii_type_counts,
     "mojibake_fixed": mojibake_fixed,
     "dsir_selection": dsir_selection,
+    "domain_boilerplate": domain_boilerplate,
 }

@@ -132,3 +132,73 @@ def test_dup_line_stats_exchange_is_narrow(spark):
 
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "line#" not in frag  # only doc_id/fp/len ever shuffle
+
+
+# ---- domain-scoped boilerplate ---------------------------------------------
+
+def _domain_corpus(spark):
+    # site-a (4 docs): banner in all 4 (100% >= 1/2, removed); "shared quote"
+    # in 1/4 docs (< 1/2, kept despite being global-hot across domains);
+    # site-b (2 docs): its own banner in both (removed); the SAME
+    # "shared quote" in 1/2 docs >= 1/2 AND >= 2 docs? only 1 doc -> kept.
+    # site-c (1 doc): banner appears once < min_docs -> kept.
+    rows = [
+        (1, "site-a", ["banner a", "body one", "shared quote"]),
+        (2, "site-a", ["banner a", "body two"]),
+        (3, "site-a", ["body three", "banner a"]),
+        (4, "site-a", ["banner a"]),
+        (5, "site-b", ["banner b", "body five", "shared quote"]),
+        (6, "site-b", ["body six", "banner b"]),
+        (7, "site-c", ["banner c", "body seven", "shared quote"]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, lines array<string>"
+    )
+
+
+def test_domain_boilerplate_scoped_removal(spark):
+    out = {
+        r.doc_id: r
+        for r in lines.domain_boilerplate_removal(_domain_corpus(spark)).collect()
+    }
+    # banners removed exactly within their own domain
+    assert out[1].text_clean == "body one\nshared quote"
+    assert out[2].text_clean == "body two"
+    assert out[3].text_clean == "body three"
+    assert (out[4].n_lines, out[4].n_dropped, out[4].text_clean) == (1, 1, "")
+    assert out[5].text_clean == "body five\nshared quote"
+    assert out[6].text_clean == "body six"
+    # single-doc domain: banner below min_docs, survives
+    assert out[7].text_clean == "banner c\nbody seven\nshared quote"
+    # the globally repeated quote (3 domains) never crossed a PER-DOMAIN
+    # threshold -> kept everywhere, unlike global line dedup at min_docs=3
+    globally = {
+        r.doc_id: r.text_clean
+        for r in lines.line_dedup_global(
+            _domain_corpus(spark).select("doc_id", "lines"), min_docs=3
+        ).collect()
+    }
+    assert "shared quote" not in globally[1]
+    assert "shared quote" in out[1].text_clean
+
+
+def test_domain_boilerplate_paths_identical(spark):
+    base = _domain_corpus(spark)
+    rows = lambda m: sorted(  # noqa: E731
+        lines.domain_boilerplate_removal(base, mode=m).collect()
+    )
+    assert rows("broadcast") == rows("shuffle")
+
+
+def test_domain_boilerplate_same_line_other_domain_survives(spark):
+    # identical line text hot on site-a must NOT be removed from site-b
+    rows = [
+        (1, "site-a", ["tpl line", "a1"]),
+        (2, "site-a", ["tpl line", "a2"]),
+        (3, "site-b", ["tpl line", "b1"]),
+        (4, "site-b", ["b2"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, lines array<string>")
+    out = {r.doc_id: r.text_clean for r in lines.domain_boilerplate_removal(df).collect()}
+    assert out[1] == "a1" and out[2] == "a2"
+    assert out[3] == "tpl line\nb1"  # 1/2 of site-b docs but only 1 doc < min_docs

@@ -59,6 +59,7 @@ TEXT_QUERIES = [
     "soft404_filter",
     "pii_type_counts",
     "dsir_selection",
+    "domain_boilerplate",
 ]
 
 
