@@ -697,6 +697,47 @@ def _token_weight_sql() -> str:
     )
 
 
+def _vocab_stats_sql() -> str:
+    """Twin of dq.textstats.vocab_stats_by_lang: identical hash-agg
+    formulation; the top term is min(term) among max-count terms (the
+    tfidf-verified binary string ordering); doubles are final divisions of
+    exact integers only."""
+    return f"""
+WITH w AS (
+  SELECT lang,
+         unnest({_WORDS_LOWER_NS}) AS term
+  FROM documents
+), t AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2
+), a AS (
+  SELECT lang,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
+  FROM t GROUP BY lang
+), tp AS (
+  SELECT t.lang, min(t.term) AS top_token
+  FROM t JOIN a USING (lang) WHERE t.cnt = a.top_cnt GROUP BY t.lang
+), d AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT d.lang, d.n_docs,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.vocab_size, 0) AS BIGINT) AS vocab_size,
+       CAST(coalesce(a.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+            ELSE a.vocab_size::DOUBLE / a.n_tokens::DOUBLE END AS type_token_ratio,
+       CASE WHEN coalesce(a.vocab_size, 0) = 0 THEN 0.0
+            ELSE a.n_hapax::DOUBLE / a.vocab_size::DOUBLE END AS hapax_frac,
+       coalesce(tp.top_token, '') AS top_token,
+       CAST(coalesce(a.top_cnt, 0) AS BIGINT) AS top_cnt,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+            ELSE a.top_cnt::DOUBLE / a.n_tokens::DOUBLE END AS top_share
+FROM d LEFT JOIN a USING (lang) LEFT JOIN tp USING (lang)
+"""
+
+
 def _domain_boilerplate_sql() -> str:
     """Twin of dq.queries.domain_boilerplate: anti-join on the raw
     (source, line) pair (the engine's xxhash64(source, line) is a key
@@ -1973,4 +2014,5 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "pii_type_counts": _pii_type_counts_sql(),
     "dsir_selection": _dsir_selection_sql(),
     "domain_boilerplate": _domain_boilerplate_sql(),
+    "vocab_stats": _vocab_stats_sql(),
 }

@@ -1534,6 +1534,16 @@ def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_boilerplate_removal(domain_lines_docs(docs))
 
 
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary/Zipf profile (dq.textstats.vocab_stats_by_lang):
+    tokens, vocab size, hapax legomena, type-token ratio, and the Zipf head
+    term + share per language slice — pure hash aggregation, text never
+    shuffles, doubles only as final exact-int divisions."""
+    from dq.textstats import vocab_stats_by_lang
+
+    return vocab_stats_by_lang(_t(spark, sf_dir, "documents"))
+
+
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling (dq.dsir, Xie et al. 2023): score
     every document by the integer-exact target/raw hashed-ngram bucket
@@ -1641,4 +1651,5 @@ QUERIES = {
     "mojibake_fixed": mojibake_fixed,
     "dsir_selection": dsir_selection,
     "domain_boilerplate": domain_boilerplate,
+    "vocab_stats": vocab_stats,
 }

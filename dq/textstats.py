@@ -154,6 +154,69 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def vocab_stats_by_lang(df, lang_col: str = "lang", text_col: str = "text"):
+    """Per-language corpus vocabulary profile (the dataset-card numbers a
+    FineWeb/Gopher-style pipeline reports per language slice): token count,
+    vocabulary size, hapax-legomena count, type-token ratio, and the Zipf
+    head — the most frequent term and its share of all occurrences.
+
+    Determinism: the top term is (cnt DESC, term ASC) — computed as
+    min(term) among terms at max(cnt), pure hash aggregation, no window
+    sort of the vocabulary. Doubles only as final divisions of exact
+    integers (cross-engine bit-identical).
+
+    Shape: one explode → (lang, term) hash-agg with map-side partials
+    (uniform token keys) → per-lang agg over the vocabulary-sized frame.
+    Term strings are short tokens; the text column never enters an
+    exchange. Per-lang doc counts come from the raw table (a metadata-width
+    scan), so empty-text languages still report a row with zeros.
+    """
+    words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    # explode_outer + isNotNull on the OUTPUT column (InferFiltersFromGenerate
+    # would inline the token tree into a pushed Filter on plain explode)
+    terms = (
+        df.select(F.col(lang_col).alias("lang"), words.alias("_w"))
+        .select("lang", F.explode_outer("_w").alias("term"))
+        .where(F.col("term").isNotNull())
+    )
+    tc = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    agg = tc.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    top = (
+        tc.join(agg.select("lang", "top_cnt"), "lang")
+        .where(F.col("cnt") == F.col("top_cnt"))
+        .groupBy("lang")
+        .agg(F.min("term").alias("top_token"))
+    )
+    n_docs = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    joined = n_docs.join(agg, "lang", "left").join(top, "lang", "left")
+    nt = F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+    return joined.select(
+        "lang",
+        "n_docs",
+        nt.alias("n_tokens"),
+        F.coalesce("vocab_size", F.lit(0)).cast("bigint").alias("vocab_size"),
+        F.coalesce("n_hapax", F.lit(0)).cast("bigint").alias("n_hapax"),
+        F.when(nt == 0, F.lit(0.0))
+        .otherwise(F.col("vocab_size").cast("double") / nt.cast("double"))
+        .alias("type_token_ratio"),
+        F.when(F.coalesce("vocab_size", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_hapax").cast("double") / F.col("vocab_size").cast("double"))
+        .alias("hapax_frac"),
+        F.coalesce("top_token", F.lit("")).alias("top_token"),
+        F.coalesce("top_cnt", F.lit(0)).cast("bigint").alias("top_cnt"),
+        F.when(nt == 0, F.lit(0.0))
+        .otherwise(F.col("top_cnt").cast("double") / nt.cast("double"))
+        .alias("top_share"),
+    )
+
+
 def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style n-gram repetition: per doc, the fraction of bigrams /
     trigrams taken by the single most frequent gram (high values flag

@@ -60,6 +60,7 @@ TEXT_QUERIES = [
     "pii_type_counts",
     "dsir_selection",
     "domain_boilerplate",
+    "vocab_stats",
 ]
 
 

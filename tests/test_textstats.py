@@ -184,3 +184,52 @@ def test_compression_stats_udf_matches_batch_twin(spark):
     assert got[2].too_random and not got[2].too_compressible
     # flags are two-valued even on NULL text (gate hash-compare invariant)
     assert got[3].too_compressible is False and got[3].too_random is False
+
+
+# ---- per-language vocabulary / Zipf stats -----------------------------------
+
+def test_vocab_stats_by_lang_planted(spark):
+    from dq.textstats import vocab_stats_by_lang
+
+    rows = [
+        (1, "en", "the cat and the dog and the bird"),  # the:3 and:2 rest:1
+        (2, "en", "the zebra"),                         # the -> 4 total
+        (3, "pt", "aa bb aa"),                          # tie at 2? aa:2 bb:1
+        (4, "pt", "bb cc"),                             # aa:2 bb:2 cc:1 -> tie
+        (5, "de", None),                                # empty slice
+        (6, "de", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r.lang: r for r in vocab_stats_by_lang(df).collect()}
+
+    en = out["en"]
+    assert (en.n_docs, en.n_tokens, en.vocab_size) == (2, 10, 6)
+    # hapax: cat, dog, bird, zebra (the:4, and:2)
+    assert en.n_hapax == 4
+    assert en.top_token == "the" and en.top_cnt == 4
+    assert en.type_token_ratio == 6 / 10
+    assert en.hapax_frac == 4 / 6
+    assert en.top_share == 4 / 10
+
+    pt = out["pt"]
+    # aa:2 bb:2 cc:1 — tie at top_cnt=2 broken by term ASC
+    assert pt.top_token == "aa" and pt.top_cnt == 2
+    assert (pt.n_tokens, pt.vocab_size, pt.n_hapax) == (5, 3, 1)
+
+    de = out["de"]
+    assert (de.n_docs, de.n_tokens, de.vocab_size, de.n_hapax) == (2, 0, 0, 0)
+    assert (de.type_token_ratio, de.hapax_frac, de.top_share) == (0.0, 0.0, 0.0)
+    assert de.top_token == "" and de.top_cnt == 0
+
+
+def test_vocab_stats_text_never_shuffles(spark):
+    from dq.textstats import vocab_stats_by_lang
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta")], "doc_id bigint, lang string, text string"
+    )
+    plan = vocab_stats_by_lang(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in frag  # only lang/term/agg columns shuffle
