@@ -78,6 +78,11 @@ HEADLINE = [
     "pii_type_counts",           # round-4: per-rule scrub hit report
     "mojibake_fixed",            # round-4: UTF-8-as-cp1252 repair pass
     "media_header_sniff",        # round-4: binary container header parsing
+    "dsir_selection",            # round-4: importance-resampling data selection
+    "domain_boilerplate",        # round-4: per-site template-line removal
+    "vocab_stats",               # round-4: per-language vocabulary profile
+    "lang_confusion",            # round-4: declared-vs-hinted label audit
+    "doclen_percentiles_by_lang",  # round-4: per-lang length profile
 ]
 
 

@@ -697,6 +697,66 @@ def _token_weight_sql() -> str:
     )
 
 
+def _lang_confusion_sql() -> str:
+    """Twin of dq.queries.lang_confusion: the hint CTE is the verified
+    lang_hint_sql construction (argmax = row_number over h DESC, lang DESC,
+    matching Spark's array_max struct pick), then a plain (lang, hint)
+    rollup with exact-int shares."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang AS decl, {_WORDS_LOWER} AS words FROM documents
+), langs(lang, sw) AS (VALUES {_lang_values()}),
+hits AS (
+  SELECT doc_id, decl, lang, len(list_filter(words, x -> list_contains(sw, x))) AS h
+  FROM w CROSS JOIN langs
+), r AS (
+  SELECT doc_id, decl, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+  FROM hits
+), per AS (
+  SELECT decl AS lang, lang AS lang_hint, CAST(count(*) AS BIGINT) AS n_docs
+  FROM r WHERE rn = 1 GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM per GROUP BY lang
+)
+SELECT per.lang, per.lang_hint, per.n_docs, tot.lang_total,
+       per.n_docs::DOUBLE / tot.lang_total::DOUBLE AS cell_frac
+FROM per JOIN tot USING (lang)
+"""
+
+
+def _doclen_percentiles_by_lang_sql() -> str:
+    """Twin of dq.queries.doclen_percentiles_by_lang — the
+    qualitativo_percentiles histogram-cumulative pick, keyed by lang over
+    whitespace token counts."""
+    from dq.queries import PCT_POINTS
+
+    toks = (
+        "len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+        "x -> x <> ''))"
+    )
+    picks = ",\n".join(
+        f"       CAST(min(CASE WHEN cum >= CAST(ceil({p!r} * n) AS BIGINT) "
+        f"THEN c END) AS BIGINT) AS p{tag}_tokens"
+        for tag, p in PCT_POINTS
+    )
+    return f"""
+WITH h AS (
+  SELECT lang, CAST({toks} AS BIGINT) AS c, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT lang, c,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang,
+{picks}
+FROM r GROUP BY lang
+"""
+
+
 def _vocab_stats_sql() -> str:
     """Twin of dq.textstats.vocab_stats_by_lang: identical hash-agg
     formulation; the top term is min(term) among max-count terms (the
@@ -2015,4 +2075,6 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "dsir_selection": _dsir_selection_sql(),
     "domain_boilerplate": _domain_boilerplate_sql(),
     "vocab_stats": _vocab_stats_sql(),
+    "lang_confusion": _lang_confusion_sql(),
+    "doclen_percentiles_by_lang": _doclen_percentiles_by_lang_sql(),
 }

@@ -1534,6 +1534,57 @@ def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_boilerplate_removal(domain_lines_docs(docs))
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-lang vs stopword-hint confusion matrix (label-quality audit
+    for the langid tier): per (lang, lang_hint) doc counts plus the declared
+    language's total and the cell's share of it. One narrow (lang, hint)
+    hash-agg — text never shuffles; the share divides exact ints."""
+    docs = _t(spark, sf_dir, "documents")
+    hint = textstats.lang_hint("text", LANG_HINT_STOPWORDS)
+    per = docs.groupBy(F.col("lang"), hint.alias("lang_hint")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("lang_total"))
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_hint",
+        "n_docs",
+        "lang_total",
+        (F.col("n_docs").cast("double") / F.col("lang_total").cast("double")).alias(
+            "cell_frac"
+        ),
+    )
+
+
+def doclen_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 whitespace-token doc lengths per language — the
+    qualitativo histogram-cumulative pick applied to the webtext corpus:
+    groupBy(lang, n_tokens).count() is a uniform hash-agg and only the
+    O(distinct lengths) histogram enters the per-lang cumulative window
+    (never the row set — the r2 wrong-#2 lesson, same shape as
+    qualitativo_percentiles)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = textstats.whitespace_token_count("text").cast("bigint")
+    hist = docs.groupBy(F.col("lang"), n_tok.alias("_c")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy("lang")
+            .orderBy("_c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_n", F.sum("_cnt").over(Window.partitionBy("lang")))
+    aggs = [
+        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(p) * F.col("_n")), F.col("_c")))
+        .cast("bigint")
+        .alias(f"p{tag}_tokens")
+        for tag, p in PCT_POINTS
+    ]
+    return cum.groupBy("lang").agg(*aggs)
+
+
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary/Zipf profile (dq.textstats.vocab_stats_by_lang):
     tokens, vocab size, hapax legomena, type-token ratio, and the Zipf head
@@ -1652,4 +1703,6 @@ QUERIES = {
     "dsir_selection": dsir_selection,
     "domain_boilerplate": domain_boilerplate,
     "vocab_stats": vocab_stats,
+    "lang_confusion": lang_confusion,
+    "doclen_percentiles_by_lang": doclen_percentiles_by_lang,
 }

@@ -61,6 +61,8 @@ TEXT_QUERIES = [
     "dsir_selection",
     "domain_boilerplate",
     "vocab_stats",
+    "lang_confusion",
+    "doclen_percentiles_by_lang",
 ]
 
 

@@ -233,3 +233,38 @@ def test_vocab_stats_text_never_shuffles(spark):
 
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in frag  # only lang/term/agg columns shuffle
+
+
+def test_lang_confusion_and_doclen_percentiles(spark, tmp_path):
+    """Planted corpus through the registry entries (sf-dir driven)."""
+    import pyspark.sql.functions as F
+
+    from dq.queries import doclen_percentiles_by_lang, lang_confusion
+
+    rows = [
+        # declared en, stopword-hinted en (top-10 en stopwords present)
+        (1, "en", "the of and a in is it you that he was for on are"),
+        # declared en, hint disagrees (pt stopwords)
+        (2, "en", "de que não uma para com mais por como foi"),
+        # declared pt, hint pt
+        (3, "pt", "de que não uma para com mais por como foi"),
+        # token lengths for percentiles: en docs have 14, 10; pt 10
+        (4, "de", None),  # NULL text: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    conf = {(r.lang, r.lang_hint): r for r in lang_confusion(spark, sf).collect()}
+    assert conf[("en", "en")].n_docs == 1
+    assert conf[("en", "pt")].n_docs == 1
+    assert conf[("en", "en")].lang_total == 2
+    assert conf[("en", "en")].cell_frac == 0.5
+    assert conf[("pt", "pt")].n_docs == 1 and conf[("pt", "pt")].cell_frac == 1.0
+
+    pct = {r.lang: r for r in doclen_percentiles_by_lang(spark, sf).collect()}
+    # en lengths sorted: [10, 14] -> p25 = value at ceil(.25*2)=1st = 10,
+    # p50 = 1st = 10, p75 = ceil(1.5)=2nd = 14
+    assert (pct["en"].p25_tokens, pct["en"].p50_tokens, pct["en"].p75_tokens) == (10, 10, 14)
+    assert (pct["pt"].p25_tokens, pct["pt"].p50_tokens, pct["pt"].p75_tokens) == (10, 10, 10)
+    assert (pct["de"].p25_tokens, pct["de"].p50_tokens, pct["de"].p75_tokens) == (0, 0, 0)
