@@ -83,6 +83,7 @@ HEADLINE = [
     "vocab_stats",               # round-4: per-language vocabulary profile
     "lang_confusion",            # round-4: declared-vs-hinted label audit
     "doclen_percentiles_by_lang",  # round-4: per-lang length profile
+    "dup_span_removed",          # round-4: exact-substring dedup removal
 ]
 
 

@@ -827,6 +827,99 @@ def dup_span_stats(
     )
 
 
+# (doc_id, pos) start pairs budget for broadcasting the removal manifest:
+# ~16 B each -> 10M pairs ≈ 160 MB, the same order as the pipeline's dedup
+# join-back gate. Above it the join-back falls to shuffle_hash.
+DUP_SPAN_STARTS_BROADCAST_MAX = 10_000_000
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUP_SPAN_NGRAM_N,
+    mode: str = "auto",
+    broadcast_max_starts: int = DUP_SPAN_STARTS_BROADCAST_MAX,
+) -> DataFrame:
+    """Exact-substring dedup, REMOVAL step (Lee et al. 2022 §4.1, k-gram
+    approximation): every token covered by an n-gram that occurs in >= 2
+    distinct documents (case-insensitive gram identity) is cut from the
+    token stream; survivors rejoin with single spaces. The k-gram twin of
+    what the paper does with a suffix array — full-duplicate pairs lose the
+    whole text in BOTH copies (the deterministic approximation; production
+    keeps one occurrence by exempting the cluster survivor picked by
+    exact_dedup_survivors).
+
+    Output (doc_id, n_tokens, n_removed, text_despanned); docs under n
+    tokens and NULL-text docs pass through untouched ('' for NULL).
+
+    Scale shape (100 TB notes): gram fingerprints are built incrementally
+    (token hashes once, xxhash64(prev, next) per zip_with level — the
+    _gram_fps shape, one split() in the optimized plan); every exchange
+    before the final join-back carries (doc_id, pos, fp) <= 20 B rows —
+    text never shuffles. The per-doc start manifest is count-gated like
+    the pipeline's dup join-back: under ``broadcast_max_starts`` pairs it
+    broadcasts and the document side never moves; above, shuffle_hash.
+    Token filtering is O(tokens x starts) per doc — starts are bounded by
+    the doc's own gram count, and only dup-carrying docs pay it.
+    """
+    raw_words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    staged = docs.select(F.col(id_col).alias("doc_id"), raw_words.alias("_w")).select(
+        "doc_id", F.transform("_w", lambda t: F.xxhash64(F.lower(t))).alias("_h")
+    )
+    h = F.col("_h")
+    g = h
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(h, j + 1, F.size(h)), lambda a, b: F.xxhash64(a, b))
+    fps = F.when(F.size(h) >= n, F.slice(g, 1, F.size(h) - n + 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    pos_fp = (
+        staged.select("doc_id", fps.alias("_fps"))
+        .select("doc_id", F.posexplode_outer("_fps").alias("pos", "fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    shared = (
+        pos_fp.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("fp")
+    )
+    starts = pos_fp.join(shared.hint("shuffle_hash"), "fp").select("doc_id", "pos")
+
+    if mode == "auto":
+        starts = starts.persist()
+        use_broadcast = starts.count() <= broadcast_max_starts
+    else:
+        use_broadcast = mode == "broadcast"
+
+    starts_agg = starts.groupBy("doc_id").agg(F.collect_list("pos").alias("_starts"))
+    if use_broadcast:
+        starts_agg = F.broadcast(starts_agg)
+    joined = (
+        docs.select(F.col(id_col).alias("doc_id"), raw_words.alias("_w"))
+        .join(starts_agg, "doc_id", "left")
+        # materialize the manifest as a real column: a coalesce captured
+        # inside the filter lambda would re-evaluate per TOKEN
+        .withColumn("_st", F.coalesce("_starts", F.array().cast("array<int>")))
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(F.col("_st"), lambda s: (s <= i) & (i < s + n)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        (F.size("_w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_despanned"),
+    )
+
+
 def incremental_non_survivor_keys(
     df: DataFrame,
     ledger_fps: DataFrame | None,

@@ -697,6 +697,54 @@ def _token_weight_sql() -> str:
     )
 
 
+def _dup_span_removed_sql() -> str:
+    """Twin of dq.dedup.dup_span_removal: grams by raw string (the engine's
+    incremental hash-of-hashes is a key substitution, injective because
+    whitespace-split tokens contain no spaces), coverage via a correlated
+    NOT EXISTS range test. Positions are 1-based here, 0-based in Spark —
+    both sides use their own base consistently."""
+    from dq.dedup import DUP_SPAN_NGRAM_N as n
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(words) - {n} + 2, 1))) AS s, words
+  FROM w
+), g2 AS (
+  SELECT doc_id, s,
+         lower(array_to_string(list_slice(words, s, s + {n - 1}), ' ')) AS gram
+  FROM g
+), shared AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g2)
+  GROUP BY gram HAVING count(*) >= 2
+), st AS (
+  SELECT doc_id, s FROM g2 JOIN shared USING (gram)
+), tok AS (
+  SELECT doc_id, unnest(range(1, len(words) + 1)) AS i, words FROM w
+), t2 AS (
+  SELECT doc_id, i, words[i] AS tok FROM tok
+), kept AS (
+  SELECT t2.doc_id, t2.i, t2.tok FROM t2
+  WHERE NOT EXISTS (SELECT 1 FROM st
+                    WHERE st.doc_id = t2.doc_id
+                      AND st.s <= t2.i AND t2.i < st.s + {n})
+), re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       CAST(len(w.words) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(re.txt, '') AS text_despanned
+FROM w LEFT JOIN re USING (doc_id)
+"""
+
+
 def _lang_confusion_sql() -> str:
     """Twin of dq.queries.lang_confusion: the hint CTE is the verified
     lang_hint_sql construction (argmax = row_number over h DESC, lang DESC,
@@ -2077,4 +2125,5 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "vocab_stats": _vocab_stats_sql(),
     "lang_confusion": _lang_confusion_sql(),
     "doclen_percentiles_by_lang": _doclen_percentiles_by_lang_sql(),
+    "dup_span_removed": _dup_span_removed_sql(),
 }

@@ -1534,6 +1534,18 @@ def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_boilerplate_removal(domain_lines_docs(docs))
 
 
+def dup_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal (dq.dedup.dup_span_removal, Lee et al.
+    2022 k-gram twin): tokens covered by any 5-gram shared across >= 2 docs
+    are cut; the corpus's planted full-duplicate texts must empty out while
+    unique docs pass byte-preserved (modulo whitespace normalization).
+    Count-gated broadcast of the start manifest; text never shuffles before
+    the final join-back."""
+    from dq.dedup import dup_span_removal
+
+    return dup_span_removal(_t(spark, sf_dir, "documents"))
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-lang vs stopword-hint confusion matrix (label-quality audit
     for the langid tier): per (lang, lang_hint) doc counts plus the declared
@@ -1705,4 +1717,5 @@ QUERIES = {
     "vocab_stats": vocab_stats,
     "lang_confusion": lang_confusion,
     "doclen_percentiles_by_lang": doclen_percentiles_by_lang,
+    "dup_span_removed": dup_span_removed,
 }

@@ -346,3 +346,63 @@ def test_lsh_tuner_tracks_threshold():
     b_bal, _ = tune_lsh_params(32, 0.5)
     b_fn, _ = tune_lsh_params(32, 0.5, fp_weight=0.1, fn_weight=0.9)
     assert b_fn >= b_bal
+
+
+# ---- duplicate-span REMOVAL --------------------------------------------------
+
+def test_dup_span_removal_planted(spark):
+    from dq.dedup import dup_span_removal
+
+    shared = "one two three four five six seven"  # 7 tokens, 3 shared 5-grams
+    rows = [
+        (1, f"Alpha intro. {shared} alpha tail closes here now"),
+        (2, f"Beta opening words go here {shared} beta ending"),
+        (3, "completely unique text with no shared spans at all ok"),
+        (4, "short text"),          # under n tokens: untouched
+        (5, None),                  # NULL: passes as ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_span_removal(df).collect()}
+
+    # the shared 7-token window is fully covered in both docs; the unique
+    # prefix/suffix tokens survive in original order and case
+    assert out[1].text_despanned == "Alpha intro. alpha tail closes here now"
+    assert out[1].n_removed == 7
+    assert out[2].text_despanned == "Beta opening words go here beta ending"
+    assert out[2].n_removed == 7
+    assert out[3].n_removed == 0
+    assert out[3].text_despanned == rows[2][1]
+    assert (out[4].n_tokens, out[4].n_removed, out[4].text_despanned) == (
+        2, 0, "short text",
+    )
+    assert (out[5].n_tokens, out[5].n_removed, out[5].text_despanned) == (0, 0, "")
+
+
+def test_dup_span_removal_case_insensitive_identity(spark):
+    from dq.dedup import dup_span_removal
+
+    # same 5-gram differing only in case IS shared; removal preserves the
+    # original casing of surviving tokens
+    rows = [
+        (1, "One Two Three Four Five unique-a suffix-a pad-a more-a"),
+        (2, "one two three four five unique-b suffix-b pad-b more-b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_span_removal(df).collect()}
+    assert out[1].text_despanned == "unique-a suffix-a pad-a more-a"
+    assert out[2].text_despanned == "unique-b suffix-b pad-b more-b"
+
+
+def test_dup_span_removal_paths_identical(spark):
+    from dq.dedup import dup_span_removal
+
+    rows = [
+        (i, f"common prefix tokens here always present doc {i} unique tail")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(dup_span_removal(df, mode="broadcast").collect())
+    b = sorted(dup_span_removal(df, mode="shuffle").collect())
+    assert a == b
+    # the 6-token common prefix is removed everywhere
+    assert all(r.text_despanned.startswith("doc") or r.n_removed >= 6 for r in a)

@@ -63,6 +63,7 @@ TEXT_QUERIES = [
     "vocab_stats",
     "lang_confusion",
     "doclen_percentiles_by_lang",
+    "dup_span_removed",
 ]
 
 
