@@ -84,6 +84,9 @@ HEADLINE = [
     "lang_confusion",            # round-4: declared-vs-hinted label audit
     "doclen_percentiles_by_lang",  # round-4: per-lang length profile
     "dup_span_removed",          # round-4: exact-substring dedup removal
+    "snapshot_dedup_rates",      # round-4: per-dump vs global dedup accounting
+    "term_postings",             # round-4: capped inverted-index build
+    "site_keep_rollup",          # round-4: site-level filter verdict
 ]
 
 

@@ -1678,6 +1678,113 @@ FROM t
 """
 
 
+def _snapshot_dedup_rates_sql() -> str:
+    """Twin of dq.snapshots.snapshot_dedup_rates over the planted crawls.
+    Groups by the text itself (null-safe via the chr(0) sentinel, the
+    fingerprint_col contract): grouping by sha2(text) ≡ grouping by text."""
+    from dq.snapshots import (
+        N_SNAPSHOTS,
+        SNAP_RECRAWL_MOD,
+        SNAP_REPLICA_OFFSET,
+        SNAP_WITHIN_MOD,
+    )
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id % {N_SNAPSHOTS} AS snap, doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id % {N_SNAPSHOTS}, doc_id + {SNAP_REPLICA_OFFSET}, text
+  FROM documents WHERE doc_id % {SNAP_WITHIN_MOD} = 0
+  UNION ALL
+  SELECT least(doc_id % {N_SNAPSHOTS} + 1, {N_SNAPSHOTS - 1}),
+         doc_id + {2 * SNAP_REPLICA_OFFSET}, text
+  FROM documents WHERE doc_id % {SNAP_RECRAWL_MOD} = 0
+), per AS (
+  SELECT snap, coalesce(text, chr(0)) AS t, CAST(count(*) AS BIGINT) AS cnt
+  FROM planted GROUP BY 1, 2
+), firsts AS (
+  SELECT t, min(snap) AS first_snap FROM per GROUP BY 1
+)
+SELECT CAST(snap AS BIGINT) AS snap,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS scoped_survivors,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS within_dup_docs,
+       CAST(coalesce(sum(CASE WHEN f.first_snap < snap THEN 1 END), 0)
+            AS BIGINT) AS prior_dup_shas,
+       CAST(count(*)
+            - coalesce(sum(CASE WHEN f.first_snap < snap THEN 1 END), 0)
+            AS BIGINT) AS new_shas
+FROM per JOIN firsts f USING (t) GROUP BY snap
+"""
+
+
+def _snapshot_drift_bands_sql() -> str:
+    """Twin of dq.snapshots.snapshot_drift_bands. Nonnegative int64
+    arithmetic throughout, so DuckDB's flooring // equals Spark's DIV."""
+    from dq.snapshots import DRIFT_BAND_CHARS, DRIFT_BAND_MAX, DRIFT_SCALE
+
+    return f"""
+WITH b AS (
+  SELECT least(CAST(floor(coalesce(n_chars, 0) / {DRIFT_BAND_CHARS}) AS BIGINT),
+               {DRIFT_BAND_MAX}) AS band,
+         doc_id % 2 = 1 AS is_b
+  FROM documents
+)
+SELECT band,
+       CAST(coalesce(sum(CASE WHEN NOT is_b THEN 1 END), 0) AS BIGINT) AS n_a,
+       CAST(coalesce(sum(CASE WHEN is_b THEN 1 END), 0) AS BIGINT) AS n_b,
+       CAST(coalesce(sum(CASE WHEN is_b THEN 1 END), 0)
+            - coalesce(sum(CASE WHEN NOT is_b THEN 1 END), 0) AS BIGINT) AS delta,
+       CAST((coalesce(sum(CASE WHEN is_b THEN 1 END), 0) + 1) * {DRIFT_SCALE}
+            // (coalesce(sum(CASE WHEN NOT is_b THEN 1 END), 0) + 1) AS BIGINT)
+         AS ratio_micro
+FROM b GROUP BY band
+"""
+
+
+def _term_postings_sql() -> str:
+    """Twin of dq.index.term_postings: the engine's skew-proof two-phase
+    rank equals the plain row_number() <= k form (total order, no ties)."""
+    from dq.index import POSTINGS_K, POSTINGS_MIN_DF
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS_LOWER_NS}) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), st AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+         CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY 1 HAVING count(*) >= {POSTINGS_MIN_DF}
+), r AS (
+  SELECT term, doc_id, tf,
+         CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+              AS INT) AS post_rank
+  FROM tf WHERE term IN (SELECT term FROM st)
+)
+SELECT r.term, st.df_docs, st.tf_total, r.post_rank, r.doc_id, r.tf
+FROM r JOIN st USING (term) WHERE r.post_rank <= {POSTINGS_K}
+"""
+
+
+def _site_keep_rollup_sql() -> str:
+    """Twin of dq.queries.site_keep_rollup: composes _pipeline_keep_sql's
+    already-oracled flagship CTEs, rolled up on the url authority."""
+    from dq.queries import PAGES_URL_PREFIX, SITE_KEEP_PCT
+
+    return f"""
+WITH flags AS ({_pipeline_keep_sql()})
+SELECT regexp_extract(url, '{PAGES_URL_PREFIX}([^/]+)', 1) AS site,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_keep,
+       CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) * 1000000 // count(*)
+            AS BIGINT) AS keep_rate_micro,
+       (coalesce(sum(CASE WHEN keep THEN 1 END), 0) * 100
+        >= {SITE_KEEP_PCT} * count(*)) AS site_keep
+FROM flags GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -2126,4 +2233,8 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "lang_confusion": _lang_confusion_sql(),
     "doclen_percentiles_by_lang": _doclen_percentiles_by_lang_sql(),
     "dup_span_removed": _dup_span_removed_sql(),
+    "snapshot_dedup_rates": _snapshot_dedup_rates_sql(),
+    "snapshot_drift_bands": _snapshot_drift_bands_sql(),
+    "term_postings": _term_postings_sql(),
+    "site_keep_rollup": _site_keep_rollup_sql(),
 }

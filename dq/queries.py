@@ -1622,6 +1622,75 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(dsir_weights(docs, pred), DSIR_SELECT_K)
 
 
+SITE_KEEP_PCT = 50  # a site passes when >= this % of its pages keep
+
+
+def snapshot_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style dedup-scope accounting (dq.snapshots): per planted
+    crawl snapshot, the docs a per-snapshot dedup drops vs the contents a
+    global cross-snapshot dedup would ADDITIONALLY drop (re-crawls of
+    earlier dumps). Text never shuffles — one fingerprint-keyed hash-agg
+    builds a constant-width per-snapshot count vector, then a tiny
+    per-snapshot agg."""
+    from dq.snapshots import planted_snapshot_docs
+    from dq.snapshots import snapshot_dedup_rates as rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return rates(planted_snapshot_docs(docs))
+
+
+def snapshot_drift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length-band drift between the two planted crawl halves
+    (dq.snapshots): per band, counts on each side plus the add-one-smoothed
+    integer micro-ratio — the distribution-moved gate a pipeline runs on a
+    new dump before spending compute. ONE map-side-combinable hash-agg."""
+    from dq.snapshots import snapshot_drift_bands as drift
+
+    return drift(_t(spark, sf_dir, "documents"))
+
+
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (dq.index): per term with df >= POSTINGS_MIN_DF,
+    document frequency, total tf, and the top-POSTINGS_K postings by
+    (tf DESC, doc_id) — skew-proof two-phase rank so a hot term never
+    serializes through one task."""
+    from dq.index import term_postings as postings
+
+    return postings(_t(spark, sf_dir, "documents"))
+
+
+def site_keep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style site-level filter decision over the UDF-free
+    flagship tier: per site (the url authority), page count, kept-page
+    count, the exact-integer keep rate in micro-units, and the site verdict
+    (keep rate >= SITE_KEEP_PCT%). Composes enrich_sql_only's already-
+    oracled wiring; the rollup itself is one map-side-combinable hash-agg
+    on the site key."""
+    from dq.pipeline import DOCS_CONFIG, enrich_sql_only
+
+    pages = docs_as_pages(spark, sf_dir)
+    enriched = enrich_sql_only(pages, config=DOCS_CONFIG)
+    site = F.regexp_extract(F.col("url"), PAGES_URL_PREFIX + "([^/]+)", 1)
+    return (
+        enriched.groupBy(site.alias("site"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+        )
+        .select(
+            "site",
+            "n_docs",
+            "n_keep",
+            F.expr("(n_keep * 1000000) DIV n_docs").cast("bigint").alias(
+                "keep_rate_micro"
+            ),
+            (F.col("n_keep") * 100 >= SITE_KEEP_PCT * F.col("n_docs")).alias(
+                "site_keep"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -1718,4 +1787,8 @@ QUERIES = {
     "lang_confusion": lang_confusion,
     "doclen_percentiles_by_lang": doclen_percentiles_by_lang,
     "dup_span_removed": dup_span_removed,
+    "snapshot_dedup_rates": snapshot_dedup_rates,
+    "snapshot_drift_bands": snapshot_drift_bands,
+    "term_postings": term_postings,
+    "site_keep_rollup": site_keep_rollup,
 }

@@ -64,6 +64,9 @@ TEXT_QUERIES = [
     "lang_confusion",
     "doclen_percentiles_by_lang",
     "dup_span_removed",
+    "snapshot_dedup_rates",
+    "term_postings",
+    "site_keep_rollup",
 ]
 
 

@@ -568,3 +568,40 @@ def test_token_drift_exchanges_carry_tokens_only(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_snapshot_dedup_exchanges_carry_fp_only(spark):
+    """snapshot_dedup_rates fingerprints FIRST: no exchange carries the
+    document text, and there is no corpus-sized join — the accounting is
+    one fp-keyed agg plus a constant-size posexplode."""
+    import re
+
+    from dq.queries import snapshot_dedup_rates
+
+    plan = plan_of(snapshot_dedup_rates(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")]
+    assert exchanges
+    for node in exchanges:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp and "text#" not in inp.group(2), node
+    assert "Join" not in plan  # pure agg pipeline, no join of corpus frames
+
+
+def test_term_postings_ranks_narrow_frame_only(spark):
+    """The inverted-index build ranks the narrow (term, doc_id, tf) frame:
+    no text column crosses any exchange, no cartesian product, and the
+    phase-1 window partitions on (term, salt) so a hot term fans out."""
+    import re
+
+    from dq.queries import term_postings
+
+    plan = plan_of(term_postings(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if node.split("\n")[0].rstrip().endswith("Exchange"):
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp and "text#" not in inp.group(2), node
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan  # the skew-proof phase-1 window is in the plan
