@@ -87,6 +87,9 @@ HEADLINE = [
     "snapshot_dedup_rates",      # round-4: per-dump vs global dedup accounting
     "term_postings",             # round-4: capped inverted-index build
     "site_keep_rollup",          # round-4: site-level filter verdict
+    "heuristic_threshold_sweep",  # round-4: one-scan filter tuning curve
+    "ngram_lm_counts",           # round-4: KN bigram count tables
+    "winnowing_fps",             # round-4: MOSS winnowing fingerprints
 ]
 
 

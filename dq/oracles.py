@@ -1785,6 +1785,104 @@ FROM flags GROUP BY 1
 """
 
 
+def _threshold_sweep_sql() -> str:
+    """Twin of dq.queries.heuristic_threshold_sweep: one UNION ALL branch
+    per grid value, each evaluating _keep_pred with min_words overridden —
+    generated from the same SWEEP_MIN_WORDS / DOCS_CONFIG constants."""
+    from dq.pipeline import DOCS_CONFIG
+    from dq.queries import SWEEP_MIN_WORDS
+
+    branches = []
+    for g in SWEEP_MIN_WORDS:
+        pred = _keep_pred({**DOCS_CONFIG.thresholds, "min_words": g})
+        branches.append(
+            f"SELECT CAST({g} AS BIGINT) AS min_words,\n"
+            f"       CAST(coalesce(sum(CASE WHEN {pred} THEN 1 END), 0)"
+            f" AS BIGINT) AS n_pass\nFROM m"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_heuristics_cte()},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+sweep AS ({union})
+SELECT s.min_words, tot.n_docs, s.n_pass,
+       CAST(s.n_pass * 1000000 // tot.n_docs AS BIGINT) AS pass_rate_micro
+FROM sweep s, tot
+"""
+
+
+def _ngram_lm_counts_sql() -> str:
+    """Twin of dq.lm.kn_bigram_table. Same bigram construction as the DSIR
+    twin; nonnegative int64 arithmetic so // equals DIV."""
+    from dq.lm import LM_DISCOUNT_MILLI, LM_MIN_COUNT, LM_SCALE
+
+    return f"""
+WITH w AS (
+  SELECT {_WORDS_LOWER_NS} AS words FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
+             i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+), o AS (
+  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+  FROM g
+), types AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2
+), l AS (
+  SELECT w1, CAST(sum(cnt) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS right_types_w1
+  FROM types GROUP BY 1
+), r AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS left_types_w2 FROM types GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_types FROM types
+)
+SELECT t.w1, t.w2, t.cnt, l.c_w1, l.right_types_w1, r.left_types_w2,
+       CAST(greatest(1000 * t.cnt - {LM_DISCOUNT_MILLI}, 0) * {LM_SCALE}
+            // (1000 * l.c_w1) AS BIGINT) AS p_kn_micro,
+       CAST({LM_DISCOUNT_MILLI} * l.right_types_w1 * {LM_SCALE}
+            // (1000 * l.c_w1) AS BIGINT) AS lambda_micro,
+       CAST(r.left_types_w2 * {LM_SCALE} // tot.total_types AS BIGINT)
+         AS cont_micro
+FROM types t JOIN l USING (w1) JOIN r USING (w2), tot
+WHERE t.cnt >= {LM_MIN_COUNT}
+"""
+
+
+def _winnowing_fps_sql() -> str:
+    """Twin of dq.winnow.winnowing_fps: same tokenizer, same 31-ary char
+    polynomial (the DSIR twin's form), inclusive-bound list slices matching
+    Spark's truncating F.slice."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.winnow import WINNOW_K, WINNOW_W
+
+    poly = (
+        "list_reduce(list_transform(string_split(gr, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words) - {WINNOW_K} + 1, 0) + 1),
+             i -> array_to_string(words[i:i + {WINNOW_K} - 1], ' ')) AS grams
+  FROM t
+), h AS (
+  SELECT doc_id, list_transform(grams, gr -> ({poly})) AS hashes FROM g
+), mi AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, (CASE WHEN len(hashes) = 0 THEN 0
+                       ELSE greatest(len(hashes) - {WINNOW_W} + 1, 1) END) + 1),
+             i -> list_aggregate(hashes[i:i + {WINNOW_W} - 1], 'min')) AS mins
+  FROM h
+)
+SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp FROM mi
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -2237,4 +2335,7 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "snapshot_drift_bands": _snapshot_drift_bands_sql(),
     "term_postings": _term_postings_sql(),
     "site_keep_rollup": _site_keep_rollup_sql(),
+    "heuristic_threshold_sweep": _threshold_sweep_sql(),
+    "ngram_lm_counts": _ngram_lm_counts_sql(),
+    "winnowing_fps": _winnowing_fps_sql(),
 }

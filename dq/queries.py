@@ -1691,6 +1691,67 @@ def site_keep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_MIN_WORDS = [10, 20, 30, 50, 100]  # min-word-count tuning grid
+
+
+def heuristic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter tuning curve in ONE scan: for each candidate ``min_words``
+    threshold (all other gates at the production DOCS_CONFIG values), the
+    keep count and exact-integer pass rate. The metric columns are computed
+    once; each grid point is a conditional sum in the same hash-agg, and
+    the 1-row result fans out to grid rows via a constant-size explode —
+    the sweep costs one corpus pass no matter the grid size."""
+    from dq.heuristics import keep_expr, with_heuristic_metrics
+    from dq.pipeline import DOCS_CONFIG
+
+    docs = _t(spark, sf_dir, "documents")
+    m = with_heuristic_metrics(docs)
+    aggs = [
+        F.sum(
+            keep_expr({**DOCS_CONFIG.thresholds, "min_words": g}).cast("int")
+        ).cast("bigint").alias(f"_p{g}")
+        for g in SWEEP_MIN_WORDS
+    ]
+    row = m.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(g).cast("bigint").alias("min_words"),
+                F.col(f"_p{g}").alias("n_pass"),
+            )
+            for g in SWEEP_MIN_WORDS
+        ]
+    )
+    return row.select(F.col("_n"), F.explode(cells).alias("_c")).select(
+        F.col("_c.min_words").alias("min_words"),
+        F.col("_n").alias("n_docs"),
+        F.col("_c.n_pass").alias("n_pass"),
+        F.expr("(_c.n_pass * 1000000) DIV _n").cast("bigint").alias(
+            "pass_rate_micro"
+        ),
+    )
+
+
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram count tables (dq.lm): the KenLM-style counting
+    pass behind the pipeline's perplexity scorer, as pure hash aggs — the
+    corpus reduces to the bigram type table in one exchange and every
+    marginal derives from that table."""
+    from dq.lm import kn_bigram_table
+
+    return kn_bigram_table(_t(spark, sf_dir, "documents"))
+
+
+def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (dq.winnow, Schleimer et al. 2003): per doc,
+    the window-minimum k-gram hash set — ~2/(w+1) the density of the full
+    gram set with a shared-substring guarantee. Zero-exchange per-row
+    native expressions; only 16-B (doc_id, fp) rows leave the scan."""
+    from dq.winnow import winnowing_fps as fps
+
+    return fps(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -1791,4 +1852,7 @@ QUERIES = {
     "snapshot_drift_bands": snapshot_drift_bands,
     "term_postings": term_postings,
     "site_keep_rollup": site_keep_rollup,
+    "heuristic_threshold_sweep": heuristic_threshold_sweep,
+    "ngram_lm_counts": ngram_lm_counts,
+    "winnowing_fps": winnowing_fps,
 }

@@ -67,6 +67,9 @@ TEXT_QUERIES = [
     "snapshot_dedup_rates",
     "term_postings",
     "site_keep_rollup",
+    "heuristic_threshold_sweep",
+    "ngram_lm_counts",
+    "winnowing_fps",
 ]
 
 
