@@ -90,6 +90,8 @@ HEADLINE = [
     "heuristic_threshold_sweep",  # round-4: one-scan filter tuning curve
     "ngram_lm_counts",           # round-4: KN bigram count tables
     "winnowing_fps",             # round-4: MOSS winnowing fingerprints
+    "winnow_dup_pairs",          # round-4: winnow-fp near-dup candidates
+    "canonical_chains",          # round-4: pointer-doubling chain resolution
 ]
 
 

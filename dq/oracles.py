@@ -1849,10 +1849,11 @@ WHERE t.cnt >= {LM_MIN_COUNT}
 """
 
 
-def _winnowing_fps_sql() -> str:
-    """Twin of dq.winnow.winnowing_fps: same tokenizer, same 31-ary char
-    polynomial (the DSIR twin's form), inclusive-bound list slices matching
-    Spark's truncating F.slice."""
+def _winnow_fps_ctes(from_sql: str = "documents") -> str:
+    """CTE chain ending in ``fps(doc_id, fp)`` — twin of
+    dq.winnow.winnowing_fps over an arbitrary (doc_id, text) relation: same
+    tokenizer, same 31-ary char polynomial (the DSIR twin's form),
+    inclusive-bound list slices matching Spark's truncating F.slice."""
     from dq.classifier import POLY_MOD, POLY_MUL
     from dq.winnow import WINNOW_K, WINNOW_W
 
@@ -1861,25 +1862,88 @@ def _winnowing_fps_sql() -> str:
         "c -> CAST(ascii(c) AS BIGINT)), "
         f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
     )
-    return f"""
-WITH t AS (
-  SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents
-), g AS (
+    return f"""wt AS (
+  SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM {from_sql}
+), wg AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(words) - {WINNOW_K} + 1, 0) + 1),
              i -> array_to_string(words[i:i + {WINNOW_K} - 1], ' ')) AS grams
-  FROM t
-), h AS (
-  SELECT doc_id, list_transform(grams, gr -> ({poly})) AS hashes FROM g
-), mi AS (
+  FROM wt
+), wh AS (
+  SELECT doc_id, list_transform(grams, gr -> ({poly})) AS hashes FROM wg
+), wmi AS (
   SELECT doc_id,
          list_transform(
              range(1, (CASE WHEN len(hashes) = 0 THEN 0
                        ELSE greatest(len(hashes) - {WINNOW_W} + 1, 1) END) + 1),
              i -> list_aggregate(hashes[i:i + {WINNOW_W} - 1], 'min')) AS mins
-  FROM h
+  FROM wh
+), fps AS (
+  SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp FROM wmi
+)"""
+
+
+def _winnowing_fps_sql() -> str:
+    """Twin of dq.winnow.winnowing_fps (see _winnow_fps_ctes)."""
+    return f"""
+WITH {_winnow_fps_ctes()}
+SELECT doc_id, fp FROM fps
+"""
+
+
+def _winnow_dup_pairs_sql() -> str:
+    """Twin of dq.winnow.winnow_candidate_pairs over the planted-dup corpus.
+    NOT-EXISTS (not NOT IN) for the hot-fp filter — fp is never NULL, but
+    the anti-join form can't be NULL-poisoned by a future edit."""
+    from dq.winnow import WINNOW_FP_MAX_DOCS, WINNOW_MIN_SHARED, WINNOW_SCALE
+
+    return f"""
+WITH base AS ({_PLANTED_BASE}),
+{_winnow_fps_ctes("base")},
+hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) > {WINNOW_FP_MAX_DOCS}
+), kept AS (
+  SELECT * FROM fps f WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = f.fp)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM kept GROUP BY 1
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 )
-SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp FROM mi
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b,
+       CAST(p.shared_fps * {WINNOW_SCALE} // least(sa.n_fps, sb.n_fps)
+            AS BIGINT) AS overlap_micro
+FROM p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+def _canonical_chains_sql() -> str:
+    """Twin of dq.canonical: the engine's pointer doubling equals the
+    sequential recursive walk — max-depth row per doc is the terminal."""
+    from dq.canonical import CANON_CHAIN_MOD
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CANON_CHAIN_MOD} = 0 THEN doc_id
+              ELSE doc_id - 1 END AS ptr
+  FROM documents
+), walk AS (
+  SELECT doc_id, ptr AS cur, CAST(ptr <> doc_id AS BIGINT) AS depth FROM e
+  UNION ALL
+  SELECT w.doc_id, e2.ptr, w.depth + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.doc_id
+  WHERE e2.ptr <> w.cur
+)
+SELECT doc_id, CAST(arg_max(cur, depth) AS BIGINT) AS root_id,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM walk GROUP BY doc_id
 """
 
 
@@ -2338,4 +2402,6 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "heuristic_threshold_sweep": _threshold_sweep_sql(),
     "ngram_lm_counts": _ngram_lm_counts_sql(),
     "winnowing_fps": _winnowing_fps_sql(),
+    "winnow_dup_pairs": _winnow_dup_pairs_sql(),
+    "canonical_chains": _canonical_chains_sql(),
 }

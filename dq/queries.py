@@ -1742,6 +1742,27 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_table(_t(spark, sf_dir, "documents"))
 
 
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS matching step over the planted-dup corpus (dq.winnow): near-dup
+    candidate pairs by shared winnowing fingerprints — fp equi-join with a
+    hot-fp cap, never a cartesian. Planted exact copies surface at
+    overlap_micro = 1e6."""
+    from dq.winnow import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(_docs_with_planted_dups(spark, sf_dir))
+
+
+def canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical chain resolution (dq.canonical): every page resolved to
+    its terminal canonical plus hop count, via pointer doubling —
+    O(log depth) rounds of a narrow 24-B/row self equi-join, localCheckpoint
+    per round. The oracle twin is the sequential recursive walk."""
+    from dq.canonical import planted_canonical_edges, resolve_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    return resolve_canonical(planted_canonical_edges(docs))
+
+
 def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (dq.winnow, Schleimer et al. 2003): per doc,
     the window-minimum k-gram hash set — ~2/(w+1) the density of the full
@@ -1855,4 +1876,6 @@ QUERIES = {
     "heuristic_threshold_sweep": heuristic_threshold_sweep,
     "ngram_lm_counts": ngram_lm_counts,
     "winnowing_fps": winnowing_fps,
+    "winnow_dup_pairs": winnow_dup_pairs,
+    "canonical_chains": canonical_chains,
 }

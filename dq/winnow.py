@@ -38,6 +38,10 @@ from dq.dedup import tokens_col
 WINNOW_K = 3   # tokens per gram
 WINNOW_W = 4   # gram hashes per winnowing window
 
+WINNOW_FP_MAX_DOCS = 50   # fps in more docs are boilerplate — dropped
+WINNOW_MIN_SHARED = 5     # candidate pair needs >= this many shared fps
+WINNOW_SCALE = 1_000_000  # overlap reported in micro-units
+
 
 def winnowing_fps(
     docs: DataFrame,
@@ -80,3 +84,69 @@ def winnowing_fps(
         "doc_id", F.explode_outer(F.array_distinct("_m")).alias("fp")
     ).where(F.col("fp").isNotNull())
     return ex.select("doc_id", F.col("fp").cast("bigint").alias("fp"))
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    fp_max_docs: int = WINNOW_FP_MAX_DOCS,
+    scale: int = WINNOW_SCALE,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps, n_fps_a, n_fps_b, overlap_micro):
+    near-dup candidate pairs by shared winnowing fingerprints — the MOSS
+    matching step. ``overlap_micro`` is the containment-style score
+    ``shared * scale DIV min(n_a, n_b)`` over the post-filter fp sets.
+
+    Scale shape: the candidate generator is an fp equi-join (the LSH-band
+    pattern — never a cartesian). Fingerprints present in more than
+    ``fp_max_docs`` documents are boilerplate (stop-phrase grams): they are
+    dropped BEFORE the self-join, which both bounds the per-key fan-out at
+    fp_max_docs² rows and removes the meaningless matches — the standard
+    hot-band cap. Pair sizes attach from the narrow per-doc fp counts after
+    the same filter, so both engines score over identical sets.
+    """
+    fps = winnowing_fps(docs, id_col, text_col, k, w)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") > fp_max_docs)
+        .select("fp")
+    )
+    kept = fps.join(hot.hint("shuffle_hash"), "fp", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_fps", "n_fps_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_fps", "n_fps_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "n_fps_a",
+            "n_fps_b",
+            F.expr(f"shared_fps * {scale} DIV least(n_fps_a, n_fps_b)")
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+    )

@@ -198,3 +198,90 @@ def test_threshold_sweep_single_scan(spark):
     with contextlib.redirect_stdout(buf):
         heuristic_threshold_sweep(spark, SF).explain("simple")
     assert buf.getvalue().count("Scan parquet") == 1
+
+
+# ------------------------------------------------------- winnow pairs -------
+
+
+def test_winnow_pairs_planted_exact_recall(spark):
+    """Every planted exact copy whose fp set clears the min-shared floor is
+    recovered with overlap_micro == 1e6 (identical text -> identical set)."""
+    from dq.queries import PLANT_EXACT_MOD, PLANT_EXACT_OFFSET, winnow_dup_pairs
+    from dq.winnow import WINNOW_MIN_SHARED, WINNOW_SCALE, winnowing_fps
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r.asDict()
+        for r in winnow_dup_pairs(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eligible = {
+        r["doc_id"]
+        for r in winnowing_fps(docs)
+        .groupBy("doc_id")
+        .count()
+        .where(F.col("count") >= WINNOW_MIN_SHARED)
+        .collect()
+        if r["doc_id"] % PLANT_EXACT_MOD == 0
+    }
+    assert eligible
+    for d in eligible:
+        key = (d, d + PLANT_EXACT_OFFSET)
+        assert key in pairs, f"planted exact pair {key} missed"
+        assert pairs[key]["overlap_micro"] == WINNOW_SCALE
+
+
+def test_winnow_pairs_hot_fp_cap(spark):
+    """A fingerprint present in more than the cap's doc count generates no
+    pairs: 60 docs sharing ONE boilerplate phrase (plus unique filler) must
+    produce zero candidates."""
+    from dq.winnow import WINNOW_FP_MAX_DOCS, winnow_candidate_pairs
+
+    n = WINNOW_FP_MAX_DOCS + 10
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c shared boiler plate phrase here")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert winnow_candidate_pairs(docs).count() == 0
+
+
+# ---------------------------------------------------------- canonical -------
+
+
+def test_canonical_hand_chain_and_missing_target(spark):
+    """Chain a->b->c resolves to c with depths 2/1/0; a pointer to an
+    uncrawled id settles as that id (terminal-missing semantics)."""
+    from dq.canonical import resolve_canonical
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 12), (20, 99)], "doc_id bigint, ptr bigint"
+    )
+    got = {r["doc_id"]: (r["root_id"], r["depth"])
+           for r in resolve_canonical(edges).collect()}
+    assert got == {10: (12, 2), 11: (12, 1), 12: (12, 0), 20: (99, 1)}
+
+
+def test_canonical_planted_arithmetic(spark):
+    """On the contiguous corpus the planted graph resolves arithmetically:
+    root = doc_id - doc_id % MOD, depth = doc_id % MOD."""
+    from dq.canonical import CANON_CHAIN_MOD
+    from dq.queries import canonical_chains
+
+    for r in canonical_chains(spark, SF).collect():
+        assert r["root_id"] == r["doc_id"] - r["doc_id"] % CANON_CHAIN_MOD
+        assert r["depth"] == r["doc_id"] % CANON_CHAIN_MOD
+
+
+def test_canonical_deep_chain_logarithmic(spark):
+    """A depth-1000 chain converges inside the default doubling budget
+    (20 rounds covers depth 2^20) — the sequential walk would need 1000."""
+    from dq.canonical import resolve_canonical
+
+    n = 1000
+    edges = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.greatest(F.col("id") - 1, F.lit(0)).alias("ptr"),
+    )
+    out = resolve_canonical(edges)
+    assert out.where("root_id != 0").count() == 0
+    assert out.where(f"doc_id = {n - 1}").collect()[0]["depth"] == n - 1

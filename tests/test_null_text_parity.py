@@ -70,6 +70,7 @@ TEXT_QUERIES = [
     "heuristic_threshold_sweep",
     "ngram_lm_counts",
     "winnowing_fps",
+    "winnow_dup_pairs",
 ]
 
 
