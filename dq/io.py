@@ -260,6 +260,95 @@ def compact_table(
     return n_files
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[dict]:
+    """Sharded training-set sink with a verifiable balance manifest.
+
+    The last step of the curation funnel (filter -> dedup -> sample ->
+    pack -> SHARD): assign every row to ``xxhash64(key) pmod n_shards`` —
+    deterministic, reproducible, and uniform regardless of key skew — and
+    write one parquet directory per shard plus ``manifest.json`` recording
+    per-shard row count, whitespace-token count, and an ORDER-INDEPENDENT
+    content checksum (bit_xor of the row fingerprints), so a consumer can
+    verify any shard without re-reading the others. Returns the manifest
+    entries (sorted by shard).
+
+    Scale shape: one hash exchange on the shard id (the write's natural
+    repartition); the manifest aggregates ride the same pass map-side.
+    The manifest write is tempfile+rename atomic (the Checkpoint pattern).
+    """
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    fp = F.xxhash64(F.col(key_col), F.coalesce(F.col(text_col), F.lit("\x00")))
+    staged = df.withColumn("_shard", shard).withColumn("_fp", fp)
+    staged.repartition(n_shards, "_shard").drop("_fp").write.mode(
+        "overwrite"
+    ).partitionBy("_shard").parquet(path)
+    rows = (
+        staged.groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                        lambda w: w != F.lit(""),
+                    )
+                )
+            ).cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(_fp)").cast("bigint").alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = sorted(
+        (
+            {
+                "shard": r["_shard"],
+                "n_rows": r["n_rows"],
+                "n_tokens": r["n_tokens"],
+                "checksum": r["checksum"],
+            }
+            for r in rows
+        ),
+        key=lambda m: m["shard"],
+    )
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"n_shards": n_shards, "shards": manifest}, f)
+    os.rename(tmp, os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def verify_shards(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """Recompute each written shard's (rows, checksum) and compare against
+    manifest.json; returns the list of corrupt/mismatched shard ids (empty
+    = clean). Reads shards independently — the audit of one shard never
+    touches another (what a consumer runs before training)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    bad: list[int] = []
+    for m in manifest["shards"]:
+        part = spark.read.parquet(f"{path}/_shard={m['shard']}")
+        got = part.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                f"bit_xor(xxhash64({key_col}, coalesce({text_col}, chr(0))))"
+            ).cast("bigint").alias("checksum"),
+        ).collect()[0]
+        if got["n_rows"] != m["n_rows"] or got["checksum"] != m["checksum"]:
+            bad.append(m["shard"])
+    return bad
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
     """JSONL sink — the interchange format of LLM data pipelines (Dolma,
     RedPajama, FineWeb all ship .jsonl.gz shards). One file per Spark
