@@ -92,6 +92,7 @@ HEADLINE = [
     "winnowing_fps",             # round-4: MOSS winnowing fingerprints
     "winnow_dup_pairs",          # round-4: winnow-fp near-dup candidates
     "canonical_chains",          # round-4: pointer-doubling chain resolution
+    "paragraph_bloom_dedup",     # round-4: Dolma paragraph Bloom dedup
 ]
 
 

@@ -370,3 +370,104 @@ def dup_line_stats(base: DataFrame) -> DataFrame:
         .otherwise(F.col("_dup_chars").cast("double") / F.col("_tot_chars").cast("double"))
         .alias("dup_line_char_frac"),
     )
+
+
+# ---- Dolma-style paragraph Bloom dedup --------------------------------------
+
+
+def _bloom_maybe_expr(fp_hex: Column, words_map: Column) -> Column:
+    """AND of the BLOOM_K bit tests for one sha256-hex fingerprint against a
+    broadcast word MAP (map<word_idx, bits>) — the in-expression twin of
+    dq.bloom.bloom_probe, usable inside array lambdas so the probe side
+    never explodes. Unrolled over the constant k; the variable-amount bit
+    test goes through an exact power-of-two bigint mask (2^(pos%32) <= 2^31
+    is exactly representable, so the double pow is integer-exact)."""
+    from dq.bloom import BLOOM_K, BLOOM_M_BITS, WORD_BITS
+
+    tests = []
+    for i in range(BLOOM_K):
+        pos = (
+            F.conv(F.substring(fp_hex, 1 + 8 * i, 8), 16, 10).cast("bigint")
+            % BLOOM_M_BITS
+        )
+        bits = F.element_at(words_map, (pos / WORD_BITS).cast("bigint"))
+        mask = F.pow(F.lit(2.0), (pos % WORD_BITS).cast("int")).cast("bigint")
+        tests.append(bits.isNotNull() & (bits.bitwiseAND(mask) != 0))
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def paragraph_bloom_dedup(seed: DataFrame, probe: DataFrame) -> DataFrame:
+    """Dolma-style paragraph-level Bloom dedup (Soldaini et al. 2024: Dolma
+    deduplicates newline-delimited paragraphs against a Bloom filter of
+    everything seen so far): drop from ``probe`` every paragraph whose
+    content the filter built over ``seed``'s paragraphs reports as seen.
+
+    Both inputs are (doc_id, lines: array<string>) — Dolma's paragraph unit
+    IS this module's line unit. Returns (doc_id, n_paras, n_flagged,
+    text_clean) for probe docs, flagged paragraphs removed and the
+    remainder re-joined in original order.
+
+    Error is one-sided by construction: a false positive drops a fresh
+    paragraph (Dolma's documented trade-off, rate set by the m/k sizing in
+    dq.bloom); a false negative is impossible, so every seed paragraph is
+    gone from the output (pytest-pinned).
+
+    Scale shape: the only exchanges are the 8-B fingerprint distinct + the
+    word agg that build the filter; the word table broadcasts back as ONE
+    map row and removal is a per-doc array filter — probe text never
+    shuffles, the probe side is zero-exchange codegen. That is the point of
+    the Bloom form vs line_dedup_global's hot-SET broadcast: ~10 bits/key
+    keeps the seen-set broadcastable long after the paragraph ledger itself
+    is not (a 10^11-paragraph history is ~125 GB of 8-B fps but ~15 GB of
+    filter words at the same FP rate — and m is a free knob).
+
+    Engine portability: fingerprints are sha2-256 hex and bit positions are
+    the shared hex-slice construction (dq.bloom module notes), so DuckDB
+    reproduces filter words, per-paragraph verdicts, and rebuilt text
+    bit-for-bit — the gate hash-checks the whole removal, not just counts.
+    """
+    from dq.bloom import bloom_words
+
+    fps = (
+        seed.select(F.explode("lines").alias("_l"))
+        .select(F.sha2("_l", 256).alias("fp"))
+        .distinct()
+    )
+    words = bloom_words(fps)
+    wmap = words.agg(
+        F.map_from_entries(
+            F.coalesce(
+                F.collect_list(F.struct("word_idx", "bits")),
+                F.array().cast("array<struct<word_idx:bigint,bits:bigint>>"),
+            )
+        ).alias("_bw")
+    )
+    # stage (line, fp) structs as a REAL column first (CLAUDE.md capture
+    # trap: referencing a computed array inside a later lambda re-evaluates
+    # its expression per element — sha2 must run once per paragraph)
+    staged = probe.crossJoin(F.broadcast(wmap)).select(
+        "doc_id",
+        "lines",
+        "_bw",
+        F.transform(
+            "lines", lambda l: F.struct(l.alias("line"), F.sha2(l, 256).alias("fp"))
+        ).alias("_lf"),
+    )
+    flagged = staged.select(
+        "doc_id",
+        "lines",
+        F.filter(
+            "_lf", lambda s: ~_bloom_maybe_expr(s["fp"], F.col("_bw"))
+        ).alias("_kept"),
+    )
+    return flagged.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_paras"),
+        (F.size("lines") - F.size("_kept")).cast("bigint").alias("n_flagged"),
+        F.array_join(F.transform("_kept", lambda s: s["line"]), "\n").alias(
+            "text_clean"
+        ),
+    )

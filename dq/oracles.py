@@ -1386,6 +1386,63 @@ FROM maybe m JOIN truth t USING (doc_id)
 """
 
 
+def _paragraph_bloom_dedup_sql() -> str:
+    """Twin of dq.lines.paragraph_bloom_dedup over the multiline corpus:
+    batch-1 paragraphs seed the same hex-slice Bloom words; each batch-2
+    paragraph's k bit tests AND into the drop verdict; survivors re-join in
+    position order. Same word/position arithmetic as the bloom_ledger twin."""
+    from dq.bloom import BLOOM_K, BLOOM_M_BITS, WORD_BITS
+    from dq.lines import FOOTER_MOD
+    from dq.queries import INCR_BATCH_MOD
+
+    header, body, footer = _multiline_pieces()
+    pos = f"(('0x' || substr(fp, 1 + 8 * (i - 1), 8))::BIGINT % {BLOOM_M_BITS})"
+    n_lines = f"CASE WHEN d.doc_id % {FOOTER_MOD} = 0 THEN 3 ELSE 2 END"
+    return f"""
+WITH l AS (
+  SELECT doc_id, 1 AS lpos, {header} AS line FROM documents
+  UNION ALL SELECT doc_id, 2 AS lpos, {body} AS line FROM documents
+  UNION ALL SELECT doc_id, 3 AS lpos, {footer} AS line FROM documents
+            WHERE doc_id % {FOOTER_MOD} = 0
+), seedfps AS (
+  SELECT DISTINCT sha256(line) AS fp FROM l WHERE doc_id % {INCR_BATCH_MOD} = 0
+), words AS (
+  SELECT pos // {WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
+  FROM (
+    SELECT {pos} AS pos
+    FROM seedfps CROSS JOIN unnest(range(1, {BLOOM_K + 1})) AS t(i)
+  )
+  GROUP BY 1
+), probe AS (
+  SELECT doc_id, lpos, line, sha256(line) AS fp FROM l
+  WHERE doc_id % {INCR_BATCH_MOD} <> 0
+), probe_pos AS (
+  SELECT doc_id, lpos, {pos} AS pos
+  FROM probe CROSS JOIN unnest(range(1, {BLOOM_K + 1})) AS t(i)
+), verdicts AS (
+  SELECT pp.doc_id, pp.lpos,
+         bool_and(w.bits IS NOT NULL
+                  AND ((w.bits >> CAST(pp.pos % {WORD_BITS} AS INT)) & 1) = 1
+         ) AS maybe
+  FROM probe_pos pp LEFT JOIN words w ON w.word_idx = pp.pos // {WORD_BITS}
+  GROUP BY pp.doc_id, pp.lpos
+), re AS (
+  SELECT p.doc_id, count(*) AS n_kept,
+         string_agg(p.line, chr(10) ORDER BY p.lpos) AS text_clean
+  FROM probe p JOIN verdicts v ON p.doc_id = v.doc_id AND p.lpos = v.lpos
+  WHERE NOT v.maybe
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST({n_lines} AS BIGINT) AS n_paras,
+       CAST({n_lines} - COALESCE(re.n_kept, 0) AS BIGINT) AS n_flagged,
+       COALESCE(re.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+WHERE d.doc_id % {INCR_BATCH_MOD} <> 0
+"""
+
+
 def _kmv_corpus_overlap_sql() -> str:
     """KMV twin of dq.sketch over the incremental batches: same 15-hex-char
     hash, same sort-limit sketches, same single-division estimates (the
@@ -2321,6 +2378,7 @@ WHERE rk > 1 OR coalesce(text, chr(0)) IN
     # conv(substr,16,10) == DuckDB's ('0x'||substr)::BIGINT (both positive
     # 32-bit values), same words, same probe verdicts.
     "bloom_ledger_probe": _bloom_ledger_probe_sql(),
+    "paragraph_bloom_dedup": _paragraph_bloom_dedup_sql(),
     "kmv_corpus_overlap": _kmv_corpus_overlap_sql(),
     "domain_link_edges": f"""
 WITH {_link_edges_ctes()}

@@ -1259,6 +1259,31 @@ def bloom_ledger_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph Bloom dedup (dq.lines.paragraph_bloom_dedup)
+    over the multiline corpus: batch 1 (doc_id % INCR_BATCH_MOD == 0) seeds
+    the filter with its paragraph sha256 set; every seen paragraph is
+    removed from batch 2's docs — the rotating boilerplate headers/footers
+    are planted cross-batch paragraph dups, the unique bodies survive.
+    Filter words, per-paragraph verdicts and the rebuilt text are
+    sha256-hex-slice math (same construction as bloom_ledger_probe), so
+    DuckDB bit-reproduces the whole removal."""
+    from dq.lines import multiline_docs
+    from dq.lines import paragraph_bloom_dedup as _pbd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = multiline_docs(docs)
+    seed = base.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    probe = base.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    out = _pbd(seed, probe)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_paras",
+        "n_flagged",
+        "text_clean",
+    )
+
+
 def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV-sketch overlap report between the two incremental batches
     (dq.sketch): per-batch distinct estimates + Beyer et al. Jaccard from
@@ -1848,6 +1873,7 @@ QUERIES = {
     "pipeline_funnel": pipeline_funnel,
     "incremental_dedup_batch2": incremental_dedup_batch2,
     "bloom_ledger_probe": bloom_ledger_probe,
+    "paragraph_bloom_dedup": paragraph_bloom_dedup,
     "kmv_corpus_overlap": kmv_corpus_overlap,
     "domain_link_edges": domain_link_edges,
     "anchor_top_terms": anchor_top_terms,

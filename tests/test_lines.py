@@ -134,6 +134,63 @@ def test_dup_line_stats_exchange_is_narrow(spark):
         assert "line#" not in frag  # only doc_id/fp/len ever shuffle
 
 
+# ---- Dolma paragraph Bloom dedup --------------------------------------------
+
+def _bloom_corpus(spark):
+    seed = spark.createDataFrame(
+        [(100, ["seen para one", "seen para two"]), (101, ["seen para three"])],
+        "doc_id bigint, lines array<string>",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, ["fresh alpha", "seen para one", "fresh beta"]),
+            (2, ["seen para two", "seen para three"]),
+            (3, ["fresh gamma"]),
+        ],
+        "doc_id bigint, lines array<string>",
+    )
+    return seed, probe
+
+
+def test_paragraph_bloom_zero_false_negatives_and_order(spark):
+    seed, probe = _bloom_corpus(spark)
+    out = {r.doc_id: r for r in lines.paragraph_bloom_dedup(seed, probe).collect()}
+    # every seed paragraph is GONE (FNs impossible by construction) and the
+    # survivors keep their original relative order
+    assert out[1].text_clean == "fresh alpha\nfresh beta"
+    assert (out[1].n_paras, out[1].n_flagged) == (3, 1)
+    assert out[2].text_clean == ""  # fully-seen doc survives as an empty row
+    assert (out[2].n_paras, out[2].n_flagged) == (2, 2)
+    # fresh-only doc unscathed (no false positive on this planted corpus —
+    # 256 Kbit filter over 3 keys; a real FP would be a one-sided drop)
+    assert out[3].text_clean == "fresh gamma"
+    assert out[3].n_flagged == 0
+
+
+def test_paragraph_bloom_empty_seed_keeps_everything(spark):
+    seed = spark.createDataFrame([], "doc_id bigint, lines array<string>")
+    _, probe = _bloom_corpus(spark)
+    out = lines.paragraph_bloom_dedup(seed, probe).collect()
+    assert all(r.n_flagged == 0 for r in out)
+
+
+def test_paragraph_bloom_probe_side_never_shuffles(spark):
+    # the only exchanges build the filter (8-B fps / word table / 1-row map
+    # collect) — no exchange may carry paragraph text or the lines array
+    seed, probe = _bloom_corpus(spark)
+    plan = (
+        lines.paragraph_bloom_dedup(seed, probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "lines#" not in frag and "line#" not in frag
+    assert "BroadcastExchange" in plan  # word map reaches the probe broadcast
+
+
 # ---- domain-scoped boilerplate ---------------------------------------------
 
 def _domain_corpus(spark):

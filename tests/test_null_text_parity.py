@@ -71,6 +71,7 @@ TEXT_QUERIES = [
     "ngram_lm_counts",
     "winnowing_fps",
     "winnow_dup_pairs",
+    "paragraph_bloom_dedup",
 ]
 
 
