@@ -93,6 +93,7 @@ HEADLINE = [
     "winnow_dup_pairs",          # round-4: winnow-fp near-dup candidates
     "canonical_chains",          # round-4: pointer-doubling chain resolution
     "paragraph_bloom_dedup",     # round-4: Dolma paragraph Bloom dedup
+    "dup_cluster_histogram",     # round-4: dup-family power-law report
 ]
 
 

@@ -50,6 +50,38 @@ def dup_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def dup_cluster_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-family size distribution — the dataset-card power-law
+    figure (how much of the corpus sits in 1x / 2x / 100x-replicated
+    families; FineWeb/RefinedWeb report exactly this curve around their
+    dedup stages). One row per observed family size: (cluster_size,
+    n_clusters, n_docs, share_bp), the share quantized to basis points by
+    integer cross-multiplication so both engines agree bit-for-bit.
+
+    Scale shape: docs reduce to the null-safe 8-B fingerprint count (text
+    never shuffles — dq.dedup.fingerprint_col), then to an
+    O(distinct sizes) table: two map-side-combinable hash-aggs plus a
+    1-row broadcast of the corpus total. No window, no join back against
+    the corpus."""
+    from dq.dedup import fingerprint_col
+
+    fams = df.groupBy(fingerprint_col(F.col(text_col)).alias("_fp")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    hist = fams.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((cluster_size * n_clusters * 10000) DIV _total AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 def dup_counts_two_scan(df: DataFrame) -> DataFrame:
     """Literal reference formulation (ColetaDuplicidade.scala:113-148):
     count(*) minus count over SELECT DISTINCT *. Used to equality-test the

@@ -1443,6 +1443,33 @@ WHERE d.doc_id % {INCR_BATCH_MOD} <> 0
 """
 
 
+def _dup_cluster_histogram_sql() -> str:
+    """Family-size histogram over the planted-replica corpus: grouping by
+    the raw text ≡ the Spark side's null-safe fingerprint key (pure
+    substitution, line_dedup precedent); share is integer cross-multiplied
+    basis points — no doubles cross engines."""
+    from dq.queries import HIST_PLANT_MOD_A, HIST_PLANT_MOD_B
+
+    return f"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % {HIST_PLANT_MOD_A} = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % {HIST_PLANT_MOD_B} = 0
+), fams AS (
+  SELECT count(*) AS cluster_size FROM corpus GROUP BY coalesce(text, chr(0))
+), tot AS (
+  SELECT count(*) AS total FROM corpus
+), hist AS (
+  SELECT cluster_size, count(*) AS n_clusters FROM fams GROUP BY cluster_size
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size * n_clusters * 10000) // total AS BIGINT) AS share_bp
+FROM hist CROSS JOIN tot
+"""
+
+
 def _kmv_corpus_overlap_sql() -> str:
     """KMV twin of dq.sketch over the incremental batches: same 15-hex-char
     hash, same sort-limit sketches, same single-division estimates (the
@@ -2379,6 +2406,7 @@ WHERE rk > 1 OR coalesce(text, chr(0)) IN
     # 32-bit values), same words, same probe verdicts.
     "bloom_ledger_probe": _bloom_ledger_probe_sql(),
     "paragraph_bloom_dedup": _paragraph_bloom_dedup_sql(),
+    "dup_cluster_histogram": _dup_cluster_histogram_sql(),
     "kmv_corpus_overlap": _kmv_corpus_overlap_sql(),
     "domain_link_edges": f"""
 WITH {_link_edges_ctes()}

@@ -1284,6 +1284,32 @@ def paragraph_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dup-family planting for the histogram (documents.text is all-unique at
+# gate scale): every A-th doc gains one replica, every B-th two — so the
+# planted corpus has 1x, 2x and 3x families. Oracle SQL is generated from
+# these same constants.
+HIST_PLANT_MOD_A = 5
+HIST_PLANT_MOD_B = 25
+
+
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup family-size distribution over documents.text with planted
+    replica families (dq.dupcheck.dup_cluster_histogram): the dataset-card
+    power-law figure — per family size, how many families and docs, and the
+    basis-point corpus share. Grouping by the null-safe fingerprint ≡
+    grouping by the text (pure key substitution), so the DuckDB twin groups
+    by the text itself and matches bit-for-bit."""
+    from dq.dupcheck import dup_cluster_histogram as _hist
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select("text").unionByName(
+        docs.where(F.col("doc_id") % HIST_PLANT_MOD_A == 0).select("text")
+    ).unionByName(
+        docs.where(F.col("doc_id") % HIST_PLANT_MOD_B == 0).select("text")
+    )
+    return _hist(planted)
+
+
 def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV-sketch overlap report between the two incremental batches
     (dq.sketch): per-batch distinct estimates + Beyer et al. Jaccard from
@@ -1874,6 +1900,7 @@ QUERIES = {
     "incremental_dedup_batch2": incremental_dedup_batch2,
     "bloom_ledger_probe": bloom_ledger_probe,
     "paragraph_bloom_dedup": paragraph_bloom_dedup,
+    "dup_cluster_histogram": dup_cluster_histogram,
     "kmv_corpus_overlap": kmv_corpus_overlap,
     "domain_link_edges": domain_link_edges,
     "anchor_top_terms": anchor_top_terms,

@@ -72,3 +72,36 @@ def test_hll_estimate_within_bound(spark):
     row = dup_metric_approx_check(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.delta == row.qtde2_approx - row.qtde2_exact
     assert abs(row.delta) <= max(2 * HLL_RSD * row.qtde2_exact, 5)
+
+
+def test_dup_cluster_histogram_planted(spark):
+    # 6 docs: one 3x family, one 2x family, one singleton
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "text string"
+    )
+    out = {r.cluster_size: r for r in dupcheck.dup_cluster_histogram(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[3].n_clusters, out[3].n_docs, out[3].share_bp) == (1, 3, 5000)
+    assert (out[2].n_clusters, out[2].n_docs, out[2].share_bp) == (1, 2, 3333)
+    assert (out[1].n_clusters, out[1].n_docs, out[1].share_bp) == (1, 1, 1666)
+
+
+def test_dup_cluster_histogram_nulls_form_one_family(spark):
+    df = spark.createDataFrame([(None,), (None,), ("x",)], "text string")
+    out = {r.cluster_size: r for r in dupcheck.dup_cluster_histogram(df).collect()}
+    assert out[2].n_clusters == 1  # both NULL-text rows co-cluster
+    assert out[1].n_clusters == 1
+
+
+def test_dup_cluster_histogram_text_never_shuffles(spark):
+    df = spark.createDataFrame([("a",), ("a",)], "text string")
+    plan = (
+        dupcheck.dup_cluster_histogram(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in frag  # only the 8-B fingerprint / size keys

@@ -72,6 +72,7 @@ TEXT_QUERIES = [
     "winnowing_fps",
     "winnow_dup_pairs",
     "paragraph_bloom_dedup",
+    "dup_cluster_histogram",
 ]
 
 
