@@ -13,12 +13,21 @@ Local/dev: python -m dq.cli <cmd> ... (same argv contract).
 
 Paths are parquet directories here; on a cluster with an Iceberg catalog the
 same names resolve through dq.io (the only IO seam).
+
+Exit codes (the cron contract): 0 = healthy; 1 = actionable failure —
+volumetria/duplicidade return 1 on a missing partition (failure row
+recorded), remediar returns 1 when unhealed failures remain on
+NON-excluded tables (unmapped tables count: they are misconfigurations,
+not policy). Failures open on EXCLUDED tables alone exit 0 — they are open
+by configuration and must not page nightly.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+
+from pyspark.sql import functions as F
 
 from dq import dupcheck, volumetry
 from dq.io import append_table, overwrite_table, read_path
@@ -123,13 +132,29 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode, today=args.today, excluded_tables=excluded,
         )
         # count before the staged swap invalidates new_fail's input files
-        n_open = new_fail.where("status = 0").count()
+        open_fail = new_fail.where("status = 0")
+        n_open = open_fail.count()
+        # exit-code policy (cron contract, VERDICT r4 next-#8): failures on
+        # EXCLUDED tables stay open by configuration and must not page every
+        # night, so only unhealed failures on non-excluded tables (which
+        # includes every unmapped table — a misconfiguration) drive the
+        # non-zero exit. JSON carries both counts so an operator sees why.
+        n_unexcluded = (
+            open_fail.where(~F.col("tabela").isin(sorted(excluded))).count()
+            if excluded
+            else n_open
+        )
         overwrite_table(new_hist, args.history_path)
         overwrite_table(new_fail, args.failures_path)
         print(json.dumps(
-            {"status": "ok", "open_failures": n_open, "unmapped": sorted(unmapped)}
+            {
+                "status": "ok" if n_unexcluded == 0 else "unhealed",
+                "open_failures": n_open,
+                "open_unexcluded": n_unexcluded,
+                "unmapped": sorted(unmapped),
+            }
         ))
-        return 0
+        return 0 if n_unexcluded == 0 else 1
 
     monitored = read_path(spark, args.data_path)
     pexpr = default_partition_expr(args.campo, args.formato)

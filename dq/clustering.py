@@ -36,10 +36,11 @@ Scale shapes (100 TB notes):
 - KM_ITERS is a small constant (2): the lineage stays shallow, no
   checkpoint needed (contrast dq/dedup.connected_components, which must
   localCheckpoint its unbounded loop).
-- SemDeDup's intra-cluster pairwise join is equi on cluster id; cost is
-  sum(c_i^2), bounded by cluster granularity — at LAION scale the paper
-  runs 50k clusters for exactly this reason, i.e. k grows with the corpus
-  and per-cluster work stays fixed.
+- SemDeDup's intra-cluster pairwise join is equi on (cluster id, sub-split);
+  cost is sum(c_i^2) with every c_i <= SEMDEDUP_MAX_CLUSTER — at LAION
+  scale the paper runs 50k clusters so per-cluster work stays fixed, and
+  when k-means still yields a mega-cluster (routine on web embeddings) the
+  vec_id sub-split enforces the bound instead of trusting it.
 """
 
 from __future__ import annotations
@@ -57,6 +58,19 @@ SEMDEDUP_TAU = 0.3    # intra-cluster near-dup cosine (matches the pair-
                       # mining tier's EMB_PAIR_MIN_COSINE; the gate corpus
                       # has no >=0.8 pairs, so the paper's 0.9x thresholds
                       # would be vacuous here)
+# Pairwise-join cluster-size bound: k-means on web embeddings routinely
+# yields one mega-cluster, and the intra-cluster equi-join is O(c^2) per
+# cluster — at 1e9 docs in one cell that is effectively a cartesian.
+# Clusters above this size are sub-split by vec_id % ceil(size/cap) BEFORE
+# the pairwise join, so per-join-key fan-out stays ~cap^2. Documented
+# recall trade: near-dup pairs STRADDLING two sub-splits of a mega-cluster
+# are not compared (SemDeDup's own contract is that k scales with the
+# corpus so clusters stay small; the cap enforces the bound when k-means
+# fails to). Below the cap the split is the identity (one sub-cell), so
+# gate-scale output — and the DuckDB oracle, which encodes the uncapped
+# form — is bit-identical; the cap path is pytest-pinned on a planted
+# mega-cluster.
+SEMDEDUP_MAX_CLUSTER = 4096
 
 
 def _assign(base: DataFrame, cents: DataFrame, dim: int | None = None) -> DataFrame:
@@ -150,12 +164,17 @@ def semdedup_keep(
     cent_mod: int = KM_CENT_MOD,
     iters: int = KM_ITERS,
     dim: int | None = None,
+    max_cluster_size: int | None = SEMDEDUP_MAX_CLUSTER,
 ) -> DataFrame:
     """(vec_id, cluster_id, keep_semantic): SemDeDup survivor flags.
 
-    A vector is dropped when a lower-id member of its own cluster has
-    quantized cosine >= tau with it; every cluster therefore keeps at
-    least its lowest-id member of each near-dup group.
+    A vector is dropped when a lower-id member of its own cluster (and,
+    for clusters past ``max_cluster_size``, of its own SUB-SPLIT — see
+    :data:`SEMDEDUP_MAX_CLUSTER`) has quantized cosine >= tau with it;
+    every cluster therefore keeps at least its lowest-id member of each
+    near-dup group. The capped keep set is a SUPERSET of the uncapped one
+    (splitting only removes comparisons), and is identical whenever every
+    cluster fits the cap — the gate/oracle regime.
     """
     base = emb.select(
         F.col(id_col).alias("vec_id"), quantized_vec(F.col(vec_col)).alias("_q")
@@ -177,12 +196,29 @@ def semdedup_keep(
     # clustering output one would persist anyway before pair mining
     # (~0.5 KB/vector, executor-local storage).
     side = base.join(assign, "vec_id").localCheckpoint()
+    # cluster-size bound: sub-split oversized clusters by vec_id modulo the
+    # number of cap-sized sub-cells. The size frame is one row per CLUSTER
+    # (k rows) — broadcast; ids are effectively uniform over residues, so
+    # each (cluster, sub) join key holds ~cap vectors and the pairwise
+    # fan-out per key is ~cap^2 instead of c^2. n_sub == 1 below the cap,
+    # i.e. the join degenerates to the exact uncapped form.
+    if max_cluster_size is not None:
+        sizes = side.groupBy("cluster_id").agg(
+            F.ceil(F.count(F.lit(1)) / max_cluster_size).cast("bigint").alias("_nsub")
+        )
+        side = side.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "_sub", F.pmod(F.col("vec_id"), F.greatest(F.col("_nsub"), F.lit(1)))
+        )
+    else:
+        side = side.withColumn("_sub", F.lit(0))
     a = side.select(
-        F.col("cluster_id").alias("_ca"), F.col("vec_id").alias("_ida"),
+        F.col("cluster_id").alias("_ca"), F.col("_sub").alias("_sa"),
+        F.col("vec_id").alias("_ida"),
         F.col("_q").alias("_qa"), F.col("_n2").alias("_na2"),
     )
     b = side.select(
-        F.col("cluster_id").alias("_cb"), F.col("vec_id").alias("_idb"),
+        F.col("cluster_id").alias("_cb"), F.col("_sub").alias("_sb"),
+        F.col("vec_id").alias("_idb"),
         F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2"),
     )
     # HOF fold on purpose: the dot lands in the join's post-condition AND
@@ -196,7 +232,12 @@ def semdedup_keep(
     )
     t2 = float(tau) * float(tau)
     dropped = (
-        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        a.join(
+            b,
+            (F.col("_ca") == F.col("_cb"))
+            & (F.col("_sa") == F.col("_sb"))
+            & (F.col("_ida") < F.col("_idb")),
+        )
         .select(F.col("_idb").alias("vec_id"), dot.alias("_dot"), "_na2", "_nb2")
         .where(
             (F.col("_dot") > 0)

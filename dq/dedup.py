@@ -6,8 +6,12 @@ training-data pipeline needs. Everything except SimHash's bit voting is
 pure native Catalyst expressions — shingling, min-hashing and banding are
 array expressions inside whole-stage codegen, and the only shuffles are
 (a) the band-bucket exchange and (b) the candidate-pair join, both keyed by
-uniform hashes (no skew by construction). That is the property that holds
-at 10^12 docs: cost is O(docs x bands) exchange, never O(docs^2).
+uniform hashes. Hash keys are uniform but CONTENT is not: an exact-dup
+family of m docs shares every band, piling m docs onto one bucket key, so
+the candidate self-joins drop buckets past LSH_BUCKET_MAX_DOCS before
+joining (the winnow hot-fp pattern). With the cap, the property that holds
+at 10^12 docs: cost is O(docs x bands) exchange + O(buckets x cap^2) join
+rows, never O(docs^2) and never a single-key m^2 task.
 
 SimHash packs 64 bit-votes per doc — awkward as a SQL expression — so it is
 an Arrow-batched pandas UDF (deterministic blake2b token hashes); Hamming
@@ -266,6 +270,37 @@ def tune_lsh_params(
     return best
 
 
+# Hot-bucket cap for the LSH self-joins: a (band, key) bucket holding more
+# docs than this is dropped BEFORE the candidate self-join (the
+# winnow_candidate_pairs hot-fp pattern, dq/winnow.py). Rationale: a bucket
+# of m docs fans out to m^2/2 join rows on ONE key — a byte-identical dup
+# family shares ALL bands, so a 100k-copy boilerplate page (routine in
+# Common Crawl) would serialize a 4e10-row single-task fan-out. Buckets that
+# hot are exact-dup families (the sha2 tier upstream already dedups them) or
+# degenerate boilerplate whose pairs are meaningless; dropping them bounds
+# every bucket's fan-out at cap^2. Documented recall trade: a GENUINE
+# near-dup of a >cap family is only found via its other, non-hot bands.
+LSH_BUCKET_MAX_DOCS = 64
+
+
+def _drop_hot_buckets(
+    buckets: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    """left_anti the (keys)-buckets holding > cap docs (None = uncapped).
+
+    shuffle_hash on the hot side: the hot-bucket set is tiny by definition
+    (only keys past the cap survive the agg), never worth a sort."""
+    if cap is None:
+        return buckets
+    hot = (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") > cap)
+        .select(*keys)
+    )
+    return buckets.join(hot.hint("shuffle_hash"), keys, "left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "url",
@@ -273,17 +308,23 @@ def minhash_candidates(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    bucket_max_docs: int | None = LSH_BUCKET_MAX_DOCS,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band bucket.
 
     Plan shape: scan -> explode shingles -> hash-agg signatures ->
-    posexplode band keys -> self-equi-join on (band, key) -> distinct.
+    posexplode band keys -> hot-bucket drop (> ``bucket_max_docs`` docs in
+    one (band, key) bucket — see :data:`LSH_BUCKET_MAX_DOCS`) ->
+    self-equi-join on (band, key) -> distinct. Per-key join fan-out is
+    bounded at ``bucket_max_docs**2`` rows; pass ``bucket_max_docs=None``
+    for the uncapped research shape.
     """
     sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
     buckets = sigs.select(
         F.col("doc"),
         F.posexplode(F.array(*band_key_cols(num_hashes, bands))).alias("band", "key"),
     )
+    buckets = _drop_hot_buckets(buckets, ["band", "key"], bucket_max_docs)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, ["band", "key"])
@@ -332,9 +373,12 @@ def minhash_near_dups(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    bucket_max_docs: int | None = LSH_BUCKET_MAX_DOCS,
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates -> exact-Jaccard filter."""
-    cands = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
+    cands = minhash_candidates(
+        df, id_col, text_col, shingle_n, num_hashes, bands, bucket_max_docs
+    )
     return jaccard_pairs(df, cands, id_col, text_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
@@ -396,10 +440,20 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bucket_max_docs: int | None = LSH_BUCKET_MAX_DOCS,
 ) -> DataFrame:
     """SimHash near-dup pairs: band on 4x16-bit chunks (any-chunk-equal is a
     candidate; guarantees recall for hamming<=3), verify with bit_count(xor).
+
+    Same hot-bucket cap as :func:`minhash_candidates` (and more necessary:
+    chunk keys have only 2^16 values, so at corpus scale chunk buckets fill
+    by pigeonhole, not just by dup families) — (chunk_id, chunk) buckets
+    past ``bucket_max_docs`` are dropped before the self-join, bounding the
+    per-key fan-out at cap^2. Recall trade documented on the constant.
     """
     sh = df.select(F.col(id_col).alias("doc"), simhash_udf(F.col(text_col)).alias("sim"))
     chunks = sh.select(
@@ -409,6 +463,7 @@ def simhash_near_dups(
             F.array(*[F.shiftrightunsigned("sim", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
         ).alias("chunk_id", "chunk"),
     )
+    chunks = _drop_hot_buckets(chunks, ["chunk_id", "chunk"], bucket_max_docs)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, ["chunk_id", "chunk"])

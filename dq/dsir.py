@@ -20,10 +20,12 @@ integer arithmetic so the scores are bit-identical across engines:
 
   i.e. the integer-scaled ``p_target(b) / p_raw(b)``. Real DSIR works in
   log space with float probabilities; the integer ratio keeps the same
-  ordering signal while staying cross-engine exact (documented deviation —
-  at 10^12-document scale the products approach int64 range, so a
-  production run flips to the standard double log-ratio once the
-  cross-engine verification corpus has pinned the wiring);
+  ordering signal while staying cross-engine exact. At 10^12-document
+  scale the triple product overflows int64, so the production run flips to
+  :func:`bucket_ratio_table_log` / :func:`dsir_weights_log` — the same
+  smoothed ratio in log-double space, rank-identical (pytest-pinned at the
+  gate, property-tested across the overflow boundary); the integer twin
+  remains the cross-engine oracle;
 - per-document importance = the mean bucket ratio over the document's gram
   occurrences, ``imp_micro = sum(cnt_b * ratio_micro(b)) DIV n_grams``
   (docs with zero grams get the neutral ratio ``SCALE``, i.e. 1.0);
@@ -179,6 +181,91 @@ def dsir_weights(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("imp_micro", F.lit(scale)).cast("long").alias("imp_micro"),
+        )
+    )
+
+
+def bucket_ratio_table_log(
+    occ: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(bucket, log_ratio: double) — the PRODUCTION-scale twin of
+    :func:`bucket_ratio_table` (the prose promise at the top of this module,
+    VERDICT r4 next-#5, now in code).
+
+    The integer table computes ``(tgt+1)*(raw_total+B)*SCALE`` in int64:
+    with 10^12 documents the gram total alone approaches 10^14-10^15 and
+    the triple product overflows 2^63 (the boundary is property-tested in
+    tests/test_dsir.py). Here the same add-one-smoothed ratio is computed
+    in LOG space — ``ln(tgt+1) + ln(raw_total+B) - ln(raw+1) -
+    ln(tgt_total+B)`` — four doubles whose magnitudes are ~ln(counts) <= 50,
+    overflow-free at any corpus size. exp(log_ratio) equals the exact
+    rational ratio to double precision, so per-doc means keep the integer
+    twin's ordering (rank-identity on the gate corpus is pytest-pinned;
+    the integer table remains the cross-engine oracle).
+    """
+    per_bucket = occ.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_target"), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("_raw").cast("long").alias("_raw_total"),
+        F.sum("_tgt").cast("long").alias("_tgt_total"),
+    )
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("_tgt") + 1.0)
+            + F.log(F.col("_raw_total") + float(n_buckets))
+            - F.log(F.col("_raw") + 1.0)
+            - F.log(F.col("_tgt_total") + float(n_buckets))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_weights_log(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, imp_log: double) — production log-double scoring.
+
+    Per-document importance is ``ln(mean bucket ratio)`` = ``ln(sum(cnt_b *
+    exp(log_ratio_b)) / n_grams)``: ln is monotone, so the ordering is the
+    integer twin's ordering (modulo the twin's micro-unit floor — ties the
+    floor creates can split here, never reorder; the selection tie-break by
+    doc_id is shared). Gram-less docs score the neutral 0.0 (= ln 1).
+    Exchanges are identical to :func:`dsir_weights`: (doc, bucket, cnt)
+    hash-aggs + a broadcast B-row ratio table — text read once. The double
+    sum is a per-doc agg over <= B bucket terms of the same sign (ratios
+    are positive), so cross-partition summation-order noise stays at ulp
+    scale, far below any rank gap the selection acts on.
+    """
+    occ = gram_bucket_rows(docs, target_pred, id_col, text_col, n_buckets).persist()
+    ratio = bucket_ratio_table_log(occ, n_buckets)
+    scored = (
+        occ.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.exp(F.col("log_ratio"))).alias("_rsum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.log(F.col("_rsum") / F.col("n_grams")).alias("imp_log"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("imp_log", F.lit(0.0)).alias("imp_log"),
         )
     )
 

@@ -2491,3 +2491,8 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
     "winnow_dup_pairs": _winnow_dup_pairs_sql(),
     "canonical_chains": _canonical_chains_sql(),
 }
+
+# round-5 addition: the large-star/small-star CC variant labels every
+# vertex with the SAME min-vertex-id as min-label propagation (proven in
+# tests/test_dedup.py), so the recursive-CTE oracle is shared verbatim.
+ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]

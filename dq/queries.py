@@ -1061,6 +1061,25 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log n) large-star/small-star connected-components variant
+    (Kiveris et al. 2014; dq.dedup.connected_components_star) over the SAME
+    verified pair graph as near_dup_clusters — gate-wired so the deep-chain
+    scale path is DuckDB-oracled, not just pytest-verified (VERDICT r4
+    next-#4). Both variants label every vertex with the component's minimum
+    doc_id, so the recursive-CTE oracle is shared verbatim."""
+    from dq.dedup import connected_components_star
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= NEAR_CLUSTER_MIN_JACCARD
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+    )
+
+
 # --------------------------------------------------------- similarity -------
 
 
@@ -1931,4 +1950,6 @@ QUERIES = {
     "winnowing_fps": winnowing_fps,
     "winnow_dup_pairs": winnow_dup_pairs,
     "canonical_chains": canonical_chains,
+    # round-5 additions APPENDED (same sampler-stability rule as above)
+    "near_dup_clusters_star": near_dup_clusters_star,
 }

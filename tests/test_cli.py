@@ -59,7 +59,8 @@ def test_remediar_cli_flips_status(spark, tmp_path):
               "--table", f"testdata.events={real}", "--today", "20240106"])
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
-    assert out == {"status": "ok", "open_failures": 0, "unmapped": []}
+    assert out == {"status": "ok", "open_failures": 0, "open_unexcluded": 0,
+                   "unmapped": []}
     hrows = spark.read.parquet(hist).collect()
     assert len(hrows) == 1 and hrows[0].fonte == "3" and hrows[0].qtde_registros > 0
 
@@ -68,7 +69,11 @@ def test_remediar_cli_config_exclusion_and_unmapped(spark, tmp_path):
     """C5 config-driven: the exclusion set and table mappings come from a
     JSON config file (no code edits), and a failure whose table has no
     mapping is SKIPPED (left open, visible in open_failures) instead of
-    aborting the whole run with a KeyError (VERDICT r2 ADVICE)."""
+    aborting the whole run with a KeyError (VERDICT r2 ADVICE).
+
+    Exit semantics (VERDICT r4 next-#8): the EXCLUDED open failure is
+    policy (does not fail the run); the UNMAPPED one is a misconfiguration
+    and drives exit code 1 + status "unhealed"."""
     from dq.schema import DQ_FAILURES
 
     real = str(tmp_path / "events")
@@ -89,10 +94,10 @@ def test_remediar_cli_config_exclusion_and_unmapped(spark, tmp_path):
         )
     r = _run(["remediar", "diario", "--history-path", str(tmp_path / "hist"),
               "--failures-path", fail, "--config", cfg, "--today", "20240106"])
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.returncode == 1, (r.stdout + r.stderr)[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
-    assert out == {"status": "ok", "open_failures": 2,
-                   "unmapped": ["testdata.nomap"]}
+    assert out == {"status": "unhealed", "open_failures": 2,
+                   "open_unexcluded": 1, "unmapped": ["testdata.nomap"]}
     rows = {(x.tabela, x.status) for x in spark.read.parquet(fail).collect()}
     assert rows == {("events", 1), ("skipme", 0), ("nomap", 0)}
 

