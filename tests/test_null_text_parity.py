@@ -73,6 +73,7 @@ TEXT_QUERIES = [
     "winnow_dup_pairs",
     "paragraph_bloom_dedup",
     "dup_cluster_histogram",
+    "near_dup_clusters_star",
 ]
 
 
