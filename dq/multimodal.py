@@ -2,11 +2,16 @@
 
 The Spark-side plumbing is real and tested — schema (dq.schema.MEDIA_ASSETS),
 deterministic synthesis, Arrow-batched ``mapInPandas`` operators with
-explicit output schemas, partition-preserving shapes. The actual codec work
-(image decode, audio resample, video frame extraction) requires libraries
-not present in this container, so each decoder is STUBBED: by default it
-raises NotImplementedError; with ``fake=True`` it produces a deterministic
-hash-derived feature so the full pipeline is testable end-to-end.
+explicit output schemas, partition-preserving shapes.
+
+Decode is REAL for PNG / BMP / WAV via dq.codecs (pure numpy + stdlib zlib
+— pixel unfiltering, BGR/padding layout, PCM frames; roundtrip-pytested
+against the encoders): ``fake=False`` decodes those payloads and computes
+features over the actual pixels/samples. Entropy-coded formats (JPEG/GIF
+pixels, opus, av1) genuinely need codec libraries absent from this
+container and raise NotImplementedError — an honest boundary, not a stub
+over everything. ``fake=True`` remains the hash-derived stand-in so
+pipelines over undecodable corpora stay testable end-to-end.
 """
 
 from __future__ import annotations
@@ -77,20 +82,122 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_ASSETS)
 
 
-def _decode_real(content: bytes, media_type: str):
+def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> DataFrame:
+    """Deterministic assets whose payloads are REAL decodable media built by
+    the dq.codecs encoders: PNG images (cycling through all five scanline
+    filters, so the corpus exercises every unfilter path), 24-bit BMP
+    images, and PCM-16 WAV audio (mono/stereo alternating). The real-decode
+    tier (``fake=False``) runs end-to-end over this corpus; the opaque
+    corpus from :func:`synth_media` remains the undecodable/mislabel case.
+    """
+    from dq import codecs
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 1_000_003 + i)
+        kind = ("png", "bmp", "wav")[i % 3]
+        if kind == "wav":
+            ch = 1 + (i // 3) % 2
+            rate = 8000 + 400 * (i % 5)
+            samples = rng.randint(-12000, 12000, size=(160 + 16 * (i % 7), ch))
+            payload = codecs.encode_wav(samples.astype(np.int16), rate)
+            dur_ms = int(1000 * samples.shape[0] / rate)
+            rows.append(
+                (i, f"https://media.example.com/audio/{i}", "audio",
+                 bytearray(payload), None, None, dur_ms, "wav")
+            )
+        else:
+            w, h = 16 + i % 9, 12 + i % 7
+            grad = (
+                np.arange(h)[:, None, None] * 7 + np.arange(w)[None, :, None] * 3
+            ) % 256
+            arr = ((grad + rng.randint(0, 64, size=(h, w, 3))) % 256).astype(np.uint8)
+            payload = (
+                codecs.encode_png(arr, filter_type=i % 5)
+                if kind == "png"
+                else codecs.encode_bmp(arr)
+            )
+            rows.append(
+                (i, f"https://media.example.com/image/{i}", "image",
+                 bytearray(payload), w, h, None, kind)
+            )
+    return spark.createDataFrame(rows, schema=MEDIA_ASSETS)
+
+
+def image_feature(arr: np.ndarray) -> list[float]:
+    """REAL image feature: 4x4 grid of grayscale cell means over the decoded
+    pixels, centered + unit-normed (same normalization as _fake_feature so
+    downstream cosine machinery treats both tiers identically)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    g = 4
+    assert g * g == FEATURE_DIM
+    v = np.zeros(FEATURE_DIM, dtype=np.float64)
+    for i in range(g):
+        r0 = min((i * h) // g, h - 1)
+        r1 = max((((i + 1) * h) // g), r0 + 1)
+        for j in range(g):
+            c0 = min((j * w) // g, w - 1)
+            c1 = max((((j + 1) * w) // g), c0 + 1)
+            v[i * g + j] = a[r0:r1, c0:c1].mean()
+    return _center_norm(v)
+
+
+def audio_feature(samples: np.ndarray) -> list[float]:
+    """REAL audio feature: RMS envelope over FEATURE_DIM equal segments of
+    the mono mix, centered + unit-normed."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = len(s)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    v = np.zeros(FEATURE_DIM, dtype=np.float64)
+    for i in range(FEATURE_DIM):
+        a0 = min((i * n) // FEATURE_DIM, n - 1)
+        a1 = max(((i + 1) * n) // FEATURE_DIM, a0 + 1)
+        v[i] = np.sqrt(np.mean(s[a0:a1] ** 2))
+    return _center_norm(v)
+
+
+def _center_norm(v: np.ndarray) -> list[float]:
+    v = v.astype(np.float32)
+    v = v - v.mean()
+    n = float(np.linalg.norm(v))
+    return (v / n if n else v).tolist()
+
+
+def _decode_real(content: bytes, media_type: str) -> list[float]:
+    """REAL decode -> feature: PNG/BMP pixels or WAV samples via dq.codecs
+    (dispatch on the container MAGIC, not the declared codec — mislabeled
+    uploads must not pick the wrong parser). Corrupt supported containers
+    raise codecs.MediaDecodeError; formats needing entropy decoders raise
+    NotImplementedError (jpeg/gif pixels, opus, av1)."""
+    from dq import codecs
+
+    b = bytes(content or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return image_feature(codecs.decode_png(b))
+    if b[:2] == b"BM":
+        return image_feature(codecs.decode_bmp(b))
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        _, frames = codecs.decode_wav(b)
+        return audio_feature(frames)
     raise NotImplementedError(
-        "real decoders (PIL/libav) are not available in this container; "
-        "pass fake=True for the deterministic stand-in"
+        "no pure-numpy decoder for this payload: PNG/BMP/WAV decode for "
+        "real (dq.codecs); jpeg/gif pixels and opus/av1 need codec "
+        "libraries absent from this container — pass fake=True for the "
+        "deterministic stand-in"
     )
 
 
 def _fake_feature(content: bytes) -> list[float]:
     """Deterministic unit-norm feature from the payload digest."""
     digest = hashlib.sha256(content).digest()
-    v = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint8)[:FEATURE_DIM].astype(np.float32)
-    v = v - v.mean()
-    n = float(np.linalg.norm(v))
-    return (v / n if n else v).tolist()
+    v = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint8)[:FEATURE_DIM]
+    return _center_norm(v.astype(np.float64))
 
 
 def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
@@ -188,6 +295,11 @@ def sniff_header_one(content: bytes | None) -> dict:
         out["sniffed_format"] = "gif"
         out["width"] = int.from_bytes(b[6:8], "little")
         out["height"] = int.from_bytes(b[8:10], "little")
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out["sniffed_format"] = "bmp"
+        out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+        # negative height = top-down DIB; geometry is the magnitude
+        out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
     elif b[:2] == b"\xff\xd8":
         out["sniffed_format"] = "jpeg"
         i = 2  # walk the segment chain to the first start-of-frame
@@ -281,14 +393,16 @@ def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> Dat
     """mapInPandas operator: image 'resize' plumbing (the third leg of the
     decode / feature-extract / resize / frame-sample family).
 
-    Real impl decodes and resamples pixels (PIL — absent here, stubbed);
-    the geometry is REAL either way: the output dims preserve aspect ratio
-    with the long side clamped to ``max_side`` (integer floor, never
-    upscaled), which is the contract a training-prep resize must honor.
-    The fake 'resized payload' is a deterministic digest of
-    (payload, out_w, out_h) so downstream dedup over resized assets is
-    exercisable. Non-image rows are dropped (filtering operator — the
-    output schema carries no media_type)."""
+    ``fake=False`` decodes PNG/BMP pixels for REAL (dq.codecs), resamples
+    with the deterministic nearest-neighbor floor map, re-encodes the
+    result as PNG and digests those bytes; width/height then come from the
+    DECODED array (truth), not the declared columns. The geometry contract
+    holds on both paths: output dims preserve aspect ratio with the long
+    side clamped to ``max_side`` (integer floor, never upscaled). The fake
+    'resized payload' is a deterministic digest of (payload, out_w, out_h)
+    so downstream dedup over resized assets is exercisable on undecodable
+    corpora. Non-image rows are dropped (filtering operator — the output
+    schema carries no media_type)."""
 
     def _out_dims(w: int, h: int) -> tuple[int, int]:
         long_side = max(w, h)
@@ -309,12 +423,28 @@ def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> Dat
             ):
                 if mtype != "image" or content is None or pd.isna(w) or pd.isna(h):
                     continue
-                if not fake:
-                    _decode_real(content, mtype)
-                ow, oh = _out_dims(int(w), int(h))
-                digest = hashlib.sha256(
-                    bytes(content) + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")
-                ).hexdigest()
+                if fake:
+                    ow, oh = _out_dims(int(w), int(h))
+                    digest = hashlib.sha256(
+                        bytes(content) + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")
+                    ).hexdigest()
+                else:
+                    from dq import codecs
+
+                    b = bytes(content)
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = codecs.decode_png(b)
+                    elif b[:2] == b"BM":
+                        arr = codecs.decode_bmp(b)
+                    else:
+                        raise NotImplementedError(
+                            "real resize needs a decodable image container "
+                            "(PNG/BMP here; jpeg/gif pixels need codec libs)"
+                        )
+                    h, w = arr.shape[0], arr.shape[1]  # decoded truth
+                    ow, oh = _out_dims(int(w), int(h))
+                    resized = codecs.resize_nearest(arr, ow, oh)
+                    digest = hashlib.sha256(codecs.encode_png(resized)).hexdigest()
                 rows["asset_id"].append(aid)
                 rows["width"].append(int(w))
                 rows["height"].append(int(h))

@@ -21,10 +21,67 @@ def test_fake_features_shape_and_determinism(spark):
     assert (f1["n_bytes"] > 0).all()
 
 
-def test_real_decoder_stubbed(spark):
+def test_real_decode_raises_on_undecodable_corpus(spark):
+    """The opaque synth corpus (png-header+garbage images, opus, av1) must
+    FAIL loudly under fake=False — truncated PNGs are MediaDecodeError,
+    opus/av1 NotImplementedError — never silently hash-featurized."""
     assets = multimodal.synth_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|decoders"):
+    with pytest.raises(Exception, match="NotImplementedError|MediaDecodeError|decoder"):
         multimodal.extract_features(assets, fake=False).collect()
+
+
+def test_real_decode_end_to_end_over_decodable_corpus(spark):
+    """fake=False over synth_media_decodable runs the REAL codecs in the
+    Arrow workers end-to-end: deterministic, unit-norm features, and for a
+    planted PNG the Spark-side feature equals the local decode+featurize
+    oracle (UDF body == test oracle, CLAUDE.md invariant)."""
+    import numpy as np
+
+    from dq import codecs
+    from dq.multimodal import FEATURE_DIM, image_feature
+
+    assets = multimodal.synth_media_decodable(spark, n=18)
+    f1 = multimodal.extract_features(assets, fake=False).toPandas().sort_values("asset_id")
+    f2 = multimodal.extract_features(assets, fake=False).toPandas().sort_values("asset_id")
+    assert len(f1) == 18
+    assert (f1["sha256"].values == f2["sha256"].values).all()
+    for v in f1["feature"]:
+        assert len(v) == FEATURE_DIM
+        assert float(np.linalg.norm(np.array(v, dtype=np.float32))) == pytest.approx(
+            1.0, abs=1e-5
+        )
+    # local oracle for asset 0 (a PNG)
+    content = bytes(assets.toPandas().set_index("asset_id").loc[0, "content"])
+    want = image_feature(codecs.decode_png(content))
+    got = list(f1.set_index("asset_id").loc[0, "feature"])
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_real_resize_decodes_and_resamples(spark):
+    """fake=False resize decodes PNG/BMP pixels, floor-resamples, and
+    digests the re-encoded PNG — equal to the local codec oracle."""
+    import hashlib
+
+    from dq import codecs
+
+    assets = multimodal.synth_media_decodable(spark, n=12)
+    out = {
+        r.asset_id: r
+        for r in multimodal.resize_images(assets, max_side=8, fake=False).collect()
+    }
+    pdf = assets.toPandas().set_index("asset_id")
+    imgs = pdf[pdf["media_type"] == "image"]
+    assert set(out) == set(imgs.index)
+    for aid, row in imgs.iterrows():
+        b = bytes(row["content"])
+        arr = codecs.decode_png(b) if b[:8] == b"\x89PNG\r\n\x1a\n" else codecs.decode_bmp(b)
+        r = out[aid]
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        assert max(r.out_width, r.out_height) <= 8
+        want = hashlib.sha256(
+            codecs.encode_png(codecs.resize_nearest(arr, r.out_width, r.out_height))
+        ).hexdigest()
+        assert r.resized_sha256 == want
 
 
 def test_frame_sampling_video_only(spark):
@@ -59,7 +116,8 @@ def test_resize_images_geometry_and_determinism(spark):
     # small images are NOT upscaled
     small = {r.asset_id: r for r in multimodal.resize_images(assets, max_side=2000, fake=True).collect()}
     assert all((r.out_width, r.out_height) == (640, 480) for r in small.values())
-    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+    # opaque-corpus images are truncated PNGs: real resize fails loudly
+    with pytest.raises(Exception, match="MediaDecodeError|NotImplementedError|decod"):
         multimodal.resize_images(assets, fake=False).collect()
 
 
