@@ -94,6 +94,11 @@ HEADLINE = [
     "canonical_chains",          # round-4: pointer-doubling chain resolution
     "paragraph_bloom_dedup",     # round-4: Dolma paragraph Bloom dedup
     "dup_cluster_histogram",     # round-4: dup-family power-law report
+    # near_dup_clusters / near_dup_clusters_star stay OUT of the headline:
+    # both are iterative (several Spark jobs of convergence checks over the
+    # small planted pair graph), so local wall time measures per-job fixed
+    # overhead, not engine throughput — the gate + pytest own their
+    # correctness, the alternation-count test owns the O(log n) claim.
 ]
 
 
