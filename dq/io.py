@@ -10,6 +10,13 @@ becomes a staged overwrite; resume state lives in a JSON checkpoint manifest
 Prod target is an Iceberg catalog (partition metadata table, transactional
 MERGE, snapshot isolation); the jars are not in this container, so the same
 API is backed by parquet directories here — the seam is this module only.
+Obtaining ``iceberg-spark-runtime`` in-sandbox was attempted (Maven Central
+and pip are unreachable offline; no lakehouse jars ship in the pyspark
+wheel — verified by listing ``pyspark/jars`` and a filesystem-wide search),
+so ``merge_upsert``/``partition_labels`` keep the parquet backend; on a
+cluster, point ``spark.sql.catalog.<name>`` at Iceberg and these functions'
+SQL forms (``MERGE INTO``, ``SELECT partition FROM tbl.partitions``) are
+the documented drop-ins at each call site below.
 """
 
 from __future__ import annotations
