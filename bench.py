@@ -164,11 +164,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         .select(nlp_udf(F.concat(F.lit("warm up the pool "), F.col("id"))).alias("x"))
     )
     _noop(QUERIES["pipeline_keep_decisions"](spark, "/root/testdata/sf0.001"))
-    # best-of-2 per query (CLAUDE.md noisy-host protocol: warm first,
+    # best-of-3 per query (CLAUDE.md noisy-host protocol: warm first,
     # best-of across passes) — a single pass leaves ±2x host-weather
-    # outliers in the committed number
+    # outliers in the committed number, and best-of-2 still recorded
+    # 76.5 s vs 87.6 s suite totals on identical code in one bad window
     passes: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(3):
         # drop every cached fragment between passes: queries that persist()
         # internally (enrich auto-mode dup units) would otherwise have their
         # pass-1 InMemoryRelation substituted into pass 2's identical plan,
@@ -183,10 +184,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         passes.append(t)
     timings = {n: min(p[n] for p in passes) for n in HEADLINE}
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    spark.catalog.clearCache()  # same cache-substitution guard as the passes
-    t0 = time.perf_counter()
-    _noop(QUERIES["pipeline_keep_decisions"](spark, sf_dir))
-    pipe_s = time.perf_counter() - t0
+    # docs_per_sec is the round-over-round comparator: best-of-3, not
+    # single-shot — one bad window halved the recorded number on
+    # unchanged code (2854 -> 1494 docs/s r4 -> r5 first pass)
+    # the headline passes above already timed this exact query under the
+    # same protocol — fold them in (best-of-6 total)
+    pipe_s = timings["pipeline_keep_decisions"]
+    for _ in range(3):
+        spark.catalog.clearCache()  # same cache-substitution guard as the passes
+        t0 = time.perf_counter()
+        _noop(QUERIES["pipeline_keep_decisions"](spark, sf_dir))
+        pipe_s = min(pipe_s, time.perf_counter() - t0)
     spark.stop()
     out = {
         "metric": "headline query wall time (full quality-filter pipeline + operator suite)",
