@@ -4,14 +4,15 @@ The Spark-side plumbing is real and tested — schema (dq.schema.MEDIA_ASSETS),
 deterministic synthesis, Arrow-batched ``mapInPandas`` operators with
 explicit output schemas, partition-preserving shapes.
 
-Decode is REAL for PNG / BMP / WAV via dq.codecs (pure numpy + stdlib zlib
-— pixel unfiltering, BGR/padding layout, PCM frames; roundtrip-pytested
-against the encoders): ``fake=False`` decodes those payloads and computes
-features over the actual pixels/samples. Entropy-coded formats (JPEG/GIF
-pixels, opus, av1) genuinely need codec libraries absent from this
-container and raise NotImplementedError — an honest boundary, not a stub
-over everything. ``fake=True`` remains the hash-derived stand-in so
-pipelines over undecodable corpora stay testable end-to-end.
+Decode is REAL for PNG / BMP / GIF / baseline JPEG / WAV via dq.codecs +
+dq.jpeg (pure numpy + stdlib — pixel unfiltering, BGR/padding layout,
+variable-width LZW, Huffman+DCT, PCM frames; roundtrip-pytested against
+the encoders): ``fake=False`` decodes those payloads and computes features
+over the actual pixels/samples. Genuinely library-scale codecs (opus, av1,
+progressive/arithmetic JPEG) raise NotImplementedError — an honest
+boundary, not a stub over everything. ``fake=True`` remains the
+hash-derived stand-in so pipelines over undecodable corpora stay testable
+end-to-end.
 """
 
 from __future__ import annotations
@@ -86,16 +87,19 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
     """Deterministic assets whose payloads are REAL decodable media built by
     the dq.codecs encoders: PNG images (cycling through all five scanline
     filters, so the corpus exercises every unfilter path), 24-bit BMP
-    images, and PCM-16 WAV audio (mono/stereo alternating). The real-decode
-    tier (``fake=False``) runs end-to-end over this corpus; the opaque
-    corpus from :func:`synth_media` remains the undecodable/mislabel case.
+    images, PCM-16 WAV audio (mono/stereo alternating), palette GIFs
+    (real LZW), and baseline JPEGs (alternating 4:4:4 / 4:2:0 sampling —
+    lossy, but byte-deterministic, so decoded features are stable). The
+    real-decode tier (``fake=False``) runs end-to-end over this corpus; the
+    opaque corpus from :func:`synth_media` remains the undecodable/mislabel
+    case. Kind order keeps asset 0 a PNG (pytest oracle anchor).
     """
     from dq import codecs
 
     rows = []
     for i in range(n):
         rng = np.random.RandomState(seed * 1_000_003 + i)
-        kind = ("png", "bmp", "wav")[i % 3]
+        kind = ("png", "bmp", "wav", "gif", "jpeg")[i % 5]
         if kind == "wav":
             ch = 1 + (i // 3) % 2
             rate = 8000 + 400 * (i % 5)
@@ -106,21 +110,33 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
                 (i, f"https://media.example.com/audio/{i}", "audio",
                  bytearray(payload), None, None, dur_ms, "wav")
             )
-        else:
-            w, h = 16 + i % 9, 12 + i % 7
-            grad = (
-                np.arange(h)[:, None, None] * 7 + np.arange(w)[None, :, None] * 3
-            ) % 256
-            arr = ((grad + rng.randint(0, 64, size=(h, w, 3))) % 256).astype(np.uint8)
-            payload = (
-                codecs.encode_png(arr, filter_type=i % 5)
-                if kind == "png"
-                else codecs.encode_bmp(arr)
+            continue
+        w, h = 16 + i % 9, 12 + i % 7
+        grad = (
+            np.arange(h)[:, None, None] * 7 + np.arange(w)[None, :, None] * 3
+        ) % 256
+        arr = ((grad + rng.randint(0, 64, size=(h, w, 3))) % 256).astype(np.uint8)
+        if kind == "png":
+            payload = codecs.encode_png(arr, filter_type=i % 5)
+        elif kind == "bmp":
+            payload = codecs.encode_bmp(arr)
+        elif kind == "gif":
+            n_colors = 16 + 8 * (i % 4)
+            palette = (
+                np.arange(n_colors)[:, None] * np.array([11, 5, 3])[None, :] % 256
+            ).astype(np.uint8)
+            indices = ((grad[:, :, 0] + rng.randint(0, 8, size=(h, w))) % n_colors
+                       ).astype(np.uint8)
+            payload = codecs.encode_gif(indices, palette)
+        else:  # jpeg
+            payload = codecs.encode_jpeg(
+                arr, quality=85 + 5 * (i % 3),
+                subsampling="420" if i % 2 else "444",
             )
-            rows.append(
-                (i, f"https://media.example.com/image/{i}", "image",
-                 bytearray(payload), w, h, None, kind)
-            )
+        rows.append(
+            (i, f"https://media.example.com/image/{i}", "image",
+             bytearray(payload), w, h, None, kind)
+        )
     return spark.createDataFrame(rows, schema=MEDIA_ASSETS)
 
 
@@ -170,27 +186,26 @@ def _center_norm(v: np.ndarray) -> list[float]:
 
 
 def _decode_real(content: bytes, media_type: str) -> list[float]:
-    """REAL decode -> feature: PNG/BMP pixels or WAV samples via dq.codecs
-    (dispatch on the container MAGIC, not the declared codec — mislabeled
-    uploads must not pick the wrong parser). Corrupt supported containers
-    raise codecs.MediaDecodeError; formats needing entropy decoders raise
-    NotImplementedError (jpeg/gif pixels, opus, av1)."""
+    """REAL decode -> feature: PNG/BMP/GIF/JPEG pixels or WAV samples via
+    dq.codecs (dispatch on the container MAGIC, not the declared codec —
+    mislabeled uploads must not pick the wrong parser). Corrupt supported
+    containers raise codecs.MediaDecodeError; library-scale codecs raise
+    NotImplementedError (opus, av1, progressive JPEG)."""
     from dq import codecs
 
     b = bytes(content or b"")
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return image_feature(codecs.decode_png(b))
-    if b[:2] == b"BM":
-        return image_feature(codecs.decode_bmp(b))
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         _, frames = codecs.decode_wav(b)
         return audio_feature(frames)
-    raise NotImplementedError(
-        "no pure-numpy decoder for this payload: PNG/BMP/WAV decode for "
-        "real (dq.codecs); jpeg/gif pixels and opus/av1 need codec "
-        "libraries absent from this container — pass fake=True for the "
-        "deterministic stand-in"
-    )
+    try:
+        return image_feature(codecs.decode_image(b))
+    except NotImplementedError:
+        raise NotImplementedError(
+            "no pure-numpy decoder for this payload: PNG/BMP/GIF/baseline-"
+            "JPEG/WAV decode for real (dq.codecs); opus/av1 need codec "
+            "libraries absent from this container — pass fake=True for "
+            "the deterministic stand-in"
+        ) from None
 
 
 def _fake_feature(content: bytes) -> list[float]:
@@ -393,7 +408,7 @@ def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> Dat
     """mapInPandas operator: image 'resize' plumbing (the third leg of the
     decode / feature-extract / resize / frame-sample family).
 
-    ``fake=False`` decodes PNG/BMP pixels for REAL (dq.codecs), resamples
+    ``fake=False`` decodes PNG/BMP/GIF/JPEG pixels for REAL (dq.codecs), resamples
     with the deterministic nearest-neighbor floor map, re-encodes the
     result as PNG and digests those bytes; width/height then come from the
     DECODED array (truth), not the declared columns. The geometry contract
@@ -431,16 +446,7 @@ def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> Dat
                 else:
                     from dq import codecs
 
-                    b = bytes(content)
-                    if b[:8] == b"\x89PNG\r\n\x1a\n":
-                        arr = codecs.decode_png(b)
-                    elif b[:2] == b"BM":
-                        arr = codecs.decode_bmp(b)
-                    else:
-                        raise NotImplementedError(
-                            "real resize needs a decodable image container "
-                            "(PNG/BMP here; jpeg/gif pixels need codec libs)"
-                        )
+                    arr = codecs.decode_image(bytes(content))
                     h, w = arr.shape[0], arr.shape[1]  # decoded truth
                     ow, oh = _out_dims(int(w), int(h))
                     resized = codecs.resize_nearest(arr, ow, oh)

@@ -1446,8 +1446,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (dq.codecs): PNG (all five scanline filters) /
-    BMP pixels and PCM-16 WAV samples decoded with pure numpy+stdlib, then
-    featurized over the actual pixels/samples (grid means / RMS envelope).
+    BMP / GIF (real LZW) / baseline JPEG (Huffman+DCT) pixels and PCM-16
+    WAV samples decoded with pure numpy+stdlib, then featurized over the
+    actual pixels/samples (grid means / RMS envelope).
     Rows-only: the decoded feature is floating-point and the corpus is
     synthesized, but pytest pins codec roundtrips bit-exactly
     (tests/test_codecs.py) and the fake!=real divergence. Scalar columns

@@ -200,7 +200,9 @@ def test_audio_feature_from_decoded_samples():
 def test_decode_real_dispatch_and_honest_boundary():
     from dq.multimodal import _decode_real
 
-    with pytest.raises(NotImplementedError, match="codec libraries"):
+    # a JPEG magic now routes to the REAL baseline decoder: corrupt bytes
+    # under a supported magic are MediaDecodeError, not NotImplementedError
+    with pytest.raises(codecs.MediaDecodeError):
         _decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
     with pytest.raises(NotImplementedError, match="codec libraries"):
         _decode_real(b"random opus payload", "audio")
@@ -208,3 +210,161 @@ def test_decode_real_dispatch_and_honest_boundary():
         from dq.multimodal import png_header
 
         _decode_real(png_header(4, 4) + b"garbage-not-idat", "image")
+
+
+# ---- GIF --------------------------------------------------------------------
+
+
+def test_gif_roundtrip_palette_exact():
+    """GIF is lossless on palette indices: decode returns exactly
+    palette[indices] for noisy and structured content."""
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, size=(45, 37)).astype(np.uint8)
+    out = codecs.decode_gif(codecs.encode_gif(idx, pal))
+    assert out.dtype == np.uint8 and out.shape == (45, 37, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_gif_lzw_width_growth_and_clear_resets():
+    """>4096 dictionary entries force width growth to 12 bits and dict-full
+    CLEAR resets; structured content also compresses (LZW is real, not a
+    literal-only emitter)."""
+    idx = ((np.arange(300)[:, None] * 7 + np.arange(400)[None, :]) % 64).astype(np.uint8)
+    pal = (np.arange(64 * 3).reshape(64, 3) % 256).astype(np.uint8)
+    b = codecs.encode_gif(idx, pal)
+    assert (codecs.decode_gif(b) == pal[idx]).all()
+    assert len(b) < idx.size // 4  # genuine compression on structured input
+    noisy = np.random.RandomState(3).randint(0, 256, size=(200, 300)).astype(np.uint8)
+    pal256 = np.random.RandomState(4).randint(0, 256, size=(256, 3)).astype(np.uint8)
+    assert (codecs.decode_gif(codecs.encode_gif(noisy, pal256)) == pal256[noisy]).all()
+
+
+def test_gif_kwkwk_runs_and_small_palettes():
+    """Long identical runs hit the KwKwK code-equals-next-entry case; a
+    2-color palette uses the minimum code size floor (mcs=2)."""
+    idx = np.zeros((20, 50), dtype=np.uint8)
+    idx[5:, :] = 1
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    assert (codecs.decode_gif(codecs.encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_rejects_non_subset():
+    with pytest.raises(codecs.MediaDecodeError, match="magic"):
+        codecs.decode_gif(b"NOPE")
+    with pytest.raises(codecs.MediaDecodeError, match="truncated"):
+        codecs.decode_gif(b"GIF89a" + b"\x00" * 4)
+    good = bytearray(codecs.encode_gif(
+        np.zeros((4, 4), dtype=np.uint8), np.zeros((4, 3), dtype=np.uint8)))
+    # flip the interlace bit in the image descriptor's packed byte
+    desc = good.index(0x2C, 13)
+    flipped = bytearray(good)
+    flipped[desc + 9] |= 0x40
+    with pytest.raises(codecs.MediaDecodeError, match="interlaced"):
+        codecs.decode_gif(bytes(flipped))
+    with pytest.raises(ValueError, match="palette"):
+        codecs.encode_gif(np.zeros((2, 2), dtype=np.uint8),
+                          np.zeros((300, 3), dtype=np.uint8))
+
+
+# ---- JPEG -------------------------------------------------------------------
+
+
+def _gradient_rgb(h, w):
+    return np.clip(
+        np.arange(h)[:, None, None] * 2.5
+        + np.arange(w)[None, :, None] * 1.5
+        + np.array([10, 60, 120])[None, None, :],
+        0, 255,
+    ).astype(np.uint8)
+
+
+def test_jpeg_uniform_gray_quality100_exact():
+    """All-ones quant tables + a DC-only spectrum make every step integer-
+    safe: uniform grayscale roundtrips bit-exactly at quality 100."""
+    for val in (0, 1, 128, 137, 255):
+        u = np.full((24, 17), val, dtype=np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(u, quality=100))
+        assert out.shape == u.shape and (out == u).all()
+
+
+def test_jpeg_smooth_gray_bounded_error():
+    g = np.clip(np.arange(40)[:, None] * 2.5 + np.arange(56)[None, :] * 1.5,
+                0, 255).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=95))
+    assert int(np.abs(out.astype(int) - g.astype(int)).max()) <= 4
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
+def test_jpeg_color_roundtrip_bounded_error(subsampling):
+    """Color roundtrips within normal quantization error across all three
+    sampling layouts, on odd (non-multiple-of-8/16) dims."""
+    base = _gradient_rgb(33, 29)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(base, quality=90,
+                                                subsampling=subsampling))
+    assert out.shape == base.shape
+    d = np.abs(out.astype(int) - base.astype(int))
+    assert int(d.max()) <= 20 and float(d.mean()) <= 3.0
+
+
+def test_jpeg_restart_markers_roundtrip():
+    base = _gradient_rgb(33, 29)
+    b = codecs.encode_jpeg(base, quality=90, subsampling="420",
+                           restart_interval=2)
+    assert b"\xff\xdd" in b and b"\xff\xd0" in b  # DRI segment + RST0
+    d = np.abs(codecs.decode_jpeg(b).astype(int) - base.astype(int))
+    assert int(d.max()) <= 20
+
+
+def test_jpeg_deterministic_bytes_and_features():
+    """Encoding is byte-deterministic (the synth corpus contract) and the
+    decoded pixels drive image_feature identically across calls."""
+    from dq.multimodal import image_feature
+
+    base = _gradient_rgb(20, 22)
+    b1, b2 = codecs.encode_jpeg(base), codecs.encode_jpeg(base)
+    assert b1 == b2
+    assert image_feature(codecs.decode_jpeg(b1)) == image_feature(codecs.decode_jpeg(b2))
+
+
+def test_jpeg_rejects_non_subset():
+    good = bytearray(codecs.encode_jpeg(np.full((9, 9), 7, dtype=np.uint8)))
+    with pytest.raises(codecs.MediaDecodeError, match="SOI"):
+        codecs.decode_jpeg(b"\x00" + bytes(good[1:]))
+    sof = bytes(good).find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(codecs.MediaDecodeError, match="SOF0|baseline"):
+        codecs.decode_jpeg(bytes(prog))
+    with pytest.raises(codecs.MediaDecodeError, match="truncated"):
+        codecs.decode_jpeg(bytes(good[: len(good) // 3]))
+
+
+def test_gif_jpeg_sniffer_geometry_matches_codec():
+    """The header sniffer's GIF/JPEG geometry equals the real decoder's
+    pixel-array shape (the same cross-check PNG/BMP already have)."""
+    from dq.multimodal import sniff_header_one
+
+    pal = np.array([[0, 0, 0], [9, 9, 9]], dtype=np.uint8)
+    gif = codecs.encode_gif((np.arange(77).reshape(7, 11) % 2).astype(np.uint8), pal)
+    s = sniff_header_one(gif)
+    assert (s["sniffed_format"], s["width"], s["height"]) == ("gif", 11, 7)
+    assert codecs.decode_gif(gif).shape == (7, 11, 3)
+    jpg = codecs.encode_jpeg(_gradient_rgb(13, 19), subsampling="420")
+    s = sniff_header_one(jpg)
+    assert (s["sniffed_format"], s["width"], s["height"]) == ("jpeg", 19, 13)
+    assert codecs.decode_jpeg(jpg).shape == (13, 19, 3)
+
+
+def test_decode_image_dispatch_covers_all_four_containers():
+    """codecs.decode_image routes by magic to every real image decoder and
+    rejects unknown containers with NotImplementedError."""
+    rgb = _gradient_rgb(10, 12)
+    pal = np.array([[0, 0, 0], [200, 10, 10]], dtype=np.uint8)
+    idx = (np.arange(120).reshape(10, 12) % 2).astype(np.uint8)
+    assert (codecs.decode_image(codecs.encode_png(rgb)) == rgb).all()
+    assert (codecs.decode_image(codecs.encode_bmp(rgb)) == rgb).all()
+    assert (codecs.decode_image(codecs.encode_gif(idx, pal)) == pal[idx]).all()
+    assert codecs.decode_image(codecs.encode_jpeg(rgb)).shape == rgb.shape
+    with pytest.raises(NotImplementedError, match="image container"):
+        codecs.decode_image(b"II*\x00 tiff-ish")

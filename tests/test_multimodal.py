@@ -58,8 +58,8 @@ def test_real_decode_end_to_end_over_decodable_corpus(spark):
 
 
 def test_real_resize_decodes_and_resamples(spark):
-    """fake=False resize decodes PNG/BMP pixels, floor-resamples, and
-    digests the re-encoded PNG — equal to the local codec oracle."""
+    """fake=False resize decodes PNG/BMP/GIF/JPEG pixels, floor-resamples,
+    and digests the re-encoded PNG — equal to the local codec oracle."""
     import hashlib
 
     from dq import codecs
@@ -72,9 +72,10 @@ def test_real_resize_decodes_and_resamples(spark):
     pdf = assets.toPandas().set_index("asset_id")
     imgs = pdf[pdf["media_type"] == "image"]
     assert set(out) == set(imgs.index)
+    # the 5-kind cycle puts all four image containers in a 12-asset corpus
+    assert {bytes(c)[:2] for c in imgs["content"]} >= {b"\x89P", b"BM", b"GI", b"\xff\xd8"}
     for aid, row in imgs.iterrows():
-        b = bytes(row["content"])
-        arr = codecs.decode_png(b) if b[:8] == b"\x89PNG\r\n\x1a\n" else codecs.decode_bmp(b)
+        arr = codecs.decode_image(bytes(row["content"]))
         r = out[aid]
         assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
         assert max(r.out_width, r.out_height) <= 8
