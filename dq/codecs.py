@@ -11,7 +11,7 @@ tables), so this module implements all five formats for real, with
 encoders so tests roundtrip pixels/samples (bit-exactly for the lossless
 four; bounded-error + exact-on-uniform for lossy JPEG), plus a
 deterministic nearest-neighbor resample. Only genuinely library-scale
-codecs (opus, av1, progressive/arithmetic JPEG) remain out of scope:
+codecs (opus, av1, arithmetic-coded JPEG) remain out of scope:
 dq.multimodal keeps raising NotImplementedError for those.
 
 Scope / spec subset (asserted, never silently mis-parsed):
@@ -24,10 +24,11 @@ Scope / spec subset (asserted, never silently mis-parsed):
 - GIF (87a/89a): single frame, global or local color table, real
   variable-width LZW (code growth to 12 bits, 4096-entry CLEAR resets,
   KwKwK case); no interlace; extensions skipped by sub-block walk.
-- JPEG (dq.jpeg, re-exported here): baseline sequential DCT (SOF0),
+- JPEG (dq.jpeg, re-exported here): baseline sequential (SOF0) AND
+  progressive (SOF2, spectral selection + successive approximation),
   8-bit, gray or YCbCr with 4:4:4 / 4:2:0 / 4:2:2 sampling, DHT-driven
-  Huffman decode, restart markers; progressive (SOF2) and arithmetic
-  variants rejected loudly.
+  Huffman decode, restart markers; lossless/arithmetic variants rejected
+  loudly.
 
 Everything is deterministic byte math — the decode functions double as the
 pandas-UDF bodies AND the pytest oracles (CLAUDE.md invariant).
@@ -45,7 +46,7 @@ class MediaDecodeError(ValueError):
     """Raised when bytes claim a supported container but violate the spec
     subset above (truncated, bad CRC, unsupported depth/color/compression).
     Distinct from NotImplementedError, which marks formats this module
-    never attempts (jpeg/gif pixels, opus, av1)."""
+    never attempts (opus, av1, arithmetic-coded JPEG)."""
 
 
 # ---------------------------------------------------------------- PNG -------
@@ -529,10 +530,11 @@ def decode_gif(b: bytes) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
     from dq import jpeg
 
-    return jpeg.encode_jpeg(arr, quality, subsampling, restart_interval)
+    return jpeg.encode_jpeg(arr, quality, subsampling, restart_interval,
+                            progressive)
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
@@ -560,8 +562,8 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_jpeg(b)
     raise NotImplementedError(
         "no pure-numpy decoder for this image container (PNG/BMP/GIF/"
-        "baseline-JPEG are real here; other formats need codec libraries "
-        "absent from this container)"
+        "JPEG-baseline-and-progressive are real here; other formats need "
+        "codec libraries absent from this container)"
     )
 
 

@@ -1,26 +1,34 @@
-"""Baseline JPEG (ITU-T T.81 SOF0 sequential DCT) in pure numpy + stdlib.
+"""JPEG (ITU-T T.81) in pure numpy + stdlib: baseline sequential (SOF0)
+AND progressive (SOF2, spectral selection + successive approximation).
 
 Both directions, zero codec libraries: the encoder exists so the decoder is
-roundtrip-testable (JPEG is lossy — tests pin bounded error on smooth
-content and EXACT roundtrip on uniform grayscale at quality 100, where the
-all-ones quant table and a DC-only spectrum make every step integer-safe).
+roundtrip-testable. JPEG is lossy, so the oracles are (a) bounded error on
+smooth content, (b) EXACT roundtrip on uniform grayscale at quality 100
+(all-ones quant table + DC-only spectrum make every step integer-safe), and
+(c) for progressive: the scan script transmits the SAME quantized
+coefficients as the baseline form, so decode(progressive) must equal
+decode(baseline) bit-for-bit on every input.
 
 Spec subset (asserted, never silently mis-parsed):
-- decode: SOF0 only (progressive SOF2 / extended / arithmetic variants
-  raise MediaDecodeError), 8-bit precision, 1 or 3 components, sampling
-  factors 1-2 per axis (covers 4:4:4, 4:2:0, 4:2:2), DHT-driven canonical
-  Huffman, DQT 8-bit tables, DRI + RSTn restart markers, APPn/COM skipped,
-  0xFF00 byte unstuffing.
+- decode: SOF0 and SOF2 (multi-scan coefficient accumulation; DC/AC first
+  + refinement scans per T.81 §G.2 with EOB runs; extended-sequential /
+  lossless / arithmetic variants raise MediaDecodeError), 8-bit precision,
+  1 or 3 components, sampling factors 1-2 per axis (4:4:4, 4:2:0, 4:2:2),
+  DHT-driven canonical Huffman, DQT 8-bit tables, DRI + RSTn restart
+  markers (DC predictors and EOB runs reset), APPn/COM skipped, 0xFF00
+  byte unstuffing.
 - encode: Annex K quant tables scaled by the IJG quality curve, Annex K
-  Huffman tables (written to the stream as DHT — the decoder always reads
-  tables from the file, so the constants only shape compression, not
-  correctness), JFIF APP0, gray or YCbCr at 4:4:4 / 4:2:0 / 4:2:2, no
-  restart markers.
+  Huffman tables for sequential scans (written to the stream as DHT — the
+  decoder always reads tables from the file, so the constants only shape
+  compression, not correctness), JFIF APP0, gray or YCbCr at 4:4:4 /
+  4:2:0 / 4:2:2; progressive=True emits an SA scan script (DC Al=1→0, AC
+  band splits at Al=1→0) with a complete 256-symbol AC table.
 
 Decode math: canonical Huffman per T.81 §C.2, DC prediction + EXTEND
-(§F.2.2.1), run/size AC with ZRL/EOB (§F.2.2.2), dequant → inverse zigzag
-→ orthonormal 8x8 IDCT (matrix form) → level shift → chroma replication
-upsample → BT.601 YCbCr→RGB.
+(§F.2.2.1), run/size AC with ZRL/EOB (§F.2.2.2), progressive refinement
+correction bits (§G.1.2.3, mirrored from the libjpeg advance walk), dequant
+→ inverse zigzag → orthonormal 8x8 IDCT (matrix form) → level shift →
+chroma replication upsample → BT.601 YCbCr→RGB.
 """
 
 from __future__ import annotations
@@ -213,12 +221,19 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h,w) gray or (h,w,3) RGB -> baseline JFIF bytes.
+    """uint8 (h,w) gray or (h,w,3) RGB -> baseline (SOF0) or progressive
+    (SOF2) JFIF bytes.
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (exists so the decoder's restart path is
-    roundtrip-testable; production encoders use it for error resilience)."""
+    roundtrip-testable; production encoders use it for error resilience).
+    ``progressive`` emits an SA+spectral-selection scan script carrying the
+    SAME quantized coefficients as the baseline form — decode() of the two
+    encodings is pixel-identical (the pytest oracle)."""
+    if progressive and restart_interval:
+        raise ValueError("restart markers are a baseline-encoder option here")
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -265,6 +280,10 @@ def encode_jpeg(
                 coef = (_D @ blk @ _D.T).reshape(-1)
                 blocks[by, bx] = np.round(coef[_ZZ] / q[_ZZ]).astype(np.int64)
         comp_blocks.append(blocks)
+
+    if progressive:
+        return _encode_progressive(comp_blocks, samp, quant, qid, gray, h, w,
+                                   n_mcux, n_mcuy)
 
     # Huffman encode maps
     def enc_map(spec: tuple) -> dict[int, tuple[int, int]]:
@@ -421,8 +440,200 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _scan_units(comp: dict, geom: dict) -> tuple[int, int]:
+    """Non-interleaved scan block grid for one component (T.81 A.2.2: the
+    real data grid padded to 8, NOT the MCU-padded grid)."""
+    cw = -(-geom["iw"] * comp["h"] // geom["hmax"])
+    ch = -(-geom["ih"] * comp["v"] // geom["vmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan(
+    b: bytes,
+    pos: int,
+    scan: list[dict],
+    comps: list[dict],
+    geom: dict,
+    quant: dict,
+    huff: dict,
+    coefs: list[np.ndarray],
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Entropy-decode one scan into the per-component zigzag coefficient
+    arrays; returns the stream position of the next marker."""
+    interleaved = len(scan) > 1
+    if progressive:
+        if ss == 0 and se != 0:
+            _err("progressive scan mixes DC and AC bands (Ss=0 needs Se=0)")
+        if ss > 0 and interleaved:
+            _err("progressive AC scan must be non-interleaved")
+        if ah not in (0,) and ah != al + 1:
+            _err(f"successive approximation Ah={ah} Al={al} out of sequence")
+    elif not (ss == 0 and se == 63 and ah == 0 and al == 0):
+        _err("baseline scan must cover the full band at full precision")
+
+    br = _BitReader(b, pos)
+    pred = {c["idx"]: 0 for c in scan}
+    eobrun = 0
+    rst = 0
+    unit_i = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst, eobrun, pred
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            pred = {k: 0 for k in pred}
+            eobrun = 0
+
+    def baseline_block(c: dict, zz: np.ndarray) -> None:
+        dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
+        s = _decode_sym(br, dc_tbl)
+        diff = _extend(br.receive(s), s) if s else 0
+        pred[c["idx"]] += diff
+        zz[0] = pred[c["idx"]]
+        k = 1
+        while k < 64:
+            rs = _decode_sym(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                _err("AC run past block end")
+            zz[k] = _extend(br.receive(s), s)
+            k += 1
+
+    def dc_block(c: dict, zz: np.ndarray) -> None:
+        if ah == 0:  # first DC scan: shifted diffs
+            s = _decode_sym(br, huff[(0, c["dc"])])
+            diff = _extend(br.receive(s), s) if s else 0
+            pred[c["idx"]] += diff
+            zz[0] = pred[c["idx"]] << al
+        elif br.bit():  # refinement: one raw bit ORed in (G.2)
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first_block(zz: np.ndarray, ac_tbl: dict) -> None:
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_sym(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += r
+            if k > se:
+                _err("AC run past band end")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine_block(zz: np.ndarray, ac_tbl: dict) -> None:
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+        # already-nonzero coefficients are interleaved in position order
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+
+        def refine_at(k: int) -> None:
+            v = int(zz[k])
+            if br.bit() and (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_sym(br, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        _err("AC refinement size must be 1")
+                    newval = p1 if br.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # advance past r zero-history coefficients, refining the
+                # nonzero ones passed on the way
+                while k <= se:
+                    if int(zz[k]):
+                        refine_at(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun:
+            while k <= se:
+                if int(zz[k]):
+                    refine_at(k)
+                k += 1
+            eobrun -= 1
+
+    if interleaved:
+        for my in range(geom["n_mcuy"]):
+            for mx in range(geom["n_mcux"]):
+                maybe_restart()
+                unit_i += 1
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = coefs[c["idx"]][my * c["v"] + by, mx * c["h"] + bx]
+                            if not progressive:
+                                baseline_block(c, zz)
+                            else:
+                                dc_block(c, zz)
+    else:
+        c = scan[0]
+        nby, nbx = _scan_units(c, geom)
+        ac_tbl = huff.get((1, c["ac"])) if (progressive and ss > 0) else None
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                unit_i += 1
+                zz = coefs[c["idx"]][by, bx]
+                if not progressive:
+                    baseline_block(c, zz)
+                elif ss == 0:
+                    dc_block(c, zz)
+                elif ah == 0:
+                    ac_first_block(zz, ac_tbl)
+                else:
+                    ac_refine_block(zz, ac_tbl)
+
+    # discard pad bits, land on the next marker
+    if br.marker is not None:
+        return br.pos - 2
+    pos = br.pos
+    if pos < len(b) and b[pos] != 0xFF:
+        _err("trailing garbage after scan data")
+    return pos
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> uint8 (h,w) gray or (h,w,3) RGB."""
+    """Baseline (SOF0) or progressive (SOF2, spectral selection +
+    successive approximation) JFIF/JPEG bytes -> uint8 (h,w) gray or
+    (h,w,3) RGB."""
     b = bytes(b)
     if b[:2] != b"\xff\xd8":
         _err("not a JPEG (bad SOI)")
@@ -430,15 +641,24 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    geom: dict = {}
+    coefs: list[np.ndarray] = []
+    progressive = False
     restart_interval = 0
+    n_scans = 0
     while True:
-        if pos + 4 > len(b):
-            _err("truncated JPEG (no SOS)")
+        if pos + 2 > len(b):
+            _err("truncated JPEG (no EOI)")
         if b[pos] != 0xFF:
             _err(f"expected marker at {pos}, found 0x{b[pos]:02x}")
         marker = b[pos + 1]
-        if marker == 0xD9:
-            _err("EOI before SOS")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # parameterless
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            _err("truncated JPEG segment header")
         (length,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         body = b[pos + 4 : pos + 2 + length]
         if len(body) != length - 2:
@@ -451,9 +671,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 if pq != 0:
                     _err("16-bit quant tables unsupported (baseline is 8-bit)")
                 vals = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZZ] = vals
-                quant[tq] = tbl.reshape(8, 8)
+                quant[tq] = vals.copy()  # kept in zigzag order
                 i += 65
         elif marker == 0xC4:  # DHT
             i = 0
@@ -466,7 +684,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     (ln, code): v for v, code, ln in _canonical_codes(bits, vals)
                 }
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if sof is not None:
+                _err("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, ih, iw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 _err(f"unsupported precision {prec}")
@@ -478,13 +699,24 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 hi, vi = hv >> 4, hv & 0x0F
                 if hi not in (1, 2) or vi not in (1, 2):
                     _err(f"sampling factor {hi}x{vi} unsupported (1-2 only)")
-                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq, "idx": ci})
             sof = (ih, iw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            geom = {
+                "ih": ih, "iw": iw, "hmax": hmax, "vmax": vmax,
+                "n_mcux": -(-iw // (8 * hmax)), "n_mcuy": -(-ih // (8 * vmax)),
+            }
+            coefs = [
+                np.zeros((geom["n_mcuy"] * c["v"], geom["n_mcux"] * c["h"], 64),
+                         dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             _err(
                 f"unsupported SOF 0xff{marker:02x} — this decoder covers "
-                "baseline sequential (SOF0) only"
+                "baseline sequential (SOF0) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -492,83 +724,52 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if sof is None:
                 _err("SOS before SOF")
             ns = body[0]
+            by_id = {c["id"]: c for c in sof[2]}
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 0x0F})
-            break
+                if cs not in by_id:
+                    _err(f"scan references unknown component {cs}")
+                c = dict(by_id[cs])
+                c["dc"], c["ac"] = tdta >> 4, tdta & 0x0F
+                scan.append(c)
+            s_s, s_e, a = body[1 + 2 * ns : 4 + 2 * ns]
+            a_h, a_l = a >> 4, a & 0x0F
+            for c in scan:
+                if c["tq"] not in quant:
+                    _err(f"missing quant table {c['tq']}")
+                if s_s == 0 and a_h == 0 and (0, c["dc"]) not in huff:
+                    _err("missing DC Huffman table")
+                if s_e > 0 and (1, c["ac"]) not in huff:
+                    _err("missing AC Huffman table")
+            pos = _decode_scan(
+                b, pos, scan, sof[2], geom, quant, huff, coefs, progressive,
+                s_s, s_e, a_h, a_l, restart_interval,
+            )
+            n_scans += 1
         # APPn / COM / others: skipped by the length walk
+    if sof is None or n_scans == 0:
+        _err("JPEG carries no decodable scan")
+
     ih, iw, comps = sof
-    if len(scan) != len(comps):
-        _err("scan/frame component count mismatch")
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        if s["id"] not in by_id:
-            _err(f"scan references unknown component {s['id']}")
-        c = by_id[s["id"]]
-        c["dc"], c["ac"] = s["dc"], s["ac"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    n_mcux = -(-iw // (8 * hmax))
-    n_mcuy = -(-ih // (8 * vmax))
-    planes = []
-    for c in comps:
-        if c["tq"] not in quant:
-            _err(f"missing quant table {c['tq']}")
-        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
-            _err("missing Huffman table")
-        planes.append(
-            np.zeros((n_mcuy * c["v"] * 8, n_mcux * c["h"] * 8), dtype=np.float64)
-        )
-
-    br = _BitReader(b, pos)
-    pred = [0] * len(comps)
-    mcu_i = 0
-    rst = 0
-    for my in range(n_mcuy):
-        for mx in range(n_mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                br.restart(rst)
-                rst = (rst + 1) & 7
-                pred = [0] * len(comps)
-            mcu_i += 1
-            for ci, c in enumerate(comps):
-                dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
-                q = quant[c["tq"]].reshape(-1)
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        s = _decode_sym(br, dc_tbl)
-                        diff = _extend(br.receive(s), s) if s else 0
-                        pred[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(br, ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                _err("AC run past block end")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZZ] = zz * q
-                        blk = _D.T @ coef.reshape(8, 8) @ _D
-                        py, px = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = blk
-
     full = []
-    for c, p in zip(comps, planes):
-        cw = -(-iw * c["h"] // hmax)
-        ch = -(-ih * c["v"] // vmax)
-        p = p[:ch, :cw]
-        if c["v"] != vmax or c["h"] != hmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+    for c, cf in zip(comps, coefs):
+        q = quant[c["tq"]]
+        nby, nbx = cf.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZZ] = cf[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _D.T @ coef.reshape(8, 8) @ _D
+                )
+        cw = -(-iw * c["h"] // geom["hmax"])
+        ch = -(-ih * c["v"] // geom["vmax"])
+        p = plane[:ch, :cw]
+        if c["v"] != geom["vmax"] or c["h"] != geom["hmax"]:
+            p = np.repeat(np.repeat(p, geom["vmax"] // c["v"], axis=0),
+                          geom["hmax"] // c["h"], axis=1)
         full.append(p[:ih, :iw] + 128.0)
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
@@ -577,3 +778,236 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bl = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, bl], axis=2)), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive encoder -----
+# Exists so the progressive DECODER is roundtrip-testable: the scan script
+# below (SA DC Al=1->0; spectral-selection AC bands at Al=1 then a
+# refinement pass to Al=0) transmits exactly the same quantized
+# coefficients as the baseline encoder, so decode(progressive bytes) must
+# equal decode(baseline bytes) BIT-EXACTLY — that equality is the pytest
+# oracle. The Annex K AC tables lack the EOBn (r>0) symbols progressive
+# scans emit, so AC scans use a complete 256-symbol table written to DHT
+# (255 codes at 9 bits + 1 at 10 — any valid table works, the decoder
+# always reads tables from the stream).
+
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+_EOB_MAX = 0x7FFF
+
+
+class _EobRuns:
+    """End-of-band run accumulator for progressive AC scans: counts blocks,
+    buffers each run block's correction bits (refinement scans), flushes as
+    EOBn symbols + the covered blocks' bits in block order."""
+
+    def __init__(self, bw: _BitWriter, ac_map: dict) -> None:
+        self.bw = bw
+        self.ac_map = ac_map
+        self.groups: list[list[int]] = []
+
+    def add(self, correction_bits: list[int]) -> None:
+        self.groups.append(correction_bits)
+        if len(self.groups) == _EOB_MAX:
+            self.flush()
+
+    def flush(self) -> None:
+        while self.groups:
+            run = len(self.groups)
+            r = min(14, run.bit_length() - 1)
+            chunk = min(run, (1 << (r + 1)) - 1)
+            code, ln = self.ac_map[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(chunk - (1 << r), r)
+            for grp in self.groups[:chunk]:
+                for bit in grp:
+                    self.bw.write(bit, 1)
+            self.groups = self.groups[chunk:]
+
+
+def _ac_first_emit(bw, ac_map, runs: _EobRuns, zz: np.ndarray,
+                   ss: int, se: int, al: int) -> None:
+    vals = [int(v) for v in zz[ss : se + 1]]
+    t = [(abs(v) >> al) for v in vals]
+    if not any(t):
+        runs.add([])
+        return
+    runs.flush()
+    last = max(i for i, tv in enumerate(t) if tv)
+    r = 0
+    for i in range(last + 1):
+        if t[i] == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_map[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = t[i].bit_length()
+        code, ln = ac_map[(r << 4) | s]
+        bw.write(code, ln)
+        amp = t[i] if vals[i] > 0 else -t[i]
+        bw.write(amp if amp >= 0 else amp + (1 << s) - 1, s)
+        r = 0
+    if last < se - ss:  # trailing zeros -> this block ends an EOB run member
+        runs.add([])
+
+
+def _ac_refine_emit(bw, ac_map, runs: _EobRuns, zz: np.ndarray,
+                    ss: int, se: int, al: int) -> None:
+    # items per position: 'z' zero-history, ('c', bit) correction for an
+    # already-significant coef, ('n', sign) newly significant — then emit
+    # by simulating the decoder's advance walk so correction bits land in
+    # exactly the positions the decoder reads them
+    items = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        tv = abs(v) >> al
+        if tv == 0:
+            items.append(("z",))
+        elif tv == 1:
+            items.append(("n", 1 if v > 0 else 0))
+        else:
+            items.append(("c", tv & 1))
+    n_positions = [i for i, it in enumerate(items) if it[0] == "n"]
+    if not n_positions:
+        runs.add([bit for kind, *rest in items if kind == "c" for bit in rest])
+        return
+    runs.flush()
+    last_n = n_positions[-1]
+    zeros = 0
+    buf: list[int] = []
+    for i in range(last_n + 1):
+        kind = items[i][0]
+        if kind == "z":
+            zeros += 1
+            if zeros == 16:
+                code, ln = ac_map[0xF0]
+                bw.write(code, ln)
+                for bit in buf:
+                    bw.write(bit, 1)
+                buf = []
+                zeros = 0
+        elif kind == "c":
+            buf.append(items[i][1])
+        else:
+            code, ln = ac_map[(zeros << 4) | 1]
+            bw.write(code, ln)
+            bw.write(items[i][1], 1)
+            for bit in buf:
+                bw.write(bit, 1)
+            buf = []
+            zeros = 0
+    tail = [it[1] for it in items[last_n + 1 :] if it[0] == "c"]
+    if last_n < len(items) - 1:
+        runs.add(tail)  # decoder still expects a symbol for the tail
+
+
+def _encode_progressive(comp_blocks, samp, quant, qid, gray, h, w,
+                        n_mcux, n_mcuy) -> bytes:
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ncomp = len(comp_blocks)
+
+    def enc_map(spec):
+        return {v: (c, ln) for v, c, ln in _canonical_codes(*spec)}
+
+    dc_maps = [enc_map(_DC_LUMA)] + [enc_map(_DC_CHROMA)] * (ncomp - 1)
+    ac_map = enc_map(_PROG_AC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t in range(1 if gray else 2):
+        out += seg(0xFFDB, bytes([t]) + bytes(int(x) for x in quant[t].reshape(-1)[_ZZ]))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qid[ci]])
+    out += seg(0xFFC2, bytes(sof))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    if not gray:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_PROG_AC[0]) + bytes(_PROG_AC[1]))
+
+    def sos_header(comp_ids, tables, ss, se, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid, tb in zip(comp_ids, tables):
+            body += bytes([cid, tb])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, bytes(body))
+
+    def scan_grid(ci):
+        """Non-interleaved block grid (real data padded to 8, per T.81)."""
+        hi, vi = samp[ci]
+        return -(-(-(-h * vi // vmax)) // 8), -(-(-(-w * hi // hmax)) // 8)
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic-shifted diffs)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        val = int(comp_blocks[ci][my * vi + by, mx * hi + bx][0]) >> 1
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        s = _size_cat(diff)
+                        code, ln = dc_maps[ci][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += sos_header([ci + 1 for ci in range(ncomp)],
+                      [0x00 if ci == 0 else 0x10 for ci in range(ncomp)],
+                      0, 0, 0, 1)
+    out += bw.out
+
+    # AC bands: comp0 split (exercises spectral selection), others full
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+
+    for al in (1,):  # AC first scans at Al=1
+        for ci, ss, se in bands:
+            bw = _BitWriter()
+            runs = _EobRuns(bw, ac_map)
+            nby, nbx = scan_grid(ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    _ac_first_emit(bw, ac_map, runs, comp_blocks[ci][by, bx],
+                                   ss, se, al)
+            runs.flush()
+            bw.flush()
+            out += sos_header([ci + 1], [0x00], ss, se, 0, al)
+            out += bw.out
+
+    # DC refinement: Ah=1 -> Al=0, raw bits, interleaved
+    bw = _BitWriter()
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        bw.write(int(comp_blocks[ci][my * vi + by, mx * hi + bx][0]) & 1, 1)
+    bw.flush()
+    out += sos_header([ci + 1 for ci in range(ncomp)], [0x00] * ncomp, 0, 0, 1, 0)
+    out += bw.out
+
+    # AC refinement: Ah=1 -> Al=0
+    for ci, ss, se in bands:
+        bw = _BitWriter()
+        runs = _EobRuns(bw, ac_map)
+        nby, nbx = scan_grid(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                _ac_refine_emit(bw, ac_map, runs, comp_blocks[ci][by, bx],
+                                ss, se, 0)
+        runs.flush()
+        bw.flush()
+        out += sos_header([ci + 1], [0x00], ss, se, 1, 0)
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

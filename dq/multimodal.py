@@ -9,7 +9,7 @@ dq.jpeg (pure numpy + stdlib — pixel unfiltering, BGR/padding layout,
 variable-width LZW, Huffman+DCT, PCM frames; roundtrip-pytested against
 the encoders): ``fake=False`` decodes those payloads and computes features
 over the actual pixels/samples. Genuinely library-scale codecs (opus, av1,
-progressive/arithmetic JPEG) raise NotImplementedError — an honest
+arithmetic-coded JPEG) raise NotImplementedError — an honest
 boundary, not a stub over everything. ``fake=True`` remains the
 hash-derived stand-in so pipelines over undecodable corpora stay testable
 end-to-end.
@@ -88,8 +88,9 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
     the dq.codecs encoders: PNG images (cycling through all five scanline
     filters, so the corpus exercises every unfilter path), 24-bit BMP
     images, PCM-16 WAV audio (mono/stereo alternating), palette GIFs
-    (real LZW), and baseline JPEGs (alternating 4:4:4 / 4:2:0 sampling —
-    lossy, but byte-deterministic, so decoded features are stable). The
+    (real LZW), and JPEGs (alternating 4:4:4 / 4:2:0 sampling, every other
+    one progressive SOF2 — lossy, but byte-deterministic, so decoded
+    features are stable). The
     real-decode tier (``fake=False``) runs end-to-end over this corpus; the
     opaque corpus from :func:`synth_media` remains the undecodable/mislabel
     case. Kind order keeps asset 0 a PNG (pytest oracle anchor).
@@ -132,6 +133,7 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
             payload = codecs.encode_jpeg(
                 arr, quality=85 + 5 * (i % 3),
                 subsampling="420" if i % 2 else "444",
+                progressive=bool((i // 5) % 2),
             )
         rows.append(
             (i, f"https://media.example.com/image/{i}", "image",
@@ -190,7 +192,7 @@ def _decode_real(content: bytes, media_type: str) -> list[float]:
     dq.codecs (dispatch on the container MAGIC, not the declared codec —
     mislabeled uploads must not pick the wrong parser). Corrupt supported
     containers raise codecs.MediaDecodeError; library-scale codecs raise
-    NotImplementedError (opus, av1, progressive JPEG)."""
+    NotImplementedError (opus, av1, arithmetic JPEG)."""
     from dq import codecs
 
     b = bytes(content or b"")

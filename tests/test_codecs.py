@@ -331,13 +331,74 @@ def test_jpeg_rejects_non_subset():
     good = bytearray(codecs.encode_jpeg(np.full((9, 9), 7, dtype=np.uint8)))
     with pytest.raises(codecs.MediaDecodeError, match="SOI"):
         codecs.decode_jpeg(b"\x00" + bytes(good[1:]))
+    # SOF2 is now a SUPPORTED format, so a baseline-shaped scan relabeled
+    # progressive dies on the scan-shape check, not the SOF marker
     sof = bytes(good).find(b"\xff\xc0")
     prog = bytearray(good)
     prog[sof + 1] = 0xC2
-    with pytest.raises(codecs.MediaDecodeError, match="SOF0|baseline"):
+    with pytest.raises(codecs.MediaDecodeError, match="progressive scan"):
         codecs.decode_jpeg(bytes(prog))
+    # arithmetic-coded sequential (SOF9) stays out of scope
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(codecs.MediaDecodeError, match="SOF0.*SOF2|unsupported SOF"):
+        codecs.decode_jpeg(bytes(arith))
     with pytest.raises(codecs.MediaDecodeError, match="truncated"):
         codecs.decode_jpeg(bytes(good[: len(good) // 3]))
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
+def test_jpeg_progressive_equals_baseline_pixels(subsampling):
+    """The progressive scan script (SA DC Al=1->0, spectral-selection AC
+    bands at Al=1 then refinement to Al=0) transmits the SAME quantized
+    coefficients as the baseline form — decode of the two encodings must be
+    pixel-identical on every input, including noisy content (dense
+    refinement correction bits) and near-empty content (multi-block EOB
+    runs)."""
+    rng = np.random.RandomState(5)
+    corpora = [
+        _gradient_rgb(33, 29),
+        rng.randint(0, 256, size=(24, 31, 3)).astype(np.uint8),
+    ]
+    for base in corpora:
+        b0 = codecs.decode_jpeg(codecs.encode_jpeg(base, quality=80,
+                                                   subsampling=subsampling))
+        b1 = codecs.decode_jpeg(codecs.encode_jpeg(base, quality=80,
+                                                   subsampling=subsampling,
+                                                   progressive=True))
+        assert (b0 == b1).all()
+
+
+def test_jpeg_progressive_gray_and_eob_runs():
+    sparse = np.zeros((64, 64), dtype=np.uint8)
+    sparse[30, 30] = 255
+    for img in (sparse,
+                np.clip(np.arange(40)[:, None] * 2.5
+                        + np.arange(56)[None, :] * 1.5, 0, 255).astype(np.uint8)):
+        b0 = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+        prog = codecs.encode_jpeg(img, quality=90, progressive=True)
+        assert b"\xff\xc2" in prog  # SOF2 actually emitted
+        assert (codecs.decode_jpeg(prog) == b0).all()
+
+
+def test_jpeg_progressive_rejects_out_of_sequence_refinement():
+    """A refinement scan with Ah != Al+1 is out of SA sequence (T.81 G.1)
+    and must be rejected, not silently misdecoded."""
+    good = bytearray(codecs.encode_jpeg(np.full((9, 9), 7, dtype=np.uint8),
+                                        progressive=True))
+    # find the DC refinement SOS (Ss=0, Se=0, Ah=1, Al=0) and corrupt Ah
+    i = 0
+    while True:
+        i = bytes(good).find(b"\xff\xda", i + 1)
+        assert i > 0
+        ln = int.from_bytes(good[i + 2 : i + 4], "big")
+        ns = good[i + 4]
+        ss, se, a = good[i + 5 + 2 * ns : i + 8 + 2 * ns]
+        if ss == 0 and a >> 4 == 1:
+            good[i + 7 + 2 * ns] = 0x30  # Ah=3, Al=0: skips two levels
+            break
+    with pytest.raises(codecs.MediaDecodeError, match="out of sequence"):
+        codecs.decode_jpeg(bytes(good))
 
 
 def test_gif_jpeg_sniffer_geometry_matches_codec():
