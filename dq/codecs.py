@@ -418,78 +418,162 @@ def _lzw_decompress_gif(b: bytes, mcs: int, n_pixels: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """uint8 index array (h,w) + palette (n,3) uint8 -> single-frame GIF89a
-    with a global color table. Lossless: decode_gif returns exactly
-    ``palette[indices]``."""
-    idx = np.asarray(indices, dtype=np.uint8)
+def _gif_header(w: int, h: int, palette: np.ndarray) -> tuple[bytearray, int]:
+    """GIF89a header + logical screen descriptor + global color table;
+    returns (bytes, lzw min code size)."""
     pal = np.asarray(palette, dtype=np.uint8)
-    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
-        raise ValueError("encode_gif takes (h,w) indices and (n,3) palette")
+    if pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette must be (n,3) uint8")
     n_colors = int(pal.shape[0])
     if not 2 <= n_colors <= 256:
         raise ValueError(f"palette must hold 2-256 colors, got {n_colors}")
-    if idx.size and int(idx.max()) >= n_colors:
-        raise ValueError("pixel index outside palette")
     ct_bits = max(1, (n_colors - 1).bit_length())  # table size = 2**ct_bits
     mcs = max(2, ct_bits)
-    h, w = idx.shape
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     # packed LSD byte: global table present, color resolution = table bits
     out.append(0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1))
     out += b"\x00\x00"  # background index, aspect ratio
     out += pal.tobytes() + b"\x00" * (3 * ((1 << ct_bits) - n_colors))
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    return out, mcs
+
+
+def _gif_frame(out: bytearray, idx: np.ndarray, left: int, top: int,
+               mcs: int, n_colors: int) -> None:
+    if idx.ndim != 2:
+        raise ValueError("frame indices must be (h,w)")
+    if idx.size and int(idx.max()) >= n_colors:
+        raise ValueError("pixel index outside palette")
+    h, w = idx.shape
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
     out.append(mcs)
     lzw = _lzw_compress_gif(idx.reshape(-1), mcs)
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"
+    out.append(0)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """uint8 index array (h,w) + palette (n,3) uint8 -> single-frame GIF89a
+    with a global color table. Lossless: decode_gif returns exactly
+    ``palette[indices]``."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    out, mcs = _gif_header(w, h, pal)
+    _gif_frame(out, idx, 0, 0, mcs, int(pal.shape[0]))
+    out += b"\x3b"
     return bytes(out)
 
 
-def decode_gif(b: bytes) -> np.ndarray:
-    """GIF87a/89a bytes -> uint8 (h,w,3) RGB of the FIRST frame."""
+def encode_gif_anim(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    offsets: list[tuple[int, int]] | None = None,
+    screen_wh: tuple[int, int] | None = None,
+    delay_cs: int = 5,
+    transparent: int | None = None,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """Animated GIF89a: each frame a (h,w) uint8 index array placed at its
+    ``offsets[i]`` = (left, top) on the logical screen, a Graphic Control
+    Extension per frame (``delay_cs`` hundredths, optional ``transparent``
+    index, per-frame ``disposals`` 0/1/2). Frames with offsets/transparency
+    exist so the decoder's compositing paths are roundtrip-testable."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    pal = np.asarray(palette, dtype=np.uint8)
+    offs = offsets or [(0, 0)] * len(frames)
+    disp = disposals or [0] * len(frames)
+    if len(offs) != len(frames) or len(disp) != len(frames):
+        raise ValueError("offsets/disposals must match frame count")
+    sw = screen_wh[0] if screen_wh else max(
+        o[0] + f.shape[1] for f, o in zip(frames, offs))
+    sh = screen_wh[1] if screen_wh else max(
+        o[1] + f.shape[0] for f, o in zip(frames, offs))
+    out, mcs = _gif_header(sw, sh, pal)
+    for f, (left, top), d in zip(frames, offs, disp):
+        if d not in (0, 1, 2):
+            raise ValueError(f"disposal {d} unsupported (0/1/2)")
+        if left + f.shape[1] > sw or top + f.shape[0] > sh:
+            raise ValueError("frame rect outside logical screen")
+        packed = (d << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, delay_cs & 0xFF,
+                      (delay_cs >> 8) & 0xFF,
+                      transparent if transparent is not None else 0, 0])
+        _gif_frame(out, np.asarray(f, dtype=np.uint8), left, top, mcs,
+                   int(pal.shape[0]))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes) -> list[np.ndarray]:
+    """GIF87a/89a bytes -> list of COMPOSITED uint8 (h,w,3) RGB frames at
+    logical-screen size: frame rects are painted at their (left, top)
+    offsets over the running canvas, GCE transparency keeps underlying
+    pixels, disposal 0/1 leaves the canvas, disposal 2 restores the frame
+    rect to the background color. Disposal 3 (restore-previous) is outside
+    the subset and rejected."""
     b = bytes(b)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("not a GIF (bad magic)")
     if len(b) < 13:
         raise MediaDecodeError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", b[6:10])
     packed = b[10]
+    bg_index = b[11]
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
 
-    def skip_subblocks(p: int) -> int:
-        while True:
-            if p >= len(b):
-                raise MediaDecodeError("truncated GIF sub-blocks")
-            size = b[p]
-            p += 1 + size
-            if size == 0:
-                return p
-
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
     while pos < len(b):
         tag = b[pos]
-        if tag == 0x21:  # extension: label byte then sub-blocks
-            pos = skip_subblocks(pos + 2)
+        if tag == 0x21:  # extension
+            if pos + 2 > len(b):
+                raise MediaDecodeError("truncated GIF extension")
+            label = b[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and p < len(b) and b[p] >= 4:  # GCE
+                gpacked = b[p + 1]
+                disposal = (gpacked >> 2) & 0x07
+                if disposal == 3:
+                    raise MediaDecodeError(
+                        "restore-previous disposal unsupported (subset: 0/1/2)"
+                    )
+                transparent = b[p + 4] if gpacked & 0x01 else None
+            # skip sub-blocks (incl. the GCE body itself)
+            while True:
+                if p >= len(b):
+                    raise MediaDecodeError("truncated GIF sub-blocks")
+                size = b[p]
+                p += 1 + size
+                if size == 0:
+                    break
+            pos = p
         elif tag == 0x2C:  # image descriptor
             if pos + 10 > len(b):
                 raise MediaDecodeError("truncated image descriptor")
-            _, _, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
             ipacked = b[pos + 9]
             pos += 10
             if ipacked & 0x40:
                 raise MediaDecodeError(
                     "interlaced GIF unsupported (this decoder covers "
-                    "non-interlaced single frames)"
+                    "non-interlaced frames)"
                 )
+            if left + iw > sw or top + ih > sh:
+                raise MediaDecodeError("frame rect outside logical screen")
             table = gct
             if ipacked & 0x80:  # local color table overrides
                 n = 2 << (ipacked & 0x07)
@@ -511,15 +595,33 @@ def decode_gif(b: bytes) -> np.ndarray:
                     break
                 data += b[pos : pos + size]
                 pos += size
-            idx = _lzw_decompress_gif(bytes(data), mcs, iw * ih)
+            idx = _lzw_decompress_gif(bytes(data), mcs, iw * ih).reshape(ih, iw)
             if idx.size and int(idx.max()) >= len(table):
                 raise MediaDecodeError("GIF pixel index outside color table")
-            return table[idx].reshape(ih, iw, 3)
+            region = canvas[top : top + ih, left : left + iw]
+            pix = table[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = pix[mask]
+            else:
+                region[:] = pix
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = bg_rgb
+            transparent, disposal = None, 0
         elif tag == 0x3B:
             break
         else:
             raise MediaDecodeError(f"unknown GIF block 0x{tag:02x}")
-    raise MediaDecodeError("GIF contains no image frame")
+    if not frames:
+        raise MediaDecodeError("GIF contains no image frame")
+    return frames
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> uint8 (h,w,3) RGB of the FIRST composited frame
+    at logical-screen size."""
+    return decode_gif_frames(b)[0]
 
 
 # --------------------------------------------------------------- JPEG -------

@@ -88,9 +88,10 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
     the dq.codecs encoders: PNG images (cycling through all five scanline
     filters, so the corpus exercises every unfilter path), 24-bit BMP
     images, PCM-16 WAV audio (mono/stereo alternating), palette GIFs
-    (real LZW), and JPEGs (alternating 4:4:4 / 4:2:0 sampling, every other
+    (real LZW), JPEGs (alternating 4:4:4 / 4:2:0 sampling, every other
     one progressive SOF2 — lossy, but byte-deterministic, so decoded
-    features are stable). The
+    features are stable), and animated GIFs as VIDEO assets (multi-frame,
+    real frame sampling). The
     real-decode tier (``fake=False``) runs end-to-end over this corpus; the
     opaque corpus from :func:`synth_media` remains the undecodable/mislabel
     case. Kind order keeps asset 0 a PNG (pytest oracle anchor).
@@ -100,7 +101,7 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
     rows = []
     for i in range(n):
         rng = np.random.RandomState(seed * 1_000_003 + i)
-        kind = ("png", "bmp", "wav", "gif", "jpeg")[i % 5]
+        kind = ("png", "bmp", "wav", "gif", "jpeg", "gifanim")[i % 6]
         if kind == "wav":
             ch = 1 + (i // 3) % 2
             rate = 8000 + 400 * (i % 5)
@@ -129,12 +130,30 @@ def synth_media_decodable(spark: SparkSession, n: int = 48, seed: int = 7) -> Da
             indices = ((grad[:, :, 0] + rng.randint(0, 8, size=(h, w))) % n_colors
                        ).astype(np.uint8)
             payload = codecs.encode_gif(indices, palette)
-        else:  # jpeg
+        elif kind == "jpeg":
             payload = codecs.encode_jpeg(
                 arr, quality=85 + 5 * (i % 3),
                 subsampling="420" if i % 2 else "444",
-                progressive=bool((i // 5) % 2),
+                progressive=bool((i // 6) % 2),
             )
+        else:  # gifanim: a real multi-frame video asset
+            n_colors = 32
+            palette = (
+                np.arange(n_colors)[:, None] * np.array([13, 7, 5])[None, :] % 256
+            ).astype(np.uint8)
+            n_frames = 3 + i % 3
+            frames = [
+                ((grad[:, :, 0] + 5 * f + rng.randint(0, 6, size=(h, w)))
+                 % n_colors).astype(np.uint8)
+                for f in range(n_frames)
+            ]
+            delay_cs = 4 + i % 5
+            payload = codecs.encode_gif_anim(frames, palette, delay_cs=delay_cs)
+            rows.append(
+                (i, f"https://media.example.com/video/{i}", "video",
+                 bytearray(payload), w, h, n_frames * delay_cs * 10, "gif")
+            )
+            continue
         rows.append(
             (i, f"https://media.example.com/image/{i}", "image",
              bytearray(payload), w, h, None, kind)
@@ -247,12 +266,15 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
-    """mapInPandas operator: video 'frame sampling' plumbing.
+    """mapInPandas operator: video frame sampling (1 row per frame — an
+    exploding operator, so its output schema carries the frame index).
 
-    Real impl would demux + decode keyframes; the fake samples the payload
-    every ``every_n_bytes`` and emits per-frame digests (1 row per frame —
-    an exploding operator, so its output schema carries the frame index).
-    """
+    ``fake=False`` decodes animated GIFs for REAL (dq.codecs multi-frame
+    LZW + GCE compositing: offsets, transparency, disposal) and digests
+    each composited frame's PIXELS; containers needing demuxers absent
+    from this box (opus/av1) raise NotImplementedError. The fake path
+    samples the raw payload every ``every_n_bytes`` so pipelines over
+    undecodable corpora stay testable."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,7 +283,18 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) ->
                 if mtype != "video" or content is None:
                     continue
                 if not fake:
-                    _decode_real(content, mtype)
+                    b = bytes(content)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        from dq import codecs
+
+                        for k, frame in enumerate(codecs.decode_gif_frames(b)):
+                            out_ids.append(aid)
+                            out_idx.append(k)
+                            out_sha.append(
+                                hashlib.sha256(frame.tobytes()).hexdigest()
+                            )
+                        continue
+                    _decode_real(content, mtype)  # honest boundary: raises
                 for k, off in enumerate(range(0, len(content), every_n_bytes)):
                     chunk = bytes(content[off : off + every_n_bytes])
                     out_ids.append(aid)

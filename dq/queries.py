@@ -1470,6 +1470,20 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: the decodable corpus's animated-GIF
+    assets are multi-frame decoded (dq.codecs: variable-width LZW per
+    frame + GCE compositing) and each COMPOSITED frame's pixels are
+    digested — one row per (asset, frame). Rows-only: frame digests are
+    synthesized-corpus artifacts, but pytest pins the Spark-side digest
+    equal to the local decode oracle and the frame count equal to the
+    encoder's script. Scalar columns only (driver canonicalizer)."""
+    from dq.multimodal import sample_frames, synth_media_decodable
+
+    assets = synth_media_decodable(spark, n=48)
+    return sample_frames(assets, fake=False).orderBy("asset_id", "frame_index")
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -1979,4 +1993,5 @@ QUERIES = {
     # round-5 additions APPENDED (same sampler-stability rule as above)
     "near_dup_clusters_star": near_dup_clusters_star,
     "media_decode_features": media_decode_features,
+    "media_frame_samples": media_frame_samples,
 }

@@ -267,6 +267,57 @@ def test_gif_rejects_non_subset():
                           np.zeros((300, 3), dtype=np.uint8))
 
 
+def _pal32():
+    return (np.arange(32)[:, None] * np.array([11, 5, 3])[None, :] % 256).astype(np.uint8)
+
+
+def test_gif_anim_full_frame_roundtrip():
+    """Full-screen frames with no transparency composite to exactly
+    palette[frame] per frame; decode_gif stays the first composited frame."""
+    pal = _pal32()
+    frames = [((np.arange(10)[:, None] + np.arange(14)[None, :] + 5 * f) % 32
+               ).astype(np.uint8) for f in range(4)]
+    b = codecs.encode_gif_anim(frames, pal, delay_cs=4)
+    out = codecs.decode_gif_frames(b)
+    assert len(out) == 4
+    for f, o in zip(frames, out):
+        assert (o == pal[f]).all()
+    assert (codecs.decode_gif(b) == pal[frames[0]]).all()
+
+
+def test_gif_anim_offsets_transparency_disposal():
+    """Partial-rect frames composite at their offsets; GCE transparency
+    keeps underlying pixels; disposal 2 restores the rect to background
+    for the NEXT frame; disposal 3 is rejected, never misrendered."""
+    pal = _pal32()
+    f1 = np.full((12, 16), 3, dtype=np.uint8)
+    f2 = np.full((4, 6), 7, dtype=np.uint8)
+    f2[1:3, 2:4] = 0  # transparent holes
+    b = codecs.encode_gif_anim([f1, f2], pal, offsets=[(0, 0), (5, 4)],
+                               screen_wh=(16, 12), transparent=0)
+    o = codecs.decode_gif_frames(b)
+    exp2 = pal[f1].copy()
+    region = exp2[4:8, 5:11]
+    mask = f2 != 0
+    region[mask] = pal[f2][mask]
+    assert (o[1] == exp2).all()
+    # disposal 2: rect returns to the background color before frame 3
+    f3 = np.full((3, 3), 9, dtype=np.uint8)
+    b3 = codecs.encode_gif_anim([f1, f3, f3], pal,
+                                offsets=[(0, 0), (2, 2), (10, 8)],
+                                screen_wh=(16, 12), disposals=[0, 2, 0])
+    o3 = codecs.decode_gif_frames(b3)
+    exp_last = pal[f1].copy()
+    exp_last[2:5, 2:5] = pal[0]
+    exp_last[8:11, 10:13] = pal[f3]
+    assert (o3[2] == exp_last).all()
+    raw = bytearray(b3)
+    i = bytes(raw).find(b"\x21\xf9\x04")
+    raw[i + 3] = (raw[i + 3] & ~0x1C) | (3 << 2)
+    with pytest.raises(codecs.MediaDecodeError, match="restore-previous"):
+        codecs.decode_gif_frames(bytes(raw))
+
+
 # ---- JPEG -------------------------------------------------------------------
 
 

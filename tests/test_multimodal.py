@@ -85,6 +85,29 @@ def test_real_resize_decodes_and_resamples(spark):
         assert r.resized_sha256 == want
 
 
+def test_real_frame_sampling_decodes_animated_gif(spark):
+    """fake=False frame sampling multi-frame-decodes the animated-GIF
+    video assets in the Arrow workers: one row per composited frame, the
+    Spark-side pixel digest equals the local codec oracle, and the frame
+    count matches the synth encoder's script (3 + i%3)."""
+    import hashlib
+
+    from dq import codecs
+
+    assets = multimodal.synth_media_decodable(spark, n=12)
+    frames = multimodal.sample_frames(assets, fake=False).toPandas()
+    pdf = assets.toPandas().set_index("asset_id")
+    vids = pdf[pdf["media_type"] == "video"]
+    assert len(vids) == 2 and set(frames["asset_id"]) == set(vids.index)
+    for aid, row in vids.iterrows():
+        local = codecs.decode_gif_frames(bytes(row["content"]))
+        got = frames[frames["asset_id"] == aid].sort_values("frame_index")
+        assert list(got["frame_index"]) == list(range(len(local)))
+        assert len(local) == 3 + aid % 3
+        want = [hashlib.sha256(f.tobytes()).hexdigest() for f in local]
+        assert list(got["frame_sha256"]) == want
+
+
 def test_frame_sampling_video_only(spark):
     assets = multimodal.synth_media(spark, n=12)
     frames = multimodal.sample_frames(assets, fake=True).toPandas()
