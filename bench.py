@@ -94,6 +94,15 @@ HEADLINE = [
     "canonical_chains",          # round-4: pointer-doubling chain resolution
     "paragraph_bloom_dedup",     # round-4: Dolma paragraph Bloom dedup
     "dup_cluster_histogram",     # round-4: dup-family power-law report
+    "bpe_pair_counts",           # round-5: BPE tokenizer-training pair table
+    # bpe_merge_table stays OUT of the headline for the same reason as
+    # near_dup_clusters: it is iterative (8 argmax-collect rounds over the
+    # small vocab frame), so local wall time measures per-job fixed
+    # overhead, not engine throughput — pytest pins it to the python trainer.
+    # media_decode_features / media_frame_samples stay OUT of the headline:
+    # their corpus is a fixed 48-asset synthesized set (decode correctness
+    # lives in pytest), so wall time would measure Python-worker spawn over
+    # a constant-size input, not engine throughput at sf.
     # near_dup_clusters / near_dup_clusters_star stay OUT of the headline:
     # both are iterative (several Spark jobs of convergence checks over the
     # small planted pair graph), so local wall time measures per-job fixed

@@ -50,7 +50,12 @@ from dq.queries import (
     VALUE_BAND_LABELS,
 )
 from dq.scrub import SCRUB_RULES
-from dq.textstats import BPE_SPLIT_PATTERN
+from dq.textstats import (
+    BPE_PAIR_TOP_K,
+    BPE_SPLIT_PATTERN,
+    BPE_WORD_MAX_LEN,
+    BPE_WORD_MIN_LEN,
+)
 
 _DT = "strftime(ts, '%Y%m%d')"
 
@@ -2496,3 +2501,28 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
 # vertex with the SAME min-vertex-id as min-label propagation (proven in
 # tests/test_dedup.py), so the recursive-CTE oracle is shared verbatim.
 ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
+
+# round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
+# DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
+# sequence(1, length-1); both substrings are character-based in both engines.
+ORACLES["bpe_pair_counts"] = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '{BPE_SPLIT_PATTERN}'))
+         AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS freq
+  FROM toks
+  WHERE length(word) BETWEEN {BPE_WORD_MIN_LEN} AND {BPE_WORD_MAX_LEN}
+  GROUP BY word
+), pos AS (
+  SELECT word, freq, unnest(range(1, length(word))) AS i FROM vocab
+)
+SELECT substring(word, CAST(i AS INTEGER), 1) AS left_sym,
+       substring(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+       CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pos
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {BPE_PAIR_TOP_K}
+"""

@@ -1484,6 +1484,31 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(assets, fake=False).orderBy("asset_id", "frame_index")
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training prep (Sennrich et al. 2016, step 1): the
+    corpus-wide adjacent-symbol pair-count table whose argmax is the next
+    merge. Pair counting runs over the distinct-word VOCABULARY (Zipf-small
+    vs the token stream), never the raw corpus — see
+    dq.textstats.bpe_pair_table for the 100 TB shape. Deterministic top-K
+    (count desc, then the pair itself) so the DuckDB twin picks the same
+    rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bpe_pair_table(docs, text_col="text")
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE tokenizer-training loop (Sennrich et al. 2016): learn
+    the first BPE_MERGE_ROUNDS merges corpus-exact — per round, a vocab-only
+    pair agg, a 1-row argmax collect, and a codegen fold-rewrite of the
+    symbol arrays (dq.textstats.bpe_learn_merges; localCheckpoint per round
+    per the CLAUDE.md iterative-loop rule). Rows-only by design: the loop is
+    iterative (argmax feeds the next round's rewrite), not SQL-expressible —
+    pytest pins it row-identical to a classic pure-Python BPE trainer on
+    planted corpora AND on the sf0.001 documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bpe_learn_merges(docs, text_col="text")
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -1994,4 +2019,6 @@ QUERIES = {
     "near_dup_clusters_star": near_dup_clusters_star,
     "media_decode_features": media_decode_features,
     "media_frame_samples": media_frame_samples,
+    "bpe_pair_counts": bpe_pair_counts,
+    "bpe_merge_table": bpe_merge_table,
 }

@@ -406,3 +406,152 @@ def compression_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             "too_random"
         ),
     )
+
+
+# ----------------- BPE tokenizer-training prep (pair-count table) -----------
+# Classic BPE training, step 1 (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"): count adjacent symbol
+# pairs across the corpus weighted by word frequency; the highest-count
+# pair is the next merge. dq.oracles generates the DuckDB twin from these
+# same constants — never hand-duplicate them.
+BPE_WORD_MIN_LEN = 2   # 1-char tokens contribute no pairs
+BPE_WORD_MAX_LEN = 64  # cap degenerate unbroken runs (base64/DNA blobs):
+                       # real BPE trainers cap word length the same way, and
+                       # it bounds the per-word pair explode at scale
+BPE_PAIR_TOP_K = 200   # deterministic top-K (ties broken by the pair itself)
+
+
+BPE_MERGE_ROUNDS = 8  # gate-query demo depth; see bpe_learn_merges docstring
+
+
+def _bpe_vocab(df, text_col: str):
+    """(word, freq) — the Zipf-collapsed distinct-word vocabulary that both
+    BPE stages (pair table / merge learning) run over."""
+    return (
+        df.select(
+            F.explode_outer(
+                F.regexp_extract_all(_text(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+            ).alias("word")
+        )
+        .where(F.length("word").between(BPE_WORD_MIN_LEN, BPE_WORD_MAX_LEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_learn_merges(df, text_col: str = "text", rounds: int = BPE_MERGE_ROUNDS):
+    """Learn the first ``rounds`` BPE merges over the corpus — the actual
+    tokenizer-training loop (Sennrich et al. 2016), exact over the full
+    corpus: (merge_rank, left_sym, right_sym, pair_count).
+
+    Iterative-loop shape: every round runs over the VOCAB frame only
+    (word-as-symbol-array, freq) — corpus text is consumed once by the
+    initial vocab aggregation and never revisited. Per round: one narrow
+    (l, r) pair agg + a 1-row argmax collect (control-plane, the S9
+    contract), then a greedy non-overlapping left-to-right merge rewrite as
+    an F.aggregate fold over the symbol array (codegen, no Python), then
+    localCheckpoint — CLAUDE.md: iterative DataFrame loops MUST cut lineage
+    per round or analysis goes exponential. The argmax is
+    orderBy(cnt desc, l, r).limit(1) — the same deterministic tie-break as
+    the pure-Python reference trainer the tests pin against.
+
+    try_element_at (not element_at): the driver runs queries() under ITS
+    session, where Spark 4's ANSI default would make element_at on the
+    empty fold-accumulator throw instead of returning NULL.
+
+    Production note (honest boundary): real tokenizers run 10k-100k merges;
+    per-merge Spark rounds are exact but latency-bound, so at that depth
+    you'd count the vocab here (this code), then train locally over the
+    collected (word, freq) table — standard practice, since the vocab is
+    MB-scale even for TB corpora. This loop is the corpus-exact path for
+    the first k merges and the demo that the rewrite itself distributes.
+    """
+    spark = df.sparkSession
+    vocab = (
+        _bpe_vocab(df, text_col)
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(rounds):
+        top = (
+            vocab.select(
+                F.explode_outer(
+                    # guard: a fully-merged word has ONE symbol, and Spark's
+                    # sequence(1, 0) counts DOWN through index 0 (invalid)
+                    F.expr(
+                        "if(size(syms) >= 2,"
+                        " transform(sequence(1, size(syms) - 1),"
+                        "  i -> struct(try_element_at(syms, i) as l,"
+                        "  try_element_at(syms, i + 1) as r)),"
+                        " cast(array() as array<struct<l: string, r: string>>))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .where(F.col("p").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rank, l, r, cnt))
+        l_lit, r_lit, m_lit = F.lit(l), F.lit(r), F.lit(l + r)
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == l_lit) & (s == r_lit),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m_lit)),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_pair_table(df, text_col: str = "text"):
+    """(left_sym, right_sym, pair_count) — the BPE merge-candidate table.
+
+    Scale shape (the reason this survives 100 TB): pair counting runs over
+    the DISTINCT-WORD vocabulary, not over raw token occurrences. The first
+    aggregation collapses the corpus to (word, freq) — Zipf makes the vocab
+    orders of magnitude smaller than the token stream, and the hot words
+    (the skew) are absorbed by map-side partial counts. The pair explode
+    then touches only vocab rows (bounded at BPE_WORD_MAX_LEN-1 pairs each),
+    and the second aggregation lands on the tiny (char, char) key space.
+    The final top-K is a TakeOrderedAndProject over that key space — no
+    global sort exchange. Both explodes are explode_outer (CLAUDE.md:
+    plain explode makes InferFiltersFromGenerate inline the array expr
+    into a pre-Generate filter, re-evaluating the regex/transform per row);
+    the length-band predicate drops the NULL rows for free (length(NULL)
+    comparisons are NULL -> filtered).
+    """
+    words = _bpe_vocab(df, text_col)
+    pairs = words.select(
+        F.explode_outer(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    ).where(F.col("pair").isNotNull())
+    return (
+        pairs.groupBy(
+            F.substring("pair", 1, 1).alias("left_sym"),
+            F.substring("pair", 2, 1).alias("right_sym"),
+        )
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_PAIR_TOP_K)
+    )

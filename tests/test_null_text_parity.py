@@ -74,6 +74,7 @@ TEXT_QUERIES = [
     "paragraph_bloom_dedup",
     "dup_cluster_histogram",
     "near_dup_clusters_star",
+    "bpe_pair_counts",
 ]
 
 

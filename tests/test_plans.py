@@ -645,3 +645,22 @@ def test_minhash_capped_self_join_has_anti_before_it(spark):
     # deeper in the tree = later lines under the inner join's subtree;
     # simple check: every anti sits after the first inner band join line
     assert min(anti) > min(inner_band_join), plan
+
+
+def test_bpe_pair_table_text_never_shuffles(spark):
+    """BPE pair counting: exactly two hash exchanges — (word) vocab agg and
+    (left,right) pair agg — with text consumed by the explode BEFORE any
+    exchange, and the top-K as TakeOrdered, not a rangepartitioning sort."""
+    import re
+
+    from dq.queries import bpe_pair_counts
+
+    plan = plan_of(bpe_pair_counts(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")]
+    assert len(exchanges) == 2, plan
+    for node in exchanges:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp and "text#" not in inp.group(2), node
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -268,3 +268,95 @@ def test_lang_confusion_and_doclen_percentiles(spark, tmp_path):
     assert (pct["en"].p25_tokens, pct["en"].p50_tokens, pct["en"].p75_tokens) == (10, 10, 14)
     assert (pct["pt"].p25_tokens, pct["pt"].p50_tokens, pct["pt"].p75_tokens) == (10, 10, 10)
     assert (pct["de"].p25_tokens, pct["de"].p50_tokens, pct["de"].p75_tokens) == (0, 0, 0)
+
+
+def test_bpe_pair_table_hand_computed(spark):
+    # vocab: ab:2, cd:1, abc:1, 42:1; '!' (len 1) and the 65-char run (len
+    # cap) contribute nothing; NULL text contributes nothing.
+    rows = [
+        (1, "ab ab cd! abc"),
+        (2, "42 " + "x" * 65),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in textstats.bpe_pair_table(df).collect()
+    }
+    assert got == {
+        ("a", "b"): 3,  # ab x2 + abc
+        ("b", "c"): 1,
+        ("c", "d"): 1,
+        ("4", "2"): 1,
+    }
+
+
+def test_bpe_pair_table_topk_deterministic(spark):
+    # ties on pair_count break by (left_sym, right_sym) — the LIMIT picks
+    # the same rows in Spark and the DuckDB twin.
+    df = spark.createDataFrame([(1, "zy zx wa")], "doc_id bigint, text string")
+    rows = textstats.bpe_pair_table(df).collect()
+    assert [(r.left_sym, r.right_sym) for r in rows] == [
+        ("w", "a"),
+        ("z", "x"),
+        ("z", "y"),
+    ]
+
+
+def _ref_bpe_merges(texts, rounds):
+    """Classic dict-based BPE trainer (Sennrich et al. 2016 reference shape):
+    the pure-Python oracle bpe_learn_merges must be row-identical to.
+    Same tokenization constants, same greedy left-to-right non-overlapping
+    merge, same (count desc, then pair asc) tie-break."""
+    import collections
+    import re
+
+    pat = re.compile(textstats.BPE_SPLIT_PATTERN)
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in pat.findall(t or ""):
+            if textstats.BPE_WORD_MIN_LEN <= len(w) <= textstats.BPE_WORD_MAX_LEN:
+                vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(rounds):
+        pairs: collections.Counter = collections.Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new_vocab: collections.Counter = collections.Counter()
+        for syms, freq in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_trainer_planted(spark):
+    # overlap edge ("aaa" -> greedy [aa, a]), merged-symbol re-pairing
+    # (round 2 can merge a previous round's output), ties, NULL text
+    texts = [
+        "aaa aaa banana banana banana ab ab ab ab",
+        "an an an na na",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in textstats.bpe_learn_merges(df, rounds=6).collect()]
+    want = _ref_bpe_merges(texts, 6)
+    assert got == want, (got, want)
+
+
+def test_bpe_learn_merges_matches_python_trainer_sf0001(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [tuple(r) for r in textstats.bpe_learn_merges(docs, rounds=4).collect()]
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _ref_bpe_merges(texts, 4)
+    assert got == want, (got, want)
