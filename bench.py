@@ -95,6 +95,7 @@ HEADLINE = [
     "paragraph_bloom_dedup",     # round-4: Dolma paragraph Bloom dedup
     "dup_cluster_histogram",     # round-4: dup-family power-law report
     "bpe_pair_counts",           # round-5: BPE tokenizer-training pair table
+    "bpe_token_fertility",       # round-5: pinned-merge tokenizer apply path
     # bpe_merge_table stays OUT of the headline for the same reason as
     # near_dup_clusters: it is iterative (8 argmax-collect rounds over the
     # small vocab frame), so local wall time measures per-job fixed

@@ -51,10 +51,12 @@ from dq.queries import (
 )
 from dq.scrub import SCRUB_RULES
 from dq.textstats import (
+    BPE_FIXED_MERGES,
     BPE_PAIR_TOP_K,
     BPE_SPLIT_PATTERN,
     BPE_WORD_MAX_LEN,
     BPE_WORD_MIN_LEN,
+    FERTILITY_BP_SCALE,
 )
 
 _DT = "strftime(ts, '%Y%m%d')"
@@ -2505,6 +2507,49 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.
+# round-5 addition: the BPE APPLY fold. DuckDB list_reduce has no initial-
+# value form, so each symbol is wrapped as a single-element list — the first
+# element becomes the fold init and the accumulator type is list<varchar>,
+# making the reduction the IDENTICAL greedy left fold as Spark's
+# F.aggregate step in dq.textstats._merge_step (generated from the same
+# BPE_FIXED_MERGES constants).
+def _bpe_fold_sql() -> str:
+    expr = "string_split(word, '')"
+    for l, r in BPE_FIXED_MERGES:
+        expr = (
+            f"list_reduce(list_transform({expr}, s -> [s]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = '{l}' AND x[1] = '{r}' "
+            f"THEN list_append(acc[1:len(acc)-1], '{l}{r}') "
+            f"ELSE list_append(acc, x[1]) END)"
+        )
+    return expr
+
+
+ORACLES["bpe_token_fertility"] = f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(coalesce(text, ''), '{BPE_SPLIT_PATTERN}'))
+         AS word
+  FROM documents
+), vocab AS (
+  SELECT lang, word, count(*) AS freq
+  FROM toks
+  WHERE length(word) BETWEEN {BPE_WORD_MIN_LEN} AND {BPE_WORD_MAX_LEN}
+  GROUP BY lang, word
+), seg AS (
+  SELECT lang, freq, len({_bpe_fold_sql()}) AS n_toks FROM vocab
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+       CAST(sum(freq * n_toks) AS BIGINT) AS n_tokens,
+       CAST(({FERTILITY_BP_SCALE} * sum(freq * n_toks)) // sum(freq) AS BIGINT)
+           AS fertility_bp
+FROM seg
+GROUP BY lang
+ORDER BY lang
+"""
+
 ORACLES["bpe_pair_counts"] = f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(coalesce(text, ''), '{BPE_SPLIT_PATTERN}'))

@@ -1509,6 +1509,17 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_learn_merges(docs, text_col="text")
 
 
+def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path: segment the corpus with the pinned
+    BPE_FIXED_MERGES list and report per-language fertility (tokens/word in
+    integer basis points). The segmentation fold chain is bit-reproduced by
+    the DuckDB twin (list_reduce over single-element-wrapped symbols — the
+    identical left fold as Spark's F.aggregate); all post-scan work is
+    vocabulary-sized (dq.textstats.bpe_fertility_by_lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bpe_fertility_by_lang(docs, lang_col="lang", text_col="text")
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -2021,4 +2032,5 @@ QUERIES = {
     "media_frame_samples": media_frame_samples,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_table": bpe_merge_table,
+    "bpe_token_fertility": bpe_token_fertility,
 }

@@ -423,6 +423,43 @@ BPE_PAIR_TOP_K = 200   # deterministic top-K (ties broken by the pair itself)
 
 BPE_MERGE_ROUNDS = 8  # gate-query demo depth; see bpe_learn_merges docstring
 
+# Pinned merge list for the APPLY path (bpe_fertility_by_lang): a realistic
+# English head, in application order, including multi-symbol left sides
+# ("th"+"e", "an"+"d") so later merges consume earlier merges' output.
+# dq.oracles generates the DuckDB fold chain from this same list.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("e", "r"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "n"),
+    ("th", "e"),
+    ("an", "d"),
+    ("e", "s"),
+]
+FERTILITY_BP_SCALE = 10000  # integer basis points: exact cross-engine
+
+
+def _merge_step(l: str, r: str):
+    """The greedy non-overlapping left-to-right BPE merge as a fold step:
+    if the accumulator's last symbol is ``l`` and the incoming symbol is
+    ``r``, replace the last symbol with the merged token; else append.
+    try_element_at (not element_at): the driver may run ANSI-on, where
+    element_at on the empty initial accumulator would throw."""
+    l_lit, r_lit, m_lit = F.lit(l), F.lit(r), F.lit(l + r)
+
+    def step(acc, s):
+        return F.when(
+            (F.try_element_at(acc, F.lit(-1)) == l_lit) & (s == r_lit),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m_lit)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return step
+
+
+def _apply_merge(syms_col, l: str, r: str):
+    return F.aggregate(syms_col, F.array().cast("array<string>"), _merge_step(l, r))
+
 
 def _bpe_vocab(df, text_col: str):
     """(word, freq) — the Zipf-collapsed distinct-word vocabulary that both
@@ -505,17 +542,8 @@ def bpe_learn_merges(df, text_col: str = "text", rounds: int = BPE_MERGE_ROUNDS)
             break
         l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
         merges.append((rank, l, r, cnt))
-        l_lit, r_lit, m_lit = F.lit(l), F.lit(r), F.lit(l + r)
         vocab = vocab.select(
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == l_lit) & (s == r_lit),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m_lit)),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
-            "freq",
+            _apply_merge("syms", l, r).alias("syms"), "freq"
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
@@ -554,4 +582,56 @@ def bpe_pair_table(df, text_col: str = "text"):
         .agg(F.sum("freq").cast("bigint").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(BPE_PAIR_TOP_K)
+    )
+
+
+def bpe_fertility_by_lang(df, lang_col: str = "lang", text_col: str = "text",
+                          merges: list[tuple[str, str]] = BPE_FIXED_MERGES):
+    """Tokenizer APPLY path: segment the corpus with a pinned merge list and
+    report per-language fertility (tokens per word, the standard tokenizer
+    fitness metric) — (lang, n_distinct_words, n_word_occurrences,
+    n_tokens, fertility_bp).
+
+    Scale shape: segmentation runs on the per-(lang, word) VOCABULARY —
+    each fixed merge is one codegen fold over the symbol array
+    (_apply_merge, the same fold bpe_learn_merges uses), chained |merges|
+    deep; the chain grows the expression linearly (each level consumes the
+    previous subtree once — not the k-times-duplicated shape the
+    minhash_signatures docstring warns about). Corpus text is read once by
+    the vocab agg; everything after is vocab-sized. fertility_bp is
+    integer basis points via integer division — exact cross-engine
+    (CLAUDE.md: never compare raw doubles across engines).
+    """
+    vocab = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode_outer(
+                F.regexp_extract_all(_text(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+            ).alias("word"),
+        )
+        .where(F.length("word").between(BPE_WORD_MIN_LEN, BPE_WORD_MAX_LEN))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    for l, r in merges:
+        syms = _apply_merge(syms, l, r)
+    return (
+        vocab.select("lang", "freq", F.size(syms).alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("freq").cast("bigint").alias("n_word_occurrences"),
+            F.sum(F.col("freq") * F.col("n_toks")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility_bp",
+            F.expr(
+                f"CAST(({FERTILITY_BP_SCALE} * n_tokens) DIV n_word_occurrences"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("lang")
     )

@@ -75,6 +75,7 @@ TEXT_QUERIES = [
     "dup_cluster_histogram",
     "near_dup_clusters_star",
     "bpe_pair_counts",
+    "bpe_token_fertility",
 ]
 
 

@@ -360,3 +360,17 @@ def test_bpe_learn_merges_matches_python_trainer_sf0001(spark):
     texts = [r.text for r in docs.select("text").collect()]
     want = _ref_bpe_merges(texts, 4)
     assert got == want, (got, want)
+
+
+def test_bpe_fertility_by_lang_hand_computed(spark):
+    # en: the->[the](1), thin->[th,in](2), and->[and](1), other->[o,th,er](3)
+    # pt: er->[er](1) x2 occurrences, xx->[x,x](2)
+    rows = [(1, "en", "the thin and other"), (2, "pt", "er er xx"), (3, "de", None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {r.lang: r for r in textstats.bpe_fertility_by_lang(df).collect()}
+    assert set(got) == {"en", "pt"}  # NULL-text de has zero words -> no row
+    en, pt = got["en"], got["pt"]
+    assert (en.n_distinct_words, en.n_word_occurrences, en.n_tokens) == (4, 4, 7)
+    assert en.fertility_bp == 17500
+    assert (pt.n_distinct_words, pt.n_word_occurrences, pt.n_tokens) == (2, 3, 4)
+    assert pt.fertility_bp == 13333
