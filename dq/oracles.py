@@ -2507,6 +2507,65 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.
+# round-5 addition: UniMax language-budget water-filling
+# (dq.sampling.unimax_allocation twin, generated from the same constants).
+# The saturation flag's failure is monotone for ascending caps, so the
+# saturated set is the flag-sum prefix m — see the Spark docstring's proof.
+def _unimax_sql() -> str:
+    from dq.sampling import (
+        UNIMAX_BP_SCALE,
+        UNIMAX_BUDGET_MULT,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    alloc = (
+        "CASE WHEN k <= m THEN cap_tokens"
+        " ELSE ((budget - sat_total) // (n - m))"
+        "      + (CASE WHEN k - m <= ((budget - sat_total) % (n - m))"
+        "         THEN 1 ELSE 0 END) END"
+    )
+    return f"""
+WITH dt AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS t
+  FROM documents
+), base AS (
+  SELECT lang, CAST(sum(t) AS BIGINT) AS n_tokens,
+         CAST({UNIMAX_EPOCH_CAP} * sum(t) AS BIGINT) AS cap_tokens
+  FROM dt GROUP BY lang
+), ranked AS (
+  SELECT lang, n_tokens, cap_tokens,
+         row_number() OVER (ORDER BY cap_tokens, lang) AS k,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                               ROWS UNBOUNDED PRECEDING) AS prefix,
+         count(*) OVER () AS n,
+         CAST({UNIMAX_BUDGET_MULT} * sum(n_tokens) OVER () AS BIGINT) AS budget
+  FROM base
+), flagged AS (
+  SELECT *, CASE WHEN cap_tokens * (n - k + 1)
+                      <= budget - (prefix - cap_tokens)
+                 THEN 1 ELSE 0 END AS sat
+  FROM ranked
+), agg AS (
+  SELECT *, sum(sat) OVER () AS m,
+         sum(sat * cap_tokens) OVER () AS sat_total
+  FROM flagged
+)
+SELECT lang, n_tokens, cap_tokens,
+       CAST({alloc} AS BIGINT) AS alloc_tokens,
+       k <= m AS saturated,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN ({UNIMAX_BP_SCALE} * ({alloc})) // n_tokens
+                 ELSE 0 END AS BIGINT) AS alloc_epochs_bp
+FROM agg
+ORDER BY lang
+"""
+
+
+ORACLES["unimax_lang_budget"] = _unimax_sql()
+
+
 # round-5 addition: the BPE APPLY fold. DuckDB list_reduce has no initial-
 # value form, so each symbol is wrapped as a single-element list — the first
 # element becomes the fold init and the accumulator type is list<varchar>,

@@ -1520,6 +1520,20 @@ def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_fertility_by_lang(docs, lang_col="lang", text_col="text")
 
 
+def unimax_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style language-budget water-filling (Chung et al. 2023):
+    allocate budget = UNIMAX_BUDGET_MULT x corpus tokens across languages,
+    each capped at UNIMAX_EPOCH_CAP epochs, as uniformly as possible —
+    exact integer math end-to-end (dq.sampling.unimax_allocation). At the
+    gate corpora the constants put the small languages at their caps and
+    leave en unsaturated (or split 3 ways at sf0.001) — both branches of
+    the water-fill exercised and bit-checked."""
+    from dq.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocation(docs, lang_col="lang", text_col="text")
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -2033,4 +2047,5 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_table": bpe_merge_table,
     "bpe_token_fertility": bpe_token_fertility,
+    "unimax_lang_budget": unimax_lang_budget,
 }

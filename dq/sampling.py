@@ -299,3 +299,96 @@ def dataset_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(
         "*", b.cast("bigint").alias("sample_bucket"), split.alias("split")
     )
+
+
+# UniMax-style language-budget water-filling (Chung et al. 2023, "UniMax:
+# Fairer and More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining"): spread a total training-token budget as uniformly as
+# possible across languages, capping each language at UNIMAX_EPOCH_CAP
+# epochs of its own corpus. dq.oracles generates the DuckDB twin from these
+# constants.
+UNIMAX_EPOCH_CAP = 4    # max epochs any language may repeat
+UNIMAX_BUDGET_MULT = 3  # training budget = 3x total corpus tokens
+UNIMAX_BP_SCALE = 10000
+
+
+def unimax_allocation(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    budget_mult: int = UNIMAX_BUDGET_MULT,
+) -> DataFrame:
+    """(lang, n_tokens, cap_tokens, alloc_tokens, saturated,
+    alloc_epochs_bp) — the exact integer water-filling allocation.
+
+    Sort languages by cap ascending (ties by lang); a language saturates
+    iff splitting the budget remaining at its rank evenly over it and all
+    larger languages would still reach its cap — this failure is
+    PROVABLY monotone for ascending caps (if cap_k(n-k+1) > B - prefix_{k-1}
+    then cap_{k+1}(n-k) >= cap_k(n-k) > B - prefix_{k-1} - cap_k), so the
+    saturated set is the flag-sum prefix m. Unsaturated languages get
+    integer share (R DIV u) with the remainder R % u given to the first
+    R % u of them in sort order — fully deterministic, no doubles anywhere
+    (CLAUDE.md: never compare raw doubles across engines).
+
+    Scale shape: the corpus is consumed by one (lang) hash-agg with
+    map-side partials; every window after that runs over the per-language
+    table — tens of rows at any corpus size (the token-packing
+    super-bucket argument), so the unpartitioned windows are free.
+    alloc_epochs_bp guards n_tokens = 0 (a lang of all-NULL texts) to 0:
+    a NULL from DIV-by-zero would break the gate's hash compare.
+    """
+    per_lang = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            whitespace_token_count(text_col).cast("bigint").alias("_t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("_t").cast("bigint").alias("n_tokens"))
+        .withColumn("cap_tokens", (F.lit(epoch_cap) * F.col("n_tokens")).cast("bigint"))
+    )
+    w_ord = Window.orderBy("cap_tokens", "lang")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = (
+        per_lang.withColumn("k", F.row_number().over(w_ord))
+        .withColumn("prefix", F.sum("cap_tokens").over(w_run))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "budget", (F.lit(budget_mult) * F.sum("n_tokens").over(w_all)).cast("bigint")
+        )
+        .withColumn(
+            "sat",
+            (
+                F.col("cap_tokens") * (F.col("n") - F.col("k") + 1)
+                <= F.col("budget") - (F.col("prefix") - F.col("cap_tokens"))
+            ).cast("int"),
+        )
+    )
+    ranked = ranked.withColumn("m", F.sum("sat").over(w_all)).withColumn(
+        "sat_total", F.sum(F.col("sat") * F.col("cap_tokens")).over(w_all)
+    )
+    alloc = F.expr(
+        "CAST(CASE WHEN k <= m THEN cap_tokens"
+        " ELSE ((budget - sat_total) DIV (n - m))"
+        "      + (CASE WHEN k - m <= ((budget - sat_total) % (n - m))"
+        "         THEN 1 ELSE 0 END)"
+        " END AS BIGINT)"
+    )
+    return (
+        ranked.withColumn("alloc_tokens", alloc)
+        .withColumn("saturated", F.col("k") <= F.col("m"))
+        .withColumn(
+            "alloc_epochs_bp",
+            F.expr(
+                f"CAST(CASE WHEN n_tokens > 0 THEN ({UNIMAX_BP_SCALE} * alloc_tokens)"
+                " DIV n_tokens ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .select(
+            "lang", "n_tokens", "cap_tokens", "alloc_tokens", "saturated",
+            "alloc_epochs_bp",
+        )
+        .orderBy("lang")
+    )

@@ -76,6 +76,7 @@ TEXT_QUERIES = [
     "near_dup_clusters_star",
     "bpe_pair_counts",
     "bpe_token_fertility",
+    "unimax_lang_budget",
 ]
 
 

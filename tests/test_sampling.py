@@ -143,3 +143,42 @@ def test_temperature_sample_null_strata_kept_as_own_group(spark):
     rates = {r.lang: r.keep_rate_bp for r in out.select("lang", "keep_rate_bp").distinct().collect()}
     assert rates[None] == 10000            # rarest group keeps everything
     assert rates["en"] == 2000             # isqrt(1e8*4/100)
+
+
+def _unimax(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "lang string, text string")
+    return {r.lang: r for r in sampling.unimax_allocation(df, **kw).collect()}
+
+
+def test_unimax_mixed_saturation_hand_computed(spark):
+    # tokens a=1, b=2, c=20; E=4, F=3 -> caps 4, 8, 80; budget 69.
+    # a, b saturate (12<=69, 16<=65); c gets the remaining 57 (< cap 80).
+    got = _unimax(spark, [("a", "x"), ("b", "x x"), ("c", " ".join(["x"] * 20))])
+    assert (got["a"].alloc_tokens, got["a"].saturated) == (4, True)
+    assert (got["b"].alloc_tokens, got["b"].saturated) == (8, True)
+    assert (got["c"].alloc_tokens, got["c"].saturated) == (57, False)
+    assert got["c"].alloc_epochs_bp == 28500  # 57/20 epochs in bp
+
+
+def test_unimax_remainder_goes_to_first_unsaturated(spark):
+    # tokens a=1, b=10, c=10 -> caps 4, 40, 40; budget 63. a saturates;
+    # R=59 over u=2 -> share 29 rem 1 -> b (first in (cap, lang) order) 30.
+    ten = " ".join(["x"] * 10)
+    got = _unimax(spark, [("a", "x"), ("b", ten), ("c", ten)])
+    assert got["a"].alloc_tokens == 4 and got["a"].saturated
+    assert (got["b"].alloc_tokens, got["c"].alloc_tokens) == (30, 29)
+    assert not got["b"].saturated and not got["c"].saturated
+    # budget fully consumed
+    assert sum(r.alloc_tokens for r in got.values()) == 63
+
+
+def test_unimax_all_saturated_and_zero_token_lang(spark):
+    # epoch_cap=1, budget 3x: caps [1, 2] both under the budget -> all
+    # saturate, u=0 branch never divides by zero, budget under-consumed.
+    got = _unimax(spark, [("a", "x"), ("b", "x x")], epoch_cap=1)
+    assert got["a"].alloc_tokens == 1 and got["b"].alloc_tokens == 2
+    assert all(r.saturated for r in got.values())
+    # NULL-text language: 0 tokens, saturates at 0, epochs_bp pinned 0
+    got = _unimax(spark, [("z", None), ("b", " ".join(["x"] * 5))])
+    assert (got["z"].alloc_tokens, got["z"].alloc_epochs_bp) == (0, 0)
+    assert got["b"].alloc_tokens == 15 and not got["b"].saturated
