@@ -2507,6 +2507,48 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.
+# round-5 addition: Flesch reading ease in integer millipoints
+# (dq.textstats.readability_scores twin, generated from the same patterns
+# and band edges; floor-division order pinned on both sides).
+def _readability_sql() -> str:
+    from dq.textstats import (
+        READABILITY_BANDS,
+        READABILITY_FLOOR_BAND,
+        SENTENCE_PATTERN,
+        SYLLABLE_PATTERN,
+    )
+
+    # wrap outward over ASCENDING edges so the outermost CASE checks the
+    # highest edge first — the same check order as the Spark side
+    band = f"'{READABILITY_FLOOR_BAND}'"
+    for edge, label in sorted(READABILITY_BANDS):
+        band = f"CASE WHEN flesch_mp >= {edge} THEN '{label}' ELSE ({band}) END"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, CAST(len(list_filter(
+             regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             x -> x <> '')) AS BIGINT)) AS n_words,
+         greatest(1, CAST(len(regexp_extract_all(coalesce(text, ''),
+             '{SENTENCE_PATTERN}')) AS BIGINT)) AS n_sentences,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+             '{SYLLABLE_PATTERN}')) AS BIGINT) AS n_syllable_groups
+  FROM documents
+), s AS (
+  SELECT *, CAST(206835 - (1015 * n_words) // n_sentences
+                        - (84600 * n_syllable_groups) // n_words
+                 AS BIGINT) AS flesch_mp
+  FROM m
+)
+SELECT doc_id, n_words, n_sentences, n_syllable_groups, flesch_mp,
+       {band} AS band
+FROM s
+"""
+
+
+ORACLES["readability_scores"] = _readability_sql()
+
+
 # round-5 addition: UniMax language-budget water-filling
 # (dq.sampling.unimax_allocation twin, generated from the same constants).
 # The saturation flag's failure is monotone for ascending caps, so the

@@ -1534,6 +1534,15 @@ def unimax_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(docs, lang_col="lang", text_col="text")
 
 
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document in exact integer millipoints +
+    difficulty band (dq.textstats.readability_scores) — the classic
+    readability filter signal. Pure codegen projection, zero exchanges;
+    floor-division order pinned so the DuckDB twin is bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.readability_scores(docs)
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -2048,4 +2057,5 @@ QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "bpe_token_fertility": bpe_token_fertility,
     "unimax_lang_budget": unimax_lang_budget,
+    "readability_scores": readability_scores,
 }

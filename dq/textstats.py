@@ -635,3 +635,61 @@ def bpe_fertility_by_lang(df, lang_col: str = "lang", text_col: str = "text",
         )
         .orderBy("lang")
     )
+
+
+# --------------- readability (Flesch reading ease, integer-exact) -----------
+# Flesch reading ease = 206.835 - 1.015*(words/sentences)
+#                                - 84.6*(syllable-groups/words),
+# computed in MILLIPOINTS with floor division in a pinned order so the
+# DuckDB twin is bit-identical (CLAUDE.md: only divide exact integers).
+# Syllables are approximated as vowel-run groups — the standard cheap
+# heuristic; the metric is a filter signal, not a linguistics claim.
+SYLLABLE_PATTERN = r"[AEIOUYaeiouyÀ-ÿ]+"
+SENTENCE_PATTERN = r"[.!?]+"
+READABILITY_BANDS = [  # (min flesch_mp, band label), checked top-down
+    (90000, "very_easy"),
+    (70000, "easy"),
+    (50000, "medium"),
+    (30000, "hard"),
+]
+READABILITY_FLOOR_BAND = "very_hard"
+
+
+def readability_scores(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_words, n_sentences, n_syllable_groups, flesch_mp, band) —
+    Flesch reading ease per document as exact integer millipoints.
+
+    flesch_mp = 206835 - (1015 * words) DIV sentences
+                       - (84600 * syllable_groups) DIV words
+    with sentences/words floored at 1 (empty/NULL text scores as one empty
+    sentence of one empty word: flesch_mp = 206835 - 1015 - 0, a harmless
+    constant — never NULL, so the gate's hash compare stays two-valued).
+    Pure codegen projection: three regexp_extract_all passes over one scan,
+    zero exchanges."""
+    text = _text(text_col)
+    n_words = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))),
+    ).cast("bigint")
+    n_sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0))
+    ).cast("bigint")
+    n_syll = F.size(F.regexp_extract_all(text, F.lit(SYLLABLE_PATTERN), 0)).cast(
+        "bigint"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllable_groups"),
+    ).withColumn(
+        "flesch_mp",
+        F.expr(
+            "CAST(206835 - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_syllable_groups) DIV n_words AS BIGINT)"
+        ),
+    )
+    band = F.lit(READABILITY_FLOOR_BAND)
+    for edge, label in reversed(READABILITY_BANDS):
+        band = F.when(F.col("flesch_mp") >= edge, F.lit(label)).otherwise(band)
+    return out.withColumn("band", band)

@@ -77,6 +77,7 @@ TEXT_QUERIES = [
     "bpe_pair_counts",
     "bpe_token_fertility",
     "unimax_lang_budget",
+    "readability_scores",
 ]
 
 

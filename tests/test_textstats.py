@@ -374,3 +374,28 @@ def test_bpe_fertility_by_lang_hand_computed(spark):
     assert en.fertility_bp == 17500
     assert (pt.n_distinct_words, pt.n_word_occurrences, pt.n_tokens) == (2, 3, 4)
     assert pt.fertility_bp == 13333
+
+
+def test_readability_scores_hand_computed(spark):
+    # "Hello world. Go!": 3 ws-words, 2 sentence groups (. and !),
+    # 4 vowel runs (e,o / o / o) -> 206835 - 3045//2 - 338400//3 = 92513
+    rows = [(1, "Hello world. Go!"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in textstats.readability_scores(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllable_groups) == (3, 2, 4)
+    assert r1.flesch_mp == 206835 - (1015 * 3) // 2 - (84600 * 4) // 3 == 92513
+    assert r1.band == "very_easy"
+    # NULL text: floors guard to 1 word / 1 sentence, 0 syllables -> constant
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllable_groups) == (1, 1, 0)
+    assert r2.flesch_mp == 205820 and r2.band == "very_easy"
+
+
+def test_readability_scores_no_exchange(spark):
+    from dq.queries import readability_scores as q
+
+    from tests.test_plans import plan_of
+
+    plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
