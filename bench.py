@@ -98,6 +98,7 @@ HEADLINE = [
     "bpe_token_fertility",       # round-5: pinned-merge tokenizer apply path
     "unimax_lang_budget",        # round-5: language-budget water-filling
     "readability_scores",        # round-5: integer Flesch reading ease
+    "collocation_topk",          # round-5: Dice-coefficient phrase mining
     # bpe_merge_table stays OUT of the headline for the same reason as
     # near_dup_clusters: it is iterative (8 argmax-collect rounds over the
     # small vocab frame), so local wall time measures per-job fixed

@@ -2507,6 +2507,44 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.
+# round-5 addition: Dice-coefficient collocation mining
+# (dq.textstats.collocation_dice_topk twin; same constants). DuckDB
+# range(1, n) is empty for n <= 1, so 0/1-token docs contribute no bigrams
+# — matching the Spark side's word_ngrams_col empty-array guard.
+def _collocation_sql() -> str:
+    from dq.textstats import COLLOC_BP_SCALE, COLLOC_MIN_COUNT, COLLOC_TOP_K
+
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), uc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+), big AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM big GROUP BY w1, w2
+  HAVING count(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.pair_count,
+       u1.c AS left_count, u2.c AS right_count,
+       CAST((2 * {COLLOC_BP_SCALE} * b.pair_count) // (u1.c + u2.c)
+            AS BIGINT) AS dice_bp
+FROM bc b
+JOIN uc u1 ON b.w1 = u1.t
+JOIN uc u2 ON b.w2 = u2.t
+ORDER BY dice_bp DESC, b.w1, b.w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+ORACLES["collocation_topk"] = _collocation_sql()
+
+
 # round-5 addition: Flesch reading ease in integer millipoints
 # (dq.textstats.readability_scores twin, generated from the same patterns
 # and band edges; floor-division order pinned on both sides).

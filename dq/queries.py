@@ -1543,6 +1543,15 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.readability_scores(docs)
 
 
+def collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-bigram collocations by integer Dice score
+    (dq.textstats.collocation_dice_topk) — the phrase-mining / boilerplate-
+    phrase signal. Two hash-aggs over the token stream, vocabulary-sized
+    scoring joins, TakeOrdered top-K; bit-exact DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.collocation_dice_topk(docs)
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -2058,4 +2067,5 @@ QUERIES = {
     "bpe_token_fertility": bpe_token_fertility,
     "unimax_lang_budget": unimax_lang_budget,
     "readability_scores": readability_scores,
+    "collocation_topk": collocation_topk,
 }

@@ -693,3 +693,66 @@ def readability_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     for edge, label in reversed(READABILITY_BANDS):
         band = F.when(F.col("flesch_mp") >= edge, F.lit(label)).otherwise(band)
     return out.withColumn("band", band)
+
+
+# ----------------- collocation mining (Dice coefficient, integer) -----------
+# Classic collocation extraction (Smadja 1993 / word2phrase family): score
+# adjacent word bigrams by Dice = 2*c_xy / (c_x + c_y). Dice (not PMI): it
+# is integer-exact in basis points with no overflow headroom games, while
+# preserving the "pair beats chance" ranking property for filter/phrase
+# mining. dq.oracles generates the twin from these constants.
+COLLOC_MIN_COUNT = 5   # drop hapax-ish pairs: Dice of rare pairs is noise
+COLLOC_TOP_K = 100
+COLLOC_BP_SCALE = 10000
+
+
+def collocation_dice_topk(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(w1, w2, pair_count, left_count, right_count, dice_bp) — top-K
+    adjacent-bigram collocations by integer Dice score.
+
+    Scale shape: the token stream is consumed by TWO hash-aggs (unigram and
+    bigram counts, both map-side-combinable uniform-ish keys); the scoring
+    joins run on the vocabulary-sized count tables (AQE broadcasts the
+    smaller side), and the final top-K is a TakeOrderedAndProject over the
+    >=COLLOC_MIN_COUNT pairs. The tokens array is materialized as a real
+    column BEFORE the shifted-slice zip (CLAUDE.md: HOF lambdas capture the
+    expression subtree), and both explodes are explode_outer (the
+    InferFiltersFromGenerate trap). Document text never enters an exchange.
+    """
+    toks = F.filter(
+        F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    staged = df.select(toks.alias("_w"))
+    uni = (
+        staged.select(F.explode_outer("_w").alias("t"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grams = word_ngrams_col(F.col("_w"), 2)
+    big = (
+        staged.select(F.explode_outer(grams).alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= COLLOC_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("left_count"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("right_count"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .withColumn(
+            "dice_bp",
+            F.expr(
+                f"CAST((2 * {COLLOC_BP_SCALE} * pair_count)"
+                " DIV (left_count + right_count) AS BIGINT)"
+            ),
+        )
+        .select("w1", "w2", "pair_count", "left_count", "right_count", "dice_bp")
+        .orderBy(F.desc("dice_bp"), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )

@@ -78,6 +78,7 @@ TEXT_QUERIES = [
     "bpe_token_fertility",
     "unimax_lang_budget",
     "readability_scores",
+    "collocation_topk",
 ]
 
 

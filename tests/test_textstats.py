@@ -399,3 +399,41 @@ def test_readability_scores_no_exchange(spark):
 
     plan = plan_of(q(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
+
+
+def test_collocation_dice_hand_computed(spark):
+    # doc1: "new york" x5 -> pair 5, c_new=5, c_york=5 -> dice 10000;
+    #       "york new" appears 4x, under COLLOC_MIN_COUNT -> dropped.
+    # doc2: tokens [x y]*5 + [x x x]: (x,y) 5x and (y,x) 5x (the 5th y is
+    #       followed by the lone-x tail), c_x=8, c_y=5 ->
+    #       dice = 2*10000*5 // 13 = 7692 for both directions.
+    rows = [
+        (1, " ".join(["new york"] * 5)),
+        (2, " ".join(["x y"] * 5) + " x x x"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.w1, r.w2): r for r in textstats.collocation_dice_topk(df).collect()}
+    assert set(got) == {("new", "york"), ("x", "y"), ("y", "x")}
+    ny = got[("new", "york")]
+    assert (ny.pair_count, ny.left_count, ny.right_count, ny.dice_bp) == (5, 5, 5, 10000)
+    for pair in [("x", "y"), ("y", "x")]:
+        r = got[pair]
+        assert (r.pair_count, r.dice_bp) == (5, 7692)
+        assert {r.left_count, r.right_count} == {8, 5}
+
+
+def test_collocation_text_never_shuffles(spark):
+    import re
+
+    from dq.queries import collocation_topk as q
+
+    from tests.test_plans import plan_of
+
+    plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp and "text#" not in inp.group(2) and "_w#" not in inp.group(2), node
