@@ -99,6 +99,7 @@ HEADLINE = [
     "unimax_lang_budget",        # round-5: language-budget water-filling
     "readability_scores",        # round-5: integer Flesch reading ease
     "collocation_topk",          # round-5: Dice-coefficient phrase mining
+    "filter_agreement",          # round-5: keep-signal kappa audit
     # bpe_merge_table stays OUT of the headline for the same reason as
     # near_dup_clusters: it is iterative (8 argmax-collect rounds over the
     # small vocab frame), so local wall time measures per-job fixed

@@ -2548,21 +2548,13 @@ ORACLES["collocation_topk"] = _collocation_sql()
 # round-5 addition: Flesch reading ease in integer millipoints
 # (dq.textstats.readability_scores twin, generated from the same patterns
 # and band edges; floor-division order pinned on both sides).
-def _readability_sql() -> str:
-    from dq.textstats import (
-        READABILITY_BANDS,
-        READABILITY_FLOOR_BAND,
-        SENTENCE_PATTERN,
-        SYLLABLE_PATTERN,
-    )
+def _readability_cte(prefix: str = "") -> str:
+    """The Flesch millipoint CTE pair ({prefix}m, {prefix}s) — prefixed so
+    composed oracles (filter_agreement) can mix it with _heuristics_cte,
+    whose own CTEs already claim the names base/m."""
+    from dq.textstats import SENTENCE_PATTERN, SYLLABLE_PATTERN
 
-    # wrap outward over ASCENDING edges so the outermost CASE checks the
-    # highest edge first — the same check order as the Spark side
-    band = f"'{READABILITY_FLOOR_BAND}'"
-    for edge, label in sorted(READABILITY_BANDS):
-        band = f"CASE WHEN flesch_mp >= {edge} THEN '{label}' ELSE ({band}) END"
-    return f"""
-WITH m AS (
+    return f"""{prefix}m AS (
   SELECT doc_id,
          greatest(1, CAST(len(list_filter(
              regexp_split_to_array(coalesce(text, ''), '\\s+'),
@@ -2572,12 +2564,24 @@ WITH m AS (
          CAST(len(regexp_extract_all(coalesce(text, ''),
              '{SYLLABLE_PATTERN}')) AS BIGINT) AS n_syllable_groups
   FROM documents
-), s AS (
+), {prefix}s AS (
   SELECT *, CAST(206835 - (1015 * n_words) // n_sentences
                         - (84600 * n_syllable_groups) // n_words
                  AS BIGINT) AS flesch_mp
-  FROM m
-)
+  FROM {prefix}m
+)"""
+
+
+def _readability_sql() -> str:
+    from dq.textstats import READABILITY_BANDS, READABILITY_FLOOR_BAND
+
+    # wrap outward over ASCENDING edges so the outermost CASE checks the
+    # highest edge first — the same check order as the Spark side
+    band = f"'{READABILITY_FLOOR_BAND}'"
+    for edge, label in sorted(READABILITY_BANDS):
+        band = f"CASE WHEN flesch_mp >= {edge} THEN '{label}' ELSE ({band}) END"
+    return f"""
+WITH {_readability_cte()}
 SELECT doc_id, n_words, n_sentences, n_syllable_groups, flesch_mp,
        {band} AS band
 FROM s
@@ -2585,6 +2589,64 @@ FROM s
 
 
 ORACLES["readability_scores"] = _readability_sql()
+
+
+# round-5 addition: keep-signal agreement audit (dq.queries.filter_agreement
+# twin). The three flag CTEs compose the already-oracled signal twins
+# (_heuristics_cte + _keep_pred, the classifier weight expression, the
+# readability CTE); the kappa fragment comes from the SAME
+# dq.queries.kappa_sql generator, only the integer-div operator differs
+# (both engines truncate toward zero — probed).
+def _filter_agreement_sql() -> str:
+    from dq.classifier import KEEP_TAU_MICRO
+    from dq.queries import (
+        AGREEMENT_PAIRS,
+        AGREEMENT_READABLE_MIN_MP,
+        kappa_sql,
+    )
+
+    weight = _token_weight_sql()
+    pos = ", ".join(
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS pos_{c}"
+        for c in ("keep_h", "keep_c", "keep_r")
+    )
+    agrees = ", ".join(
+        f"CAST(sum(CASE WHEN {ca} = {cb} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS agree_{ca}_{cb}"
+        for _, _, ca, cb in AGREEMENT_PAIRS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{na}' AS signal_a, '{nb}' AS signal_b, n AS n_docs,"
+        f" agree_{ca}_{cb} AS n_agree, pos_{ca} AS pos_a, pos_{cb} AS pos_b,"
+        f" {kappa_sql('n', f'agree_{ca}_{cb}', f'pos_{ca}', f'pos_{cb}', div_op='//')}"
+        " AS kappa_bp FROM agg"
+        for na, nb, ca, cb in AGREEMENT_PAIRS
+    )
+    return f"""
+WITH {_heuristics_cte()},
+hf AS (SELECT doc_id, {_keep_pred()} AS keep_h FROM m),
+cf AS (
+  SELECT doc_id,
+         (CAST(coalesce(list_sum(list_transform({_WORDS_LOWER_NS},
+                                                w -> {weight})), 0) AS BIGINT)
+          >= {KEEP_TAU_MICRO} * len({_WORDS_LOWER_NS})) AS keep_c
+  FROM documents
+),
+{_readability_cte(prefix="rd")},
+rf AS (SELECT doc_id, flesch_mp >= {AGREEMENT_READABLE_MIN_MP} AS keep_r
+       FROM rds),
+flags AS (
+  SELECT hf.doc_id, keep_h, keep_c, keep_r
+  FROM hf JOIN cf USING (doc_id) JOIN rf USING (doc_id)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {pos}, {agrees} FROM flags
+)
+SELECT * FROM ({rows})
+ORDER BY signal_a, signal_b
+"""
+
+
+ORACLES["filter_agreement"] = _filter_agreement_sql()
 
 
 # round-5 addition: UniMax language-budget water-filling

@@ -1552,6 +1552,73 @@ def collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocation_dice_topk(docs)
 
 
+# filter-agreement audit constants + the kappa fragment generator — the
+# DuckDB twin is generated from these same objects (only the integer-div
+# operator differs; both engines truncate toward zero, probed).
+AGREEMENT_READABLE_MIN_MP = 50000  # readability "keep": flesch_mp >= medium
+AGREEMENT_KAPPA_SCALE = 10000
+AGREEMENT_PAIRS = [
+    ("heuristic", "classifier", "keep_h", "keep_c"),
+    ("heuristic", "readability", "keep_h", "keep_r"),
+    ("classifier", "readability", "keep_c", "keep_r"),
+]
+
+
+def kappa_sql(n: str, a: str, px: str, py: str, div_op: str = "DIV") -> str:
+    """Cohen's kappa in integer basis points: po = A/n, pe = E/n^2 ->
+    kappa = (n*A - E) / (n^2 - E) with E = px*py + (n-px)*(n-py). The
+    degenerate pe = 1 case (a constant signal) pins to 0 instead of 0/0."""
+    e = f"({px} * {py} + ({n} - {px}) * ({n} - {py}))"
+    den = f"({n} * {n} - {e})"
+    num = f"({AGREEMENT_KAPPA_SCALE} * ({n} * {a} - {e}))"
+    return f"CAST(CASE WHEN {den} = 0 THEN 0 ELSE {num} {div_op} {den} END AS BIGINT)"
+
+
+def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-signal agreement audit: pairwise Cohen's kappa (integer bp)
+    between three independent keep signals — Gopher-style heuristics, the
+    token-weight quality classifier, and the readability band. The audit a
+    filter pipeline runs before trusting any single signal: kappa near 0
+    means a signal adds independent information; near 1 means it is
+    redundant. Composes the standalone signal queries (each already
+    bit-proven against its own oracle); the joins carry (doc_id, bool)
+    rows only and the final agg is one row."""
+    from dq import classifier, heuristics
+
+    docs = _t(spark, sf_dir, "documents")
+    h = heuristics.with_heuristic_metrics(docs).select(
+        "doc_id", heuristics.keep_expr().alias("keep_h")
+    )
+    c = classifier.classifier_scores(docs).select(
+        "doc_id", F.col("keep_quality").alias("keep_c")
+    )
+    r = textstats.readability_scores(docs).select(
+        "doc_id",
+        (F.col("flesch_mp") >= AGREEMENT_READABLE_MIN_MP).alias("keep_r"),
+    )
+    flags = h.join(c, "doc_id").join(r, "doc_id")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for col in ("keep_h", "keep_c", "keep_r"):
+        aggs.append(F.sum(F.col(col).cast("int")).cast("bigint").alias(f"pos_{col}"))
+    for _, _, ca, cb in AGREEMENT_PAIRS:
+        aggs.append(
+            F.sum((F.col(ca) == F.col(cb)).cast("int"))
+            .cast("bigint")
+            .alias(f"agree_{ca}_{cb}")
+        )
+    row = flags.agg(*aggs)
+    parts = []
+    for na, nb, ca, cb in AGREEMENT_PAIRS:
+        parts.append(
+            f"'{na}', '{nb}', n, agree_{ca}_{cb}, pos_{ca}, pos_{cb}, "
+            + kappa_sql("n", f"agree_{ca}_{cb}", f"pos_{ca}", f"pos_{cb}")
+        )
+    return row.selectExpr(
+        f"stack({len(AGREEMENT_PAIRS)}, {', '.join(parts)})"
+        " AS (signal_a, signal_b, n_docs, n_agree, pos_a, pos_b, kappa_bp)"
+    ).orderBy("signal_a", "signal_b")
+
+
 # ----------------------------------------------------- round-4 additions ----
 
 
@@ -2068,4 +2135,5 @@ QUERIES = {
     "unimax_lang_budget": unimax_lang_budget,
     "readability_scores": readability_scores,
     "collocation_topk": collocation_topk,
+    "filter_agreement": filter_agreement,
 }

@@ -79,6 +79,7 @@ TEXT_QUERIES = [
     "unimax_lang_budget",
     "readability_scores",
     "collocation_topk",
+    "filter_agreement",
 ]
 
 

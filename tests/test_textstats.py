@@ -437,3 +437,38 @@ def test_collocation_text_never_shuffles(spark):
             continue
         inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
         assert inp and "text#" not in inp.group(2) and "_w#" not in inp.group(2), node
+
+
+def test_filter_agreement_matches_python_kappa(spark):
+    from fractions import Fraction
+
+    from dq import classifier, heuristics
+    from dq.queries import (
+        AGREEMENT_KAPPA_SCALE,
+        AGREEMENT_PAIRS,
+        AGREEMENT_READABLE_MIN_MP,
+        filter_agreement,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    h = {r.doc_id: r.k for r in heuristics.with_heuristic_metrics(docs)
+         .select("doc_id", heuristics.keep_expr().alias("k")).collect()}
+    c = {r.doc_id: r.keep_quality for r in classifier.classifier_scores(docs).collect()}
+    rd = {r.doc_id: r.flesch_mp >= AGREEMENT_READABLE_MIN_MP
+          for r in textstats.readability_scores(docs).collect()}
+    flags = {"keep_h": h, "keep_c": c, "keep_r": rd}
+    got = {(r.signal_a, r.signal_b): r
+           for r in filter_agreement(spark, sf).collect()}
+    n = len(h)
+    for na, nb, ca, cb in AGREEMENT_PAIRS:
+        a, b = flags[ca], flags[cb]
+        agree = sum(1 for d in a if a[d] == b[d])
+        pa, pb = sum(a.values()), sum(b.values())
+        e = pa * pb + (n - pa) * (n - pb)
+        want = int(Fraction(AGREEMENT_KAPPA_SCALE * (n * agree - e), n * n - e))
+        row = got[(na, nb)]
+        assert (row.n_docs, row.n_agree, row.pos_a, row.pos_b) == (n, agree, pa, pb)
+        assert row.kappa_bp == want, (na, nb, row.kappa_bp, want)
+    # the three signals must not be fully redundant on the gate corpus
+    assert any(got[k].kappa_bp < 9000 for k in got)
