@@ -2038,6 +2038,59 @@ FROM walk GROUP BY doc_id
 """
 
 
+def _near_dup_cc_ctes() -> str:
+    """Shared recursive-CTE chain (jp → edges → verts → reach → cc) — the
+    connected-components twin of dq.dedup.connected_components over the
+    verified pair graph (cluster id = min reachable vertex id; edge set
+    identical because the jaccard doubles are bit-identical cross-engine).
+    Reused by near_dup_clusters(_star) AND near_dup_survivors so the
+    cluster math is generated once, never hand-duplicated."""
+    thresh = repr(NEAR_CLUSTER_MIN_JACCARD)
+    return f"""jp AS ({_ngram_jaccard_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp WHERE jaccard >= {thresh}
+  UNION
+  SELECT id_b, id_a FROM jp WHERE jaccard >= {thresh}
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+), cc AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+)"""
+
+
+def _near_dup_survivors_sql() -> str:
+    """Twin of queries.near_dup_survivors: the shared cluster CTE chain
+    joined to the token_counts twin over the same planted base; the
+    longest-wins/lowest-id argmax via row_number — bit-exact because both
+    the token counts and the ids are exact integers."""
+    return f"""
+WITH RECURSIVE {_near_dup_cc_ctes()},
+pb AS ({_PLANTED_BASE}),
+toks AS (
+  -- coalesce twin of whitespace_token_count: NULL text counts 0 tokens
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM pb
+), ranked AS (
+  SELECT cc.cluster_id, cc.doc_id, toks.n_tokens,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY toks.n_tokens DESC, cc.doc_id ASC) AS rk
+  FROM cc JOIN toks ON toks.doc_id = cc.doc_id
+)
+SELECT cluster_id,
+       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+       CAST(max(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT) AS survivor_tokens,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM ranked GROUP BY cluster_id
+"""
+
+
 ORACLES: dict[str, str] = {
     "volumetria_partition_counts": f"""
 SELECT {_DT} AS dt_foto,
@@ -2364,25 +2417,12 @@ FROM base GROUP BY text
 """,
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     # connected components over the verified pair graph — recursive CTE
-    # twin of the engine's iterative min-label propagation (cluster id =
-    # min reachable vertex id; edge set identical because the jaccard
-    # doubles are bit-identical cross-engine)
+    # twin of the engine's iterative min-label propagation (shared CTE
+    # chain, see _near_dup_cc_ctes)
     "near_dup_clusters": f"""
-WITH RECURSIVE jp AS ({{jaccard}}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jp WHERE jaccard >= {{thresh}}
-  UNION
-  SELECT id_b, id_a FROM jp WHERE jaccard >= {{thresh}}
-), verts AS (
-  SELECT DISTINCT src AS id FROM edges
-), reach(id, r) AS (
-  SELECT id, id FROM verts
-  UNION
-  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-FROM reach GROUP BY id
-""".format(jaccard=_ngram_jaccard_sql(), thresh=repr(NEAR_CLUSTER_MIN_JACCARD)),
+WITH RECURSIVE {_near_dup_cc_ctes()}
+SELECT doc_id, cluster_id FROM cc
+""",
     "pipeline_keep_sql": _pipeline_keep_sql(),
     "pipeline_funnel": _pipeline_funnel_sql(),
     # ledger twin on raw text (sha2 is content-injective for the oracle's
@@ -2503,6 +2543,11 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, score FROM r WHERE rnk <
 # vertex with the SAME min-vertex-id as min-label propagation (proven in
 # tests/test_dedup.py), so the recursive-CTE oracle is shared verbatim.
 ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
+
+# round-5 addition: survivor pick per near-dup family (longest wins, ties
+# to the lowest doc_id) — composes the shared cluster CTE chain with the
+# token_counts twin.
+ORACLES["near_dup_survivors"] = _near_dup_survivors_sql()
 
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive

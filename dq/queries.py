@@ -1080,6 +1080,45 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor pick per near-dup FAMILY — the tier's final step (FineWeb /
+    Lee et al. keep one representative per cluster): the member with the
+    most whitespace tokens wins (keep the longest version), ties to the
+    lowest doc_id. Composes two already-oracled tiers (cluster labels =
+    recursive-CTE twin; token counts = the token_counts twin).
+
+    Scale shape: the argmax is ONE map-side-combinable hash-agg via
+    max(struct(n_tokens, -doc_id)) — no window, so even a pathological
+    mega-family never serializes one task the way a row_number partition
+    would. Token counts are projected BEFORE the join, so the only
+    exchanges carry (doc_id, n_tokens) / (doc_id, cluster_id) rows
+    (~24 B/row); text never shuffles (plan-asserted)."""
+    from dq.textstats import whitespace_token_count
+
+    cc = near_dup_clusters(spark, sf_dir)
+    toks = _docs_with_planted_dups(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    members = cc.join(toks, "doc_id")
+    pick = F.max(
+        F.struct(
+            F.col("n_tokens").alias("n_tokens"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("p")
+    return (
+        members.groupBy("cluster_id")
+        .agg(pick, F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            (-F.col("p.neg_id")).cast("bigint").alias("survivor_id"),
+            F.col("p.n_tokens").cast("bigint").alias("survivor_tokens"),
+            F.col("n").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 # --------------------------------------------------------- similarity -------
 
 
@@ -2136,4 +2175,5 @@ QUERIES = {
     "readability_scores": readability_scores,
     "collocation_topk": collocation_topk,
     "filter_agreement": filter_agreement,
+    "near_dup_survivors": near_dup_survivors,
 }

@@ -482,3 +482,39 @@ def test_small_buckets_unaffected_by_cap(spark, dup_docs):
         map(tuple, dedup.minhash_candidates(dup_docs, bucket_max_docs=None).collect())
     )
     assert capped == uncapped
+
+
+def test_near_dup_survivors_planted(spark):
+    """Gate-query semantics on the planted families: the survivor is always
+    a member; families containing the near copy (+2 suffix tokens) pick it
+    (longest wins); exact-only families tie on tokens and pick the lowest
+    doc_id; cluster sizes agree with the cluster labels."""
+    from dq.queries import (
+        PLANT_NEAR_OFFSET,
+        near_dup_clusters,
+        near_dup_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    surv = near_dup_survivors(spark, sf).toPandas().set_index("cluster_id")
+    cc = near_dup_clusters(spark, sf).toPandas()
+
+    sizes = cc.groupby("cluster_id").size()
+    assert surv["cluster_size"].sort_index().equals(sizes.sort_index())
+
+    members_by_cluster = cc.groupby("cluster_id")["doc_id"].agg(set)
+    for cid, row in surv.iterrows():
+        members = members_by_cluster[cid]
+        assert row["survivor_id"] in members
+        near = {m for m in members if m >= PLANT_NEAR_OFFSET}
+        if near:
+            assert row["survivor_id"] in near, (cid, members)
+        else:
+            assert row["survivor_id"] == min(members), (cid, members)
+    # both planted family shapes actually occur in the corpus
+    assert any(
+        any(m >= PLANT_NEAR_OFFSET for m in ms) for ms in members_by_cluster
+    )
+    assert any(
+        all(m < PLANT_NEAR_OFFSET for m in ms) for ms in members_by_cluster
+    )

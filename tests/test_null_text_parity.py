@@ -80,6 +80,7 @@ TEXT_QUERIES = [
     "readability_scores",
     "collocation_topk",
     "filter_agreement",
+    "near_dup_survivors",
 ]
 
 

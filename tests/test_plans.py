@@ -664,3 +664,27 @@ def test_bpe_pair_table_text_never_shuffles(spark):
         assert inp and "text#" not in inp.group(2), node
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_near_dup_survivors_no_text_in_exchange_no_window(spark):
+    """The survivor argmax is ONE map-side-combinable hash-agg via
+    max(struct(n_tokens, -doc_id)) — no Window operator (a mega-family
+    would serialize a row_number partition into one task) — and token
+    counts are projected BEFORE the join, so no exchange carries text."""
+    import re
+
+    from dq.queries import near_dup_survivors
+
+    df = near_dup_survivors(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    saw_exchange = False
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        saw_exchange = True
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), node
+    assert saw_exchange, plan
