@@ -100,6 +100,10 @@ HEADLINE = [
     "readability_scores",        # round-5: integer Flesch reading ease
     "collocation_topk",          # round-5: Dice-coefficient phrase mining
     "filter_agreement",          # round-5: keep-signal kappa audit
+    "markup_density",            # round-5: render-in-plan markup ratio
+    # near_dup_survivors stays OUT of the headline for the same reason as
+    # near_dup_clusters (it consumes those labels): iterative CC rounds
+    # dominate local wall time — the gate + pytest own its correctness.
     # bpe_merge_table stays OUT of the headline for the same reason as
     # near_dup_clusters: it is iterative (8 argmax-collect rounds over the
     # small vocab frame), so local wall time measures per-job fixed

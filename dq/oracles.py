@@ -2549,6 +2549,59 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 # token_counts twin.
 ORACLES["near_dup_survivors"] = _near_dup_survivors_sql()
 
+
+def _markup_density_sql() -> str:
+    """Twin of queries.markup_density: rebuilds the html render as a STRING
+    in SQL from the same dq.synth scaffold constants (HTML_ESCAPES chain +
+    pre/post fragments), so the character counts are length-exact against
+    the Catalyst renderer. The per-paragraph wrap is expressed as one
+    newline replace: esc() never touches chr(10), so
+    '<p>' || replace(esc(text), chr(10), '</p><p>') || '</p>' is
+    character-identical to escape-each-paragraph-then-join."""
+    from dq.synth import (
+        HTML_ESCAPES,
+        HTML_FOOT,
+        HTML_POST_PARS,
+        HTML_POST_TITLE,
+        HTML_PRE_TITLE,
+    )
+
+    def esc(expr: str) -> str:
+        out = expr
+        for s, r in HTML_ESCAPES:
+            out = f"replace({out}, '{_sq(s)}', '{_sq(r)}')"
+        return out
+
+    pars = (
+        "'<p>' || replace(" + esc("coalesce(text, '')") + ", chr(10), '</p><p>') || '</p>'"
+    )
+    html = (
+        f"'{_sq(HTML_PRE_TITLE)}' || {esc(_url_expr())} || '{_sq(HTML_POST_TITLE)}'\n"
+        f"         || {pars} || '{_sq(HTML_POST_PARS)}' || '{_sq(HTML_FOOT)}'"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         {html} AS html
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(length(html) AS BIGINT) AS html_chars,
+         CAST(length(t) AS BIGINT) AS text_chars,
+         CAST(length(html) - length(replace(html, '<', '')) AS BIGINT) AS n_tags
+  FROM h
+)
+SELECT doc_id, html_chars, text_chars, n_tags,
+       CAST(((html_chars - text_chars) * 10000) // html_chars AS BIGINT) AS markup_bp
+FROM m
+"""
+
+
+# round-5 addition: markup-density quality signal — the render tier's
+# length-exact cross-engine check (SQL render generated from the shared
+# dq.synth scaffold constants).
+ORACLES["markup_density"] = _markup_density_sql()
+
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.

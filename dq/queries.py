@@ -1723,6 +1723,44 @@ def soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-markup ratio quality signal (jusText/boilerpipe family —
+    template-heavy pages carry little text per byte of markup): renders the
+    driver-shaped html IN the plan (render_html_col, the byte-pinned
+    renderer the flagship round-trips) and compares character counts —
+    html size, raw-text size, tag count, markup overhead in basis points
+    (integer DIV; both engines truncate toward zero, probed). The oracle
+    rebuilds the render as a STRING in SQL from the same dq.synth scaffold
+    constants, making this the render tier's first length-exact
+    cross-engine check. Zero exchanges (codegen projection); the rendered
+    html is staged as a real column so the three length exprs don't
+    re-evaluate the render (CollapseProject keeps multi-referenced
+    non-cheap aliases staged)."""
+    from dq.synth import render_html_col
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    html = F.decode(render_html_col(text, url_expr(F.col("doc_id"))), "UTF-8")
+    staged = docs.select("doc_id", text.alias("t"), html.alias("h")).select(
+        "doc_id",
+        F.length("h").cast("bigint").alias("html_chars"),
+        F.length("t").cast("bigint").alias("text_chars"),
+        (F.length("h") - F.length(F.replace(F.col("h"), F.lit("<"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_tags"),
+    )
+    return staged.select(
+        "doc_id",
+        "html_chars",
+        "text_chars",
+        "n_tags",
+        F.expr("((html_chars - text_chars) * 10000) DIV html_chars").alias(
+            "markup_bp"
+        ),
+    )
+
+
 def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (dq.textstats.compression_stats):
     repetition/noise proxy in basis points. Rows-only (no zlib in DuckDB);
@@ -2176,4 +2214,5 @@ QUERIES = {
     "collocation_topk": collocation_topk,
     "filter_agreement": filter_agreement,
     "near_dup_survivors": near_dup_survivors,
+    "markup_density": markup_density,
 }

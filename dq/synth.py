@@ -114,6 +114,26 @@ def _degenerate_text(rng: np.random.RandomState, kind: int, lang: str) -> str:
     return "\n".join(lines)
 
 
+# The render scaffold, hoisted so the three render twins (render_html,
+# render_html_col, and dq.oracles' SQL length twin) are generated from ONE
+# set of constants — never hand-duplicated. HTML_ESCAPES is the
+# html.escape(quote=True) chain, '&' first so it can't re-expand others.
+HTML_ESCAPES = (
+    ("&", "&amp;"),
+    ("<", "&lt;"),
+    (">", "&gt;"),
+    ('"', "&quot;"),
+    ("'", "&#x27;"),
+)
+HTML_PRE_TITLE = "<html><head><title>"
+HTML_POST_TITLE = (
+    '</title><meta charset="utf-8"><script>var x=1;</script>'
+    "<style>p{margin:0}</style></head><body><div>"
+)
+HTML_POST_PARS = "</div>"
+HTML_FOOT = "<!-- footer --></body></html>"
+
+
 def render_html_col(text_col, title_col, links_col=None):
     """Native Catalyst twin of :func:`render_html` (byte-identical output,
     pinned by tests/test_extract.py): lets driver-shaped tables without an
@@ -126,8 +146,8 @@ def render_html_col(text_col, title_col, links_col=None):
     dq.webgraph gets real hrefs to mine."""
     from pyspark.sql import functions as F
 
-    def esc(c):  # html.escape(quote=True) twin — '&' first, same order
-        for s, r in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&#x27;")):
+    def esc(c):  # html.escape(quote=True) twin — shared HTML_ESCAPES chain
+        for s, r in HTML_ESCAPES:
             c = F.replace(c, F.lit(s), F.lit(r))
         return c
 
@@ -154,14 +174,13 @@ def render_html_col(text_col, title_col, links_col=None):
         )
     )
     doc = F.concat(
-        F.lit("<html><head><title>"),
+        F.lit(HTML_PRE_TITLE),
         esc(title_col),
-        F.lit('</title><meta charset="utf-8"><script>var x=1;</script>'
-              "<style>p{margin:0}</style></head><body><div>"),
+        F.lit(HTML_POST_TITLE),
         pars,
-        F.lit("</div>"),
+        F.lit(HTML_POST_PARS),
         nav,
-        F.lit("<!-- footer --></body></html>"),
+        F.lit(HTML_FOOT),
     )
     return F.encode(doc, "UTF-8")
 
@@ -175,10 +194,8 @@ def render_html(text: str, title: str, links: tuple[str, ...] = ()) -> bytes:
         else ""
     )
     doc = (
-        f"<html><head><title>{_html.escape(title)}</title>"
-        f'<meta charset="utf-8"><script>var x=1;</script>'
-        f"<style>p{{margin:0}}</style></head><body><div>{pars}</div>{nav}"
-        f"<!-- footer --></body></html>"
+        f"{HTML_PRE_TITLE}{_html.escape(title)}{HTML_POST_TITLE}"
+        f"{pars}{HTML_POST_PARS}{nav}{HTML_FOOT}"
     )
     return doc.encode("utf-8")
 

@@ -58,3 +58,36 @@ def test_flagship_lineage_counts_extraction(spark):
 
     lm = pipeline_lineage(spark, "/root/testdata/sf0.001").toPandas()
     assert (lm["n_extraction_ok"] == lm["n_input"]).all()
+
+
+def test_markup_density_matches_python_render(spark):
+    """Length-exact cross-check of the Catalyst render against the
+    CPython renderer: for sampled docs, html_chars equals
+    len(render_html(text, url)) in characters and the tag count equals
+    the '<' count — the same bytes the flagship round-trips."""
+    from dq.queries import markup_density
+    from dq.synth import render_html
+    from dq.urlstats import url_expr
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text", url_expr(F.col("doc_id")).alias("url"))
+        .orderBy("doc_id")
+        .limit(25)
+    )
+    got = {
+        r["doc_id"]: r
+        for r in markup_density(spark, sf).orderBy("doc_id").limit(25).collect()
+    }
+    for row in docs.collect():
+        html = render_html(row["text"] or "", row["url"]).decode("utf-8")
+        g = got[row["doc_id"]]
+        assert g["html_chars"] == len(html)
+        assert g["n_tags"] == html.count("<")
+        assert g["text_chars"] == len(row["text"] or "")
+        assert (
+            g["markup_bp"]
+            == (g["html_chars"] - g["text_chars"]) * 10000 // g["html_chars"]
+        )

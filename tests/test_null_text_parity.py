@@ -81,6 +81,7 @@ TEXT_QUERIES = [
     "collocation_topk",
     "filter_agreement",
     "near_dup_survivors",
+    "markup_density",
 ]
 
 

@@ -688,3 +688,15 @@ def test_near_dup_survivors_no_text_in_exchange_no_window(spark):
         assert inp, node
         assert "text#" not in inp.group(2), node
     assert saw_exchange, plan
+
+
+def test_markup_density_no_exchange_single_scan(spark):
+    """The markup signal is a pure codegen projection over one scan — the
+    rendered html is staged as a real column so the three length exprs
+    don't re-evaluate the render (multi-referenced non-cheap alias)."""
+    from dq.queries import markup_density
+
+    df = markup_density(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert simple_plan_of(df).count("Scan parquet") == 1
