@@ -2602,6 +2602,56 @@ FROM m
 # dq.synth scaffold constants).
 ORACLES["markup_density"] = _markup_density_sql()
 
+
+def _vocab_coverage_sql() -> str:
+    """Twin of dq.textstats.vocab_coverage: identical count-level-histogram
+    formulation; all arithmetic is exact-integer truncating division (both
+    engines truncate toward zero, probed), so the curve is bit-exact."""
+    from dq.textstats import VOCAB_COVERAGE_TARGETS_BP
+
+    targets = ", ".join(str(b) for b in VOCAB_COVERAGE_TARGETS_BP)
+    return f"""
+WITH w AS (
+  SELECT unnest({_WORDS_LOWER_NS}) AS term FROM documents
+), vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY term
+), lvl AS (
+  SELECT cnt, CAST(count(*) AS BIGINT) AS n_types FROM vocab GROUP BY cnt
+), cum AS (
+  SELECT cnt, n_types,
+         CAST(coalesce(sum(cnt * n_types) OVER (ORDER BY cnt DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before,
+         CAST(coalesce(sum(n_types) OVER (ORDER BY cnt DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS types_before
+  FROM lvl
+), tot AS (
+  SELECT CAST(sum(cnt * n_types) AS BIGINT) AS total_tokens,
+         CAST(sum(n_types) AS BIGINT) AS total_types
+  FROM lvl
+), x AS (
+  SELECT cum.*, tot.total_tokens, tot.total_types, t.target_bp,
+         (tot.total_tokens * t.target_bp + 9999) // 10000 AS need
+  FROM cum, tot, (SELECT CAST(unnest([{targets}]) AS BIGINT) AS target_bp) t
+), hit AS (
+  SELECT *, (need - tok_before + cnt - 1) // cnt AS k
+  FROM x WHERE tok_before < need AND tok_before + cnt * n_types >= need
+)
+SELECT target_bp,
+       CAST(types_before + k AS BIGINT) AS vocab_size,
+       CAST(tok_before + k * cnt AS BIGINT) AS covered_tokens,
+       CAST(((tok_before + k * cnt) * 10000) // total_tokens AS BIGINT)
+         AS coverage_bp,
+       total_tokens, total_types
+FROM hit
+"""
+
+
+# round-5 addition: tokenizer vocabulary-coverage curve (count-level
+# histogram pick — exact integers, no vocabulary sort).
+ORACLES["vocab_coverage_cutoffs"] = _vocab_coverage_sql()
+
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.

@@ -1929,6 +1929,17 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats_by_lang(_t(spark, sf_dir, "documents"))
 
 
+def vocab_coverage_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-sizing curve over the corpus token stream
+    (dq.textstats.vocab_coverage): the minimal number of most-frequent
+    types covering 90% / 99% / 99.9% of token occurrences, exact integers
+    via the count-level histogram — no vocabulary sort, text never
+    shuffles."""
+    from dq.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling (dq.dsir, Xie et al. 2023): score
     every document by the integer-exact target/raw hashed-ngram bucket
@@ -2215,4 +2226,5 @@ QUERIES = {
     "filter_agreement": filter_agreement,
     "near_dup_survivors": near_dup_survivors,
     "markup_density": markup_density,
+    "vocab_coverage_cutoffs": vocab_coverage_cutoffs,
 }

@@ -756,3 +756,77 @@ def collocation_dice_topk(df, id_col: str = "doc_id", text_col: str = "text"):
         .orderBy(F.desc("dice_bp"), "w1", "w2")
         .limit(COLLOC_TOP_K)
     )
+
+
+VOCAB_COVERAGE_TARGETS_BP = (9000, 9900, 9990)
+
+
+def vocab_coverage(df, text_col: str = "text"):
+    """Tokenizer vocabulary-sizing curve: for each coverage target (basis
+    points of all token OCCURRENCES), the minimum number of most-frequent
+    types whose cumulative occurrences reach it, plus the prefix's exact
+    achieved coverage — the "how many types cover 99.9% of the stream"
+    figure that sizes a tokenizer vocabulary / OOV budget.
+
+    Determinism without a tie-break: a count LEVEL is consumed wholesale or
+    by an exact ceil-remainder k, and every type at the level contributes
+    exactly cnt occurrences, so (vocab_size, covered_tokens) are
+    independent of which tied types fill the prefix.
+
+    Shape: token hash-agg (uniform keys, map-side partials) → the
+    vocabulary collapses to the count-level histogram (cnt, n_types),
+    O(distinct count values) rows — Zipf keeps that ~O(sqrt(total
+    tokens)) — and only this tiny frame enters the unpartitioned
+    cumulative window (the doclen-percentile / token-packing precedent).
+    All arithmetic is exact-integer DIV/ceil; text never shuffles."""
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.lower(_text(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    terms = (
+        df.select(words.alias("_w"))
+        .select(F.explode_outer("_w").alias("term"))
+        .where(F.col("term").isNotNull())
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    lvl = vocab.groupBy("cnt").agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    w = Window.orderBy(F.desc("cnt")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = lvl.select(
+        "cnt",
+        "n_types",
+        F.coalesce(F.sum(F.col("cnt") * F.col("n_types")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("tok_before"),
+        F.coalesce(F.sum("n_types").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("types_before"),
+    )
+    tot = lvl.agg(
+        F.sum(F.col("cnt") * F.col("n_types")).cast("bigint").alias("total_tokens"),
+        F.sum("n_types").cast("bigint").alias("total_types"),
+    )
+    x = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_bp",
+            F.explode(
+                F.array(
+                    *[F.lit(b).cast("bigint") for b in VOCAB_COVERAGE_TARGETS_BP]
+                )
+            ),
+        )
+        .withColumn("need", F.expr("(total_tokens * target_bp + 9999) DIV 10000"))
+    )
+    hit = x.where(
+        (F.col("tok_before") < F.col("need"))
+        & (F.col("tok_before") + F.col("cnt") * F.col("n_types") >= F.col("need"))
+    ).withColumn("k", F.expr("(need - tok_before + cnt - 1) DIV cnt"))
+    return hit.select(
+        "target_bp",
+        F.expr("types_before + k").cast("bigint").alias("vocab_size"),
+        F.expr("tok_before + k * cnt").cast("bigint").alias("covered_tokens"),
+        F.expr("((tok_before + k * cnt) * 10000) DIV total_tokens")
+        .cast("bigint")
+        .alias("coverage_bp"),
+        "total_tokens",
+        "total_types",
+    )

@@ -82,6 +82,7 @@ TEXT_QUERIES = [
     "filter_agreement",
     "near_dup_survivors",
     "markup_density",
+    "vocab_coverage_cutoffs",
 ]
 
 

@@ -700,3 +700,31 @@ def test_markup_density_no_exchange_single_scan(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert simple_plan_of(df).count("Scan parquet") == 1
+
+
+def test_vocab_coverage_window_input_is_histogram(spark):
+    """The cumulative window runs over the count-level histogram, never
+    the vocabulary or the row set: the plan's single unpartitioned Window
+    sits above the (cnt -> n_types) aggregate, and no exchange carries
+    text or term strings."""
+    import re
+
+    from dq.queries import vocab_coverage_cutoffs
+
+    plan = plan_of(vocab_coverage_cutoffs(spark, SF))
+    assert plan.count("Window") >= 1
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        head = node.split("\n")[0].rstrip()
+        if head.endswith("Exchange"):
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp, node
+            # term strings may cross (the vocab hash-agg's own shuffle —
+            # short uniform token keys, the vocab_stats contract); the
+            # document text never does
+            assert "text#" not in inp.group(2), node
+        if head.endswith("Window"):
+            inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+            assert inp, node
+            # histogram columns only — cnt and n_types
+            assert "term#" not in inp.group(2) and "text#" not in inp.group(2), node

@@ -472,3 +472,58 @@ def test_filter_agreement_matches_python_kappa(spark):
         assert row.kappa_bp == want, (na, nb, row.kappa_bp, want)
     # the three signals must not be fully redundant on the gate corpus
     assert any(got[k].kappa_bp < 9000 for k in got)
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    """Hand-checked curve: tokens a×3 b×2 c×1 (T=6). 90% needs ceil(5.4)=6
+    occurrences -> all 3 types; 99%/99.9% likewise saturate. A second
+    corpus with a fat head checks the mid-curve ceil-remainder pick."""
+    from dq.textstats import vocab_coverage
+
+    df = spark.createDataFrame([("a a a b b c",)], "text string")
+    rows = {r["target_bp"]: r for r in vocab_coverage(df).collect()}
+    for bp in (9000, 9900, 9990):
+        r = rows[bp]
+        assert (r["vocab_size"], r["covered_tokens"], r["coverage_bp"]) == (3, 6, 10000)
+        assert r["total_tokens"] == 6 and r["total_types"] == 3
+
+    # 10×"x" + 10 hapaxes: T=20; 90% -> need 18 = 10 + 8 hapaxes -> 9 types
+    df2 = spark.createDataFrame(
+        [("x " * 10 + " ".join(f"h{i}" for i in range(10)),)], "text string"
+    )
+    r90 = {r["target_bp"]: r for r in vocab_coverage(df2).collect()}[9000]
+    assert r90["vocab_size"] == 9
+    assert r90["covered_tokens"] == 18
+    assert r90["coverage_bp"] == 9000
+
+
+def test_vocab_coverage_matches_bruteforce(spark):
+    """Pandas brute-force twin on sf0.001: sort types by (cnt DESC), take
+    the minimal prefix reaching each target — the histogram pick must
+    agree on vocab_size/covered_tokens and be MINIMAL (one fewer type
+    falls short)."""
+    from collections import Counter
+
+    from dq.textstats import VOCAB_COVERAGE_TARGETS_BP, vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] or "" for r in docs.select("text").collect()]
+    counts = Counter(t for x in texts for t in x.lower().split() if t)
+    sizes = sorted(counts.values(), reverse=True)
+    total = sum(sizes)
+
+    got = {r["target_bp"]: r for r in vocab_coverage(docs).collect()}
+    for bp in VOCAB_COVERAGE_TARGETS_BP:
+        need = -(-total * bp // 10000)  # ceil
+        cum, n = 0, 0
+        for c in sizes:
+            if cum >= need:
+                break
+            cum += c
+            n += 1
+        r = got[bp]
+        assert r["vocab_size"] == n
+        assert r["covered_tokens"] == cum
+        assert cum >= need
+        assert cum - sizes[n - 1] < need  # minimality
+        assert r["total_tokens"] == total and r["total_types"] == len(sizes)
