@@ -101,6 +101,7 @@ HEADLINE = [
     "collocation_topk",          # round-5: Dice-coefficient phrase mining
     "filter_agreement",          # round-5: keep-signal kappa audit
     "markup_density",            # round-5: render-in-plan markup ratio
+    "vocab_coverage_cutoffs",    # round-5: tokenizer coverage curve
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.
