@@ -102,6 +102,7 @@ HEADLINE = [
     "filter_agreement",          # round-5: keep-signal kappa audit
     "markup_density",            # round-5: render-in-plan markup ratio
     "vocab_coverage_cutoffs",    # round-5: tokenizer coverage curve
+    "quality_weighted_sample",   # round-5: soft quality filtering
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -2652,6 +2652,48 @@ FROM hit
 # histogram pick — exact integers, no vocabulary sort).
 ORACLES["vocab_coverage_cutoffs"] = _vocab_coverage_sql()
 
+
+def _quality_weighted_sample_sql() -> str:
+    """Twin of dq.sampling.quality_weighted_sample: the classifier score
+    twin's token-weight lambda + the shared LCG bucket, with the ramp in
+    exact truncating integer division (both engines truncate toward zero,
+    probed — ptoken_micro and the pre-clamp ramp can both go negative)."""
+    from dq.sampling import LCG_ADD, LCG_MUL, QW_HI_MICRO, QW_LO_MICRO, SAMPLE_MOD
+
+    weight = _token_weight_sql()
+    span = QW_HI_MICRO - QW_LO_MICRO
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
+              AS BIGINT) AS score_micro
+  FROM t
+), p AS (
+  SELECT *, CASE WHEN n_tokens = 0 THEN 0
+                 ELSE score_micro // n_tokens END AS ptoken_micro
+  FROM s
+), k AS (
+  SELECT *,
+         greatest(0, least(10000,
+             ((ptoken_micro - {QW_LO_MICRO}) * 10000) // {span})) AS keep_bp,
+         (doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS sample_bucket
+  FROM p
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST(ptoken_micro AS BIGINT) AS ptoken_micro,
+       CAST(keep_bp AS BIGINT) AS keep_bp,
+       CAST(sample_bucket AS BIGINT) AS sample_bucket,
+       sample_bucket < keep_bp AS sampled
+FROM k
+"""
+
+
+# round-5 addition: soft quality filtering (score-proportional keep via the
+# shared LCG bucket — composes the classifier and sampler twins).
+ORACLES["quality_weighted_sample"] = _quality_weighted_sample_sql()
+
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive
 # sequence(1, length-1); both substrings are character-based in both engines.

@@ -1929,6 +1929,16 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats_by_lang(_t(spark, sf_dir, "documents"))
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (dq.sampling.quality_weighted_sample):
+    score-proportional keep probability over the hashed-classifier mean
+    token weight, decided by the shared deterministic LCG bucket — the
+    FineWeb-Edu/DCLM alternative to a hard threshold. Zero exchanges."""
+    from dq.sampling import quality_weighted_sample as qws
+
+    return qws(_t(spark, sf_dir, "documents"))
+
+
 def vocab_coverage_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocab-sizing curve over the corpus token stream
     (dq.textstats.vocab_coverage): the minimal number of most-frequent
@@ -2227,4 +2237,5 @@ QUERIES = {
     "near_dup_survivors": near_dup_survivors,
     "markup_density": markup_density,
     "vocab_coverage_cutoffs": vocab_coverage_cutoffs,
+    "quality_weighted_sample": quality_weighted_sample,
 }

@@ -392,3 +392,58 @@ def unimax_allocation(
         )
         .orderBy("lang")
     )
+
+
+# quality-weighted sampling ramp: mean per-token weight (micro-units) maps
+# linearly onto keep probability — the hashing-trick weight span's ends
+# (dq.classifier WEIGHT_SPAN: [-1000, +1000]) anchor bp 0 and bp 10000.
+QW_LO_MICRO = -1000
+QW_HI_MICRO = 1000
+
+
+def quality_weighted_sample(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft quality filtering (FineWeb-Edu / DCLM style): instead of a hard
+    keep/drop at one threshold, each document is kept with probability
+    proportional to its classifier score — a linear ramp from QW_LO_MICRO
+    (keep_bp 0) to QW_HI_MICRO (keep_bp 10000) over the mean per-token
+    hashed weight (dq.classifier), decided by the shared deterministic LCG
+    bucket (dq.sampling.lcg_bucket — retry/resume-stable, cluster-size
+    independent). Toxic-laced docs (hard negative prior) ramp to 0;
+    empty docs score a neutral 0 micro (keep_bp 5000) by convention.
+
+    All arithmetic is exact-integer truncating division (both engines
+    truncate toward zero, probed), so the twin is bit-exact. Scale shape:
+    one narrow codegen projection — zero exchanges, zero joins
+    (plan-asserted); the expected kept mass is sum(keep_bp)/10000 with no
+    global pass needed."""
+    from dq.classifier import classifier_scores
+
+    span = QW_HI_MICRO - QW_LO_MICRO
+    s = classifier_scores(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id",
+        "n_tokens",
+        "score_micro",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("score_micro DIV n_tokens"))
+        .alias("ptoken_micro"),
+    )
+    keep_bp = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(10_000).cast("long"),
+            F.expr(f"((ptoken_micro - {QW_LO_MICRO}) * 10000) DIV {span}"),
+        ),
+    )
+    b = lcg_bucket(F.col("doc_id"))
+    staged = s.select("*", keep_bp.alias("keep_bp"))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "score_micro",
+        "ptoken_micro",
+        "keep_bp",
+        b.cast("bigint").alias("sample_bucket"),
+        (b < F.col("keep_bp")).alias("sampled"),
+    )

@@ -83,6 +83,7 @@ TEXT_QUERIES = [
     "near_dup_survivors",
     "markup_density",
     "vocab_coverage_cutoffs",
+    "quality_weighted_sample",
 ]
 
 

@@ -728,3 +728,15 @@ def test_vocab_coverage_window_input_is_histogram(spark):
             assert inp, node
             # histogram columns only — cnt and n_types
             assert "term#" not in inp.group(2) and "text#" not in inp.group(2), node
+
+
+def test_quality_weighted_sample_no_exchange(spark):
+    """Soft quality sampling is one narrow codegen projection: zero
+    exchanges, zero joins — the classifier score, ramp, and LCG decision
+    all evaluate in the scan's stage."""
+    from dq.queries import quality_weighted_sample
+
+    df = quality_weighted_sample(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert simple_plan_of(df).count("Scan parquet") == 1

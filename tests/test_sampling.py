@@ -182,3 +182,49 @@ def test_unimax_all_saturated_and_zero_token_lang(spark):
     got = _unimax(spark, [("z", None), ("b", " ".join(["x"] * 5))])
     assert (got["z"].alloc_tokens, got["z"].alloc_epochs_bp) == (0, 0)
     assert got["b"].alloc_tokens == 15 and not got["b"].saturated
+
+
+def test_quality_weighted_sample_ramp(spark):
+    """Ramp anchors and determinism: an all-toxic doc pins keep_bp to 0
+    (never sampled regardless of bucket); an empty doc sits at the neutral
+    midpoint 5000; keep_bp is monotone in ptoken_micro and clamped to
+    [0, 10000]; sampled == (lcg bucket < keep_bp) exactly."""
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD, quality_weighted_sample
+    from dq.scrub import TOXIC_WORDS
+
+    toxic = " ".join(sorted(TOXIC_WORDS)[:3])
+    rows = [
+        (0, toxic),            # hard-negative prior -> ptoken -8000 -> bp 0
+        (1, ""),               # empty -> neutral 0 micro -> bp 5000
+        (2, "alpha beta gamma delta"),
+        (3, None),             # NULL == empty by the classifier contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_weighted_sample(df).collect()}
+
+    assert out[0]["keep_bp"] == 0 and not out[0]["sampled"]
+    assert out[1]["keep_bp"] == 5000
+    assert out[3]["keep_bp"] == 5000  # NULL text == empty
+    for r in out.values():
+        assert 0 <= r["keep_bp"] <= 10000
+        assert r["sample_bucket"] == (r["doc_id"] * LCG_MUL + LCG_ADD) % SAMPLE_MOD
+        assert r["sampled"] == (r["sample_bucket"] < r["keep_bp"])
+        assert r["sampled"] is not None  # never three-valued
+    # monotone in the mean token weight
+    by_ptoken = sorted(out.values(), key=lambda r: r["ptoken_micro"])
+    bps = [r["keep_bp"] for r in by_ptoken]
+    assert bps == sorted(bps)
+
+
+def test_quality_weighted_kept_mass_tracks_scores(spark):
+    """On the sf0.001 corpus the realized kept fraction sits near the
+    expected sum(keep_bp)/10000/n mass (LCG buckets are equidistributed;
+    tolerance generous — this is a sanity bound, not a statistical test)."""
+    from dq.sampling import quality_weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_weighted_sample(docs).select("keep_bp", "sampled").collect()
+    n = len(out)
+    expected = sum(r["keep_bp"] for r in out) / 10_000 / n
+    realized = sum(1 for r in out if r["sampled"]) / n
+    assert abs(realized - expected) < 0.1
