@@ -103,6 +103,7 @@ HEADLINE = [
     "markup_density",            # round-5: render-in-plan markup ratio
     "vocab_coverage_cutoffs",    # round-5: tokenizer coverage curve
     "quality_weighted_sample",   # round-5: soft quality filtering
+    "canonical_content_audit",   # round-5: canon-group consistency
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -2014,13 +2014,14 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
-def _canonical_chains_sql() -> str:
-    """Twin of dq.canonical: the engine's pointer doubling equals the
-    sequential recursive walk — max-depth row per doc is the terminal."""
+def _canonical_walk_ctes() -> str:
+    """Shared recursive-walk CTE chain (e → walk → resolved): the
+    sequential twin of dq.canonical's pointer doubling (max-depth row per
+    doc is the terminal). Reused by canonical_chains AND
+    canonical_content_audit so the walk is generated once."""
     from dq.canonical import CANON_CHAIN_MOD
 
-    return f"""
-WITH RECURSIVE e AS (
+    return f"""e AS (
   SELECT doc_id,
          CASE WHEN doc_id % {CANON_CHAIN_MOD} = 0 THEN doc_id
               ELSE doc_id - 1 END AS ptr
@@ -2031,10 +2032,38 @@ WITH RECURSIVE e AS (
   SELECT w.doc_id, e2.ptr, w.depth + 1
   FROM walk w JOIN e e2 ON w.cur = e2.doc_id
   WHERE e2.ptr <> w.cur
+), resolved AS (
+  SELECT doc_id, CAST(arg_max(cur, depth) AS BIGINT) AS root_id,
+         CAST(max(depth) AS BIGINT) AS depth
+  FROM walk GROUP BY doc_id
+)"""
+
+
+def _canonical_chains_sql() -> str:
+    """Twin of dq.canonical: the shared recursive walk, terminal row out."""
+    return f"""
+WITH RECURSIVE {_canonical_walk_ctes()}
+SELECT doc_id, root_id, depth FROM resolved
+"""
+
+
+def _canonical_content_audit_sql() -> str:
+    """Twin of queries.canonical_content_audit: the shared walk joined to
+    the raw text — count(DISTINCT coalesce(text, chr(0))) ≡ counting the
+    null-safe sha2 fingerprints (the fingerprint_col contract)."""
+    return f"""
+WITH RECURSIVE {_canonical_walk_ctes()},
+g AS (
+  SELECT r.root_id,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(count(DISTINCT coalesce(d.text, chr(0))) AS BIGINT) AS n_contents,
+         CAST(max(r.depth) AS BIGINT) AS max_depth
+  FROM resolved r JOIN documents d USING (doc_id)
+  GROUP BY r.root_id
 )
-SELECT doc_id, CAST(arg_max(cur, depth) AS BIGINT) AS root_id,
-       CAST(max(depth) AS BIGINT) AS depth
-FROM walk GROUP BY doc_id
+SELECT root_id, n_pages, n_contents, max_depth,
+       (n_contents <= 1) AS is_consistent
+FROM g
 """
 
 
@@ -2693,6 +2722,10 @@ FROM k
 # round-5 addition: soft quality filtering (score-proportional keep via the
 # shared LCG bucket — composes the classifier and sampler twins).
 ORACLES["quality_weighted_sample"] = _quality_weighted_sample_sql()
+
+# round-5 addition: canonical-group content-consistency audit (shared
+# recursive-walk CTE + null-safe content grouping).
+ORACLES["canonical_content_audit"] = _canonical_content_audit_sql()
 
 # round-5 addition: BPE pair-count table (dq.textstats.bpe_pair_table twin).
 # DuckDB range(1, n) is [1, n) — the same index set as Spark's inclusive

@@ -2106,6 +2106,43 @@ def canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_canonical(planted_canonical_edges(docs))
 
 
+def canonical_content_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-group content-consistency audit (crawl hygiene): pages
+    sharing one rel=canonical terminal should carry ONE content — a group
+    with divergent fingerprints signals canonical abuse / cloaking /
+    content churn, and tells the dedup tier whether canon groups can stand
+    in for exact-dup clusters. Composes the oracled pointer-doubling chain
+    resolution with the null-safe content fingerprint: per root, page
+    count, distinct-content count, max hop depth, is_consistent verdict.
+
+    Scale shape: the join carries (doc_id, root_id, depth) × (doc_id, fp)
+    rows (~50 B/doc); text never shuffles (plan-asserted); the agg keys on
+    root_id with map-side partials — group sizes are chain lengths, which
+    the resolver already bounds."""
+    from dq.canonical import planted_canonical_edges, resolve_canonical
+    from dq.dedup import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    chains = resolve_canonical(planted_canonical_edges(docs))
+    fps = docs.select("doc_id", fingerprint_col(F.col("text")).alias("_fp"))
+    g = (
+        chains.join(fps, "doc_id")
+        .groupBy("root_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.countDistinct("_fp").cast("bigint").alias("n_contents"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+        )
+    )
+    return g.select(
+        "root_id",
+        "n_pages",
+        "n_contents",
+        "max_depth",
+        (F.col("n_contents") <= 1).alias("is_consistent"),
+    )
+
+
 def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (dq.winnow, Schleimer et al. 2003): per doc,
     the window-minimum k-gram hash set — ~2/(w+1) the density of the full
@@ -2238,4 +2275,5 @@ QUERIES = {
     "markup_density": markup_density,
     "vocab_coverage_cutoffs": vocab_coverage_cutoffs,
     "quality_weighted_sample": quality_weighted_sample,
+    "canonical_content_audit": canonical_content_audit,
 }

@@ -285,3 +285,52 @@ def test_canonical_deep_chain_logarithmic(spark):
     out = resolve_canonical(edges)
     assert out.where("root_id != 0").count() == 0
     assert out.where(f"doc_id = {n - 1}").collect()[0]["depth"] == n - 1
+
+
+def test_canonical_content_audit_groups(spark):
+    """Audit semantics on the planted chains: every group's n_pages equals
+    its chain length (CANON_CHAIN_MOD runs, truncated at the corpus edge),
+    multi-page groups over distinct synthetic texts report
+    n_contents == n_pages and is_consistent False, and a hand corpus where
+    every chain member carries IDENTICAL text reports n_contents 1 and
+    is_consistent True."""
+    from dq.canonical import CANON_CHAIN_MOD
+    from dq.queries import canonical_content_audit
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    out = {r["root_id"]: r for r in canonical_content_audit(spark, sf).collect()}
+    assert sum(r["n_pages"] for r in out.values()) == n_docs
+    for root, r in out.items():
+        members = [
+            i for i in ids if i >= root and i - root == i % CANON_CHAIN_MOD
+            and i // CANON_CHAIN_MOD == root // CANON_CHAIN_MOD
+        ] if root % CANON_CHAIN_MOD == 0 else None
+        assert members is not None, f"non-root group {root}"
+        assert r["n_pages"] == len(members)
+        distinct = len({texts[i] for i in members})
+        assert r["n_contents"] == distinct
+        assert r["is_consistent"] == (distinct <= 1)
+
+    # identical-content chain -> consistent (exercises the True branch
+    # even if every sf chain happens to be divergent)
+    from dq.canonical import planted_canonical_edges, resolve_canonical
+    from dq.dedup import fingerprint_col
+    from pyspark.sql import functions as F
+
+    same = spark.createDataFrame(
+        [(i, "one true content") for i in range(8)], "doc_id long, text string"
+    )
+    chains = resolve_canonical(planted_canonical_edges(same))
+    fps = same.select("doc_id", fingerprint_col(F.col("text")).alias("_fp"))
+    g = (
+        chains.join(fps, "doc_id")
+        .groupBy("root_id")
+        .agg(F.countDistinct("_fp").alias("n_contents"))
+        .collect()
+    )
+    assert all(r["n_contents"] == 1 for r in g)

@@ -84,6 +84,7 @@ TEXT_QUERIES = [
     "markup_density",
     "vocab_coverage_cutoffs",
     "quality_weighted_sample",
+    "canonical_content_audit",
 ]
 
 

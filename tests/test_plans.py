@@ -740,3 +740,21 @@ def test_quality_weighted_sample_no_exchange(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert simple_plan_of(df).count("Scan parquet") == 1
+
+
+def test_canonical_content_audit_no_text_in_exchange(spark):
+    """The audit's exchanges carry (doc_id, root_id, depth)/(doc_id, fp)
+    rows only — the document text never shuffles (fingerprint projected
+    before the join)."""
+    import re
+
+    from dq.queries import canonical_content_audit
+
+    plan = plan_of(canonical_content_audit(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), node
