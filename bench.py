@@ -104,6 +104,9 @@ HEADLINE = [
     "vocab_coverage_cutoffs",    # round-5: tokenizer coverage curve
     "quality_weighted_sample",   # round-5: soft quality filtering
     "canonical_content_audit",   # round-5: canon-group consistency
+    "split_leakage_check",       # round-5: cross-split leakage audit
+    "training_order_shuffle",    # round-5: reproducible training order
+    "meta_robots_filter",        # round-5: robots-meta compliance
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -2579,14 +2579,14 @@ ORACLES["near_dup_clusters_star"] = ORACLES["near_dup_clusters"]
 ORACLES["near_dup_survivors"] = _near_dup_survivors_sql()
 
 
-def _markup_density_sql() -> str:
-    """Twin of queries.markup_density: rebuilds the html render as a STRING
-    in SQL from the same dq.synth scaffold constants (HTML_ESCAPES chain +
-    pre/post fragments), so the character counts are length-exact against
-    the Catalyst renderer. The per-paragraph wrap is expressed as one
-    newline replace: esc() never touches chr(10), so
-    '<p>' || replace(esc(text), chr(10), '</p><p>') || '</p>' is
-    character-identical to escape-each-paragraph-then-join."""
+def _html_render_sql() -> str:
+    """The byte-pinned html render as ONE SQL string expression, generated
+    from the dq.synth scaffold constants (HTML_ESCAPES chain + pre/post
+    fragments) — shared by every twin that needs the rendered page
+    (markup_density, meta_robots_filter), never hand-duplicated. The
+    per-paragraph wrap is expressed as one newline replace: esc() never
+    touches chr(10), so '<p>' || replace(esc(text), chr(10), '</p><p>')
+    || '</p>' is character-identical to escape-each-paragraph-then-join."""
     from dq.synth import (
         HTML_ESCAPES,
         HTML_FOOT,
@@ -2604,10 +2604,17 @@ def _markup_density_sql() -> str:
     pars = (
         "'<p>' || replace(" + esc("coalesce(text, '')") + ", chr(10), '</p><p>') || '</p>'"
     )
-    html = (
+    return (
         f"'{_sq(HTML_PRE_TITLE)}' || {esc(_url_expr())} || '{_sq(HTML_POST_TITLE)}'\n"
         f"         || {pars} || '{_sq(HTML_POST_PARS)}' || '{_sq(HTML_FOOT)}'"
     )
+
+
+def _markup_density_sql() -> str:
+    """Twin of queries.markup_density: rebuilds the html render as a STRING
+    in SQL via the shared _html_render_sql generator, so the character
+    counts are length-exact against the Catalyst renderer."""
+    html = _html_render_sql()
     return f"""
 WITH h AS (
   SELECT doc_id, coalesce(text, '') AS t,
@@ -2995,3 +3002,160 @@ GROUP BY 1, 2
 ORDER BY pair_count DESC, left_sym, right_sym
 LIMIT {BPE_PAIR_TOP_K}
 """
+
+
+def _split_leakage_sql() -> str:
+    """Twin of queries.split_leakage_check: the leak-plant base (copies
+    under LEAK_COPY_* remixed ids — NOT the dedup tier's 10^4-multiple
+    offsets, which shift the split bucket by zero), the LCG split buckets
+    from dq.sampling constants, and content grouping by
+    coalesce(text, chr(0)) — the fingerprint_col contract (grouping by
+    sha2 of the sentinel-coalesced text ≡ grouping by the text itself).
+    Copies of NULL texts stay NULL in both engines, so they co-cluster
+    with their sources."""
+    from dq.queries import LEAK_COPY_MOD, LEAK_COPY_OFFSET
+    from dq.sampling import (
+        LCG_ADD,
+        LCG_MUL,
+        LEAK_SCALE,
+        SAMPLE_MOD,
+        SPLIT_EDGES,
+        SPLIT_PAIRS,
+    )
+
+    whens = " ".join(
+        f"WHEN bkt < {edge} THEN '{name}'" for name, edge in SPLIT_EDGES[:-1]
+    )
+    names = [n for n, _ in SPLIT_EDGES]
+    n_cols = ",\n         ".join(
+        f"sum(CASE WHEN split = '{n}' THEN 1 ELSE 0 END) AS n_{n}" for n in names
+    )
+    g_cols = []
+    for a, b in SPLIT_PAIRS:
+        tag = f"{a[0]}{b[0]}"
+        g_cols.append(
+            f"coalesce(sum(CASE WHEN n_{a} > 0 AND n_{b} > 0 THEN 1 ELSE 0 END), 0)"
+            f" AS sh_{tag}"
+        )
+        g_cols.append(
+            f"coalesce(sum(CASE WHEN n_{a} > 0 THEN n_{b} ELSE 0 END), 0) AS lk_{tag}"
+        )
+    g_cols.extend(f"coalesce(sum(n_{n}), 0) AS tot_{n}" for n in names)
+    g_sql = ",\n         ".join(g_cols)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{a}|{b}' AS pair,
+       CAST(sh_{a[0]}{b[0]} AS BIGINT) AS shared_contents,
+       CAST(lk_{a[0]}{b[0]} AS BIGINT) AS leaked_eval_docs,
+       CAST(tot_{b} AS BIGINT) AS eval_docs,
+       CAST(CASE WHEN tot_{b} > 0
+                 THEN lk_{a[0]}{b[0]} * {LEAK_SCALE} // tot_{b}
+                 ELSE 0 END AS BIGINT) AS leak_bp
+FROM g"""
+        for a, b in SPLIT_PAIRS
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {LEAK_COPY_OFFSET}, text FROM documents
+  WHERE doc_id % {LEAK_COPY_MOD} = 0
+),
+s AS (
+  SELECT coalesce(text, chr(0)) AS t,
+         CASE {whens} ELSE '{SPLIT_EDGES[-1][0]}' END AS split
+  FROM (SELECT text,
+               (doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS bkt
+        FROM planted)
+), per AS (
+  SELECT t, {n_cols}
+  FROM s GROUP BY t
+), g AS (
+  SELECT {g_sql}
+  FROM per
+)
+{arms}
+"""
+
+
+# round-5 addition: cross-split exact-content leakage audit (the GPT-3
+# appendix-C contamination failure applied to one's own held-out splits).
+ORACLES["split_leakage_check"] = _split_leakage_sql()
+
+
+def _training_order_sql() -> str:
+    """Twin of queries.training_order_shuffle: same independent-LCG shard
+    + within-shard row_number (doc_id tie-break = total order, so the
+    window is engine-independent) + round-robin interleave arithmetic.
+    doc_id is nonnegative, so %% equals Spark's pmod."""
+    from dq.sampling import N_ORDER_SHARDS, ORDER_ADD, ORDER_MUL, SAMPLE_MOD
+
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         (doc_id * {ORDER_MUL} + {ORDER_ADD}) % {SAMPLE_MOD} AS order_key
+  FROM documents
+), s AS (
+  SELECT doc_id, order_key, order_key % {N_ORDER_SHARDS} AS shard FROM k
+), r AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+           AS pos
+  FROM s
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(pos AS BIGINT) AS pos_in_shard,
+       CAST((pos - 1) * {N_ORDER_SHARDS} + shard AS BIGINT) AS global_pos
+FROM r
+"""
+
+
+# round-5 addition: reproducible global training order without a global
+# sort (round-robin interleave of independently hash-mixed shards).
+ORACLES["training_order_shuffle"] = _training_order_sql()
+
+
+def _meta_robots_sql() -> str:
+    """Twin of queries.meta_robots_filter: the shared _html_render_sql
+    render, the same </head> tag injection by doc_id residue, and the same
+    dialect-subset extraction regex. regexp_extract returns '' on no match
+    in BOTH engines (probed), so every boolean is two-valued."""
+    from dq.queries import (
+        HEAD_CLOSE,
+        ROBOTS_BENIGN_REM,
+        ROBOTS_BENIGN_TAG,
+        ROBOTS_MOD,
+        ROBOTS_NOINDEX_REM,
+        ROBOTS_NOINDEX_TAG,
+        ROBOTS_RE,
+    )
+
+    html = _html_render_sql()
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         replace({html},
+                 '{_sq(HEAD_CLOSE)}',
+                 CASE WHEN doc_id % {ROBOTS_MOD} = {ROBOTS_NOINDEX_REM}
+                        THEN '{_sq(ROBOTS_NOINDEX_TAG)}'
+                      WHEN doc_id % {ROBOTS_MOD} = {ROBOTS_BENIGN_REM}
+                        THEN '{_sq(ROBOTS_BENIGN_TAG)}'
+                      ELSE '' END || '{_sq(HEAD_CLOSE)}') AS html
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         coalesce(regexp_extract(html, '{_sq(ROBOTS_RE)}', 1), '')
+           AS robots_content
+  FROM h
+)
+SELECT doc_id, robots_content,
+       length(robots_content) > 0 AS has_robots_meta,
+       contains(lower(robots_content), 'noindex') AS noindex,
+       contains(lower(robots_content), 'nofollow') AS nofollow,
+       NOT contains(lower(robots_content), 'noindex') AS keep
+FROM c
+"""
+
+
+# round-5 addition: robots-meta crawl-compliance filter over the in-plan
+# render (the second length-exact consumer of the shared render twin).
+ORACLES["meta_robots_filter"] = _meta_robots_sql()

@@ -2153,6 +2153,112 @@ def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps(_t(spark, sf_dir, "documents"))
 
 
+# leak plant: byte-identical copies under REMIXED ids. The offset must NOT
+# be a multiple of 10^4: dataset_split buckets on (id * LCG_MUL) % 10^4, so
+# a 10^4-multiple offset (like the dedup tier's PLANT_*_OFFSETs) shifts the
+# bucket by exactly zero and every copy lands in its source's split — a
+# vacuous audit. 3_000_017 shifts buckets by (offset * LCG_MUL) % 10^4 =
+# 7937, so ~4% of copies straddle a split boundary. Oracle SQL is
+# generated from these constants.
+LEAK_COPY_MOD, LEAK_COPY_OFFSET = 3, 3_000_017
+
+
+def _docs_with_leak_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ byte-identical copies (doc_id % LEAK_COPY_MOD == 0)
+    under ids offset by LEAK_COPY_OFFSET (disjoint from real ids AND from
+    the dedup tier's planted ranges)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % LEAK_COPY_MOD == 0).select(
+        (F.col("doc_id") + LEAK_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split exact-content leakage audit
+    (dq.sampling.split_leakage_audit) over the leak-plant corpus: split
+    assignment hashes the DOC ID, so a byte-identical copy under a
+    remixed id (a re-crawl / mirror) lands in val or test while its source
+    trains — exactly the straddle that leaks held-out content into
+    training. Per ordered split pair: contents present in both splits,
+    eval docs whose content is also in the earlier split, eval totals,
+    leak share in basis points. One (fp, split) exchange, one global
+    counter row, constant-size explode — text never shuffles
+    (plan-asserted)."""
+    from dq.sampling import split_leakage_audit
+
+    return split_leakage_audit(_docs_with_leak_copies(spark, sf_dir))
+
+
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order (dq.sampling.training_order):
+    independent-LCG shard + within-shard row_number, round-robin
+    interleaved into a strict global order — identical across runs,
+    retries, and cluster sizes, with only a (shard)-keyed ~16 B/doc
+    exchange instead of the global sort a naive ORDER BY hash(id) costs."""
+    from dq.sampling import training_order
+
+    return training_order(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+# planted robots-meta variants (the oracle SQL is generated from these):
+# every ROBOTS_MOD-th doc declares noindex,nofollow; the next residue gets
+# a benign index,follow tag (present but keepable); the rest carry no tag.
+ROBOTS_MOD, ROBOTS_NOINDEX_REM, ROBOTS_BENIGN_REM = 11, 0, 1
+ROBOTS_NOINDEX_TAG = '<meta name="robots" content="noindex, nofollow">'
+ROBOTS_BENIGN_TAG = '<meta name="robots" content="index, follow">'
+ROBOTS_RE = r'(?i)<meta\s+name="robots"\s+content="([^"]*)"'
+HEAD_CLOSE = "</head>"
+
+
+def meta_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta crawl-compliance filter: pages declaring
+    <meta name="robots" content="noindex..."> must not enter a training
+    corpus built from a public crawl (the robots-meta contract C4 and
+    RefinedWeb honor at ingestion). The html is rendered IN the plan by
+    the byte-pinned renderer, a robots meta is planted into the <head> by
+    doc_id residue (ROBOTS_* constants), and the filter re-extracts the
+    declared content with one dialect-subset regex — has/noindex/nofollow
+    flags and the keep verdict are all two-valued (no NULL booleans: no
+    match extracts '' in BOTH engines, probed). The escape chain rewrites
+    '<' in text, so a page body can never forge the </head> anchor or a
+    meta tag. Zero exchanges, single scan (plan-asserted); html and
+    content are staged as real columns so the flag exprs never
+    re-render."""
+    from dq.synth import render_html_col
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    html = F.decode(render_html_col(text, url_expr(F.col("doc_id"))), "UTF-8")
+    tag = (
+        F.when(
+            F.col("doc_id") % ROBOTS_MOD == ROBOTS_NOINDEX_REM,
+            F.lit(ROBOTS_NOINDEX_TAG),
+        )
+        .when(
+            F.col("doc_id") % ROBOTS_MOD == ROBOTS_BENIGN_REM,
+            F.lit(ROBOTS_BENIGN_TAG),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = F.replace(
+        html, F.lit(HEAD_CLOSE), F.concat(tag, F.lit(HEAD_CLOSE))
+    )
+    staged = docs.select("doc_id", planted.alias("h")).select(
+        "doc_id", F.regexp_extract("h", ROBOTS_RE, 1).alias("robots_content")
+    )
+    lc = F.lower(F.col("robots_content"))
+    return staged.select(
+        "doc_id",
+        "robots_content",
+        (F.length("robots_content") > 0).alias("has_robots_meta"),
+        lc.contains("noindex").alias("noindex"),
+        lc.contains("nofollow").alias("nofollow"),
+        (~lc.contains("noindex")).alias("keep"),
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2276,4 +2382,7 @@ QUERIES = {
     "vocab_coverage_cutoffs": vocab_coverage_cutoffs,
     "quality_weighted_sample": quality_weighted_sample,
     "canonical_content_audit": canonical_content_audit,
+    "split_leakage_check": split_leakage_check,
+    "training_order_shuffle": training_order_shuffle,
+    "meta_robots_filter": meta_robots_filter,
 }

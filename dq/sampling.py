@@ -447,3 +447,143 @@ def quality_weighted_sample(
         b.cast("bigint").alias("sample_bucket"),
         (b < F.col("keep_bp")).alias("sampled"),
     )
+
+
+# ------------------------------------------------ cross-split leakage -----
+
+# Split assignment hashes the DOC ID (dataset_split), so byte-identical
+# mirrors / re-crawls land in splits independently: an exact duplicate
+# straddling train and an eval split silently leaks held-out content into
+# training (the GPT-3 appendix-C contamination failure, applied to one's
+# own splits). The audit counts straddling contents and leaked eval docs
+# per ordered split pair BEFORE training does. dq.oracles generates the
+# DuckDB twin from these constants.
+SPLIT_PAIRS = [("train", "val"), ("train", "test"), ("val", "test")]
+LEAK_SCALE = 10_000  # leak share of the eval split, basis points
+
+
+def split_leakage_audit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(pair, shared_contents, leaked_eval_docs, eval_docs, leak_bp): for
+    each split pair (a, b), the distinct contents present in BOTH splits,
+    the b-side docs whose content also appears in a (docs an evaluation on
+    b has already trained on), b's doc total, and the leak share in basis
+    points (integer DIV — both engines truncate toward zero, probed).
+
+    Plan shape: fingerprint + split are assigned in the scan projection
+    (text never shuffles — the one exchange carries (fp, split) ~40
+    B/doc); ONE fp-keyed hash-agg builds the constant-width per-split
+    count vector; ONE global agg folds it to a single counter row; a
+    constant-size inline explode emits the three pair rows. No
+    corpus-sized join, no window, no global sort — the
+    snapshot_dedup_rates shape with splits as the snapshot axis."""
+    from dq.dedup import fingerprint_col
+
+    names = [n for n, _ in SPLIT_EDGES]
+    s = dataset_split(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    per = (
+        s.select(fingerprint_col(F.col("text")).alias("fp"), "split")
+        .groupBy("fp")
+        .agg(
+            *[
+                F.sum(F.when(F.col("split") == n, 1).otherwise(0)).alias(f"n_{n}")
+                for n in names
+            ]
+        )
+    )
+    aggs = []
+    for a, b in SPLIT_PAIRS:
+        tag = f"{a[0]}{b[0]}"
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(f"n_{a}") > 0) & (F.col(f"n_{b}") > 0), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(f"sh_{tag}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(f"n_{a}") > 0, F.col(f"n_{b}")).otherwise(0)),
+                F.lit(0),
+            ).alias(f"lk_{tag}")
+        )
+    aggs.extend(
+        F.coalesce(F.sum(F.col(f"n_{n}")), F.lit(0)).alias(f"tot_{n}")
+        for n in names
+    )
+    g = per.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}|{b}").alias("pair"),
+                F.col(f"sh_{a[0]}{b[0]}").cast("bigint").alias("shared_contents"),
+                F.col(f"lk_{a[0]}{b[0]}").cast("bigint").alias("leaked_eval_docs"),
+                F.col(f"tot_{b}").cast("bigint").alias("eval_docs"),
+                F.when(
+                    F.col(f"tot_{b}") > 0,
+                    F.expr(f"lk_{a[0]}{b[0]} * {LEAK_SCALE} DIV tot_{b}"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("leak_bp"),
+            )
+            for a, b in SPLIT_PAIRS
+        ]
+    )
+    return g.select(F.inline(rows))
+
+
+# ------------------------------------------------ training order ----------
+
+# Second, independent LCG for the training-order mix (distinct constants so
+# the order is uncorrelated with the sampling/split buckets that share
+# lcg_bucket): xxhash's 32-bit avalanche primes, reduced mod SAMPLE_MOD
+# like every other deterministic decision in this module.
+ORDER_MUL = 2_246_822_519
+ORDER_ADD = 3_266_489_917
+N_ORDER_SHARDS = 8  # gate-scale default; production sets ~corpus/task_budget
+
+
+def training_order(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = N_ORDER_SHARDS
+) -> DataFrame:
+    """(doc_id, shard, pos_in_shard, global_pos): reproducible, well-mixed
+    global training order WITHOUT a global sort. The shard and within-shard
+    sort key come from an independent LCG on the doc id; ``pos_in_shard``
+    is a per-shard row_number (ties broken by doc_id — total order); the
+    epoch reads shards round-robin, so ``global_pos = (pos - 1) * n_shards
+    + shard`` interleaves n_shards hash-mixed streams into one strict
+    global order (unique by construction: shard < n_shards).
+
+    Identical on every run, retry, and cluster size. Scale shape: the only
+    exchange is the (shard)-keyed hash partition of (doc_id, order_key)
+    ~16 B/doc; each task then sorts corpus/n_shards rows — pick n_shards
+    so that fits a task. The round-robin interleave buys the mixing a
+    naive ``ORDER BY hash(id)`` gets only through an O(corpus) global
+    sort exchange."""
+    key = F.pmod(F.col(id_col) * ORDER_MUL + ORDER_ADD, F.lit(SAMPLE_MOD))
+    staged = df.select(
+        F.col(id_col),
+        key.cast("bigint").alias("order_key"),
+        F.pmod(key, F.lit(n_shards)).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    ranked = staged.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+    return ranked.select(
+        id_col,
+        "shard",
+        "pos_in_shard",
+        ((F.col("pos_in_shard") - 1) * n_shards + F.col("shard"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )

@@ -85,6 +85,8 @@ TEXT_QUERIES = [
     "vocab_coverage_cutoffs",
     "quality_weighted_sample",
     "canonical_content_audit",
+    "split_leakage_check",
+    "meta_robots_filter",
 ]
 
 

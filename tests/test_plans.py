@@ -758,3 +758,52 @@ def test_canonical_content_audit_no_text_in_exchange(spark):
         inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
         assert inp, node
         assert "text#" not in inp.group(2), node
+
+
+def test_split_leakage_no_text_in_exchange(spark):
+    """The leakage audit's exchanges carry (fp, split) / counter rows —
+    document text never shuffles."""
+    import re
+
+    from dq.queries import split_leakage_check
+
+    plan = plan_of(split_leakage_check(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    saw_exchange = False
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        saw_exchange = True
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), node
+    assert saw_exchange, plan
+
+
+def test_training_order_single_narrow_exchange(spark):
+    """The training-order shuffle costs exactly one hash exchange, keyed
+    on the shard, carrying (doc_id, order_key, shard) — never a global
+    sort (no rangepartitioning)."""
+    import re
+
+    from dq.queries import training_order_shuffle
+
+    plan = plan_of(training_order_shuffle(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [
+        n for n in nodes if n.split("\n")[0].rstrip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in exchanges[0], exchanges[0]
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_meta_robots_no_exchange_single_scan(spark):
+    """The robots-meta filter is one codegen projection over one scan:
+    zero exchanges, zero joins."""
+    from dq.queries import meta_robots_filter
+
+    df = meta_robots_filter(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert simple_plan_of(df).count("Scan parquet") == 1, plan

@@ -228,3 +228,112 @@ def test_quality_weighted_kept_mass_tracks_scores(spark):
     expected = sum(r["keep_bp"] for r in out) / 10_000 / n
     realized = sum(1 for r in out if r["sampled"]) / n
     assert abs(realized - expected) < 0.1
+
+
+def _bucket(doc_id: int) -> int:
+    return (doc_id * sampling.LCG_MUL + sampling.LCG_ADD) % sampling.SAMPLE_MOD
+
+
+def _split_of(doc_id: int) -> str:
+    b = _bucket(doc_id)
+    for name, edge in sampling.SPLIT_EDGES:
+        if b < edge:
+            return name
+    return sampling.SPLIT_EDGES[-1][0]
+
+
+def test_split_leakage_audit_hand_corpus(spark):
+    # pick one id per split by scanning the shared LCG (same arithmetic
+    # the engine uses — the test plants docs in KNOWN splits)
+    ids = {}
+    for i in range(100_000):
+        s = _split_of(i)
+        ids.setdefault(s, []).append(i)
+        if len(ids) == 3 and all(len(v) >= 4 for v in ids.values()):
+            break
+    tr, va, te = ids["train"], ids["val"], ids["test"]
+    rows = [
+        (tr[0], "A"),  # A: train + val -> leaks into val
+        (va[0], "A"),
+        (tr[1], "B"),  # B: train only (two copies, no straddle)
+        (tr[2], "B"),
+        (va[1], "C"),  # C: val + test -> leaks val->test
+        (te[0], "C"),
+        (tr[3], "D"),
+        (te[1], "D"),  # D: train + test
+        (va[2], None),  # NULL family: val + test (sentinel must cluster)
+        (te[2], None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.pair: r
+        for r in sampling.split_leakage_audit(docs).collect()
+    }
+    tv, tt, vt = out["train|val"], out["train|test"], out["val|test"]
+    assert tv.shared_contents == 1 and tv.leaked_eval_docs == 1  # A
+    assert tv.eval_docs == 3  # va[0], va[1], va[2]
+    assert tt.shared_contents == 1 and tt.leaked_eval_docs == 1  # D
+    assert tt.eval_docs == 3
+    # C and the NULL family straddle val|test (sentinel clusters NULLs)
+    assert vt.shared_contents == 2 and vt.leaked_eval_docs == 2
+    assert vt.leak_bp == 2 * sampling.LEAK_SCALE // 3
+
+
+def test_split_leakage_audit_empty_and_clean(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    rows = sampling.split_leakage_audit(empty).collect()
+    assert len(rows) == 3
+    assert all(
+        r.shared_contents == 0 and r.leaked_eval_docs == 0 and r.leak_bp == 0
+        for r in rows
+    )
+    # all-unique corpus: totals populated, zero leakage
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    rows = sampling.split_leakage_audit(docs).collect()
+    assert sum(r.eval_docs for r in rows if r.pair.startswith("train|")) > 0
+    assert all(r.shared_contents == 0 for r in rows)
+
+
+def test_training_order_matches_python_twin_and_interleaves(spark):
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    out = sampling.training_order(docs).orderBy("global_pos").collect()
+    # python twin: same LCG, same per-shard rank, same interleave
+    key = {i: (i * sampling.ORDER_MUL + sampling.ORDER_ADD) % sampling.SAMPLE_MOD for i in range(n)}
+    shard = {i: key[i] % sampling.N_ORDER_SHARDS for i in range(n)}
+    expect = {}
+    for s in range(sampling.N_ORDER_SHARDS):
+        members = sorted(
+            (i for i in range(n) if shard[i] == s), key=lambda i: (key[i], i)
+        )
+        for pos, i in enumerate(members, start=1):
+            expect[i] = (s, pos, (pos - 1) * sampling.N_ORDER_SHARDS + s)
+    got = {r.doc_id: (r.shard, r.pos_in_shard, r.global_pos) for r in out}
+    assert got == expect
+    # strict global order: unique positions, and consecutive positions
+    # round-robin across shards (never two same-shard docs adjacent unless
+    # a shard is exhausted)
+    gps = [r.global_pos for r in out]
+    assert len(set(gps)) == n
+    # determinism under physical layout changes
+    out2 = sampling.training_order(docs.repartition(13)).collect()
+    assert {(r.doc_id, r.global_pos) for r in out2} == {
+        (r.doc_id, r.global_pos) for r in out
+    }
+
+
+def test_training_order_is_mixed_not_id_ordered(spark):
+    """The order must not degenerate to doc_id order: within the first 100
+    positions, ids span the full range (hash mixing)."""
+    n = 2000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    head = (
+        sampling.training_order(docs)
+        .orderBy("global_pos")
+        .limit(100)
+        .collect()
+    )
+    ids = [r.doc_id for r in head]
+    assert max(ids) > n // 2 and min(ids) < n // 10
