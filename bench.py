@@ -107,6 +107,8 @@ HEADLINE = [
     "split_leakage_check",       # round-5: cross-split leakage audit
     "training_order_shuffle",    # round-5: reproducible training order
     "meta_robots_filter",        # round-5: robots-meta compliance
+    "robots_txt_filter",         # round-5: robots.txt longest-match
+    "classifier_calibration",    # round-5: soft-vs-hard calibration
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -2689,40 +2689,48 @@ FROM hit
 ORACLES["vocab_coverage_cutoffs"] = _vocab_coverage_sql()
 
 
+def _qws_ctes() -> str:
+    """The quality_weighted_sample twin as a reusable CTE chain ending in
+    ``qwk`` (doc_id, n_tokens, score_micro, ptoken_micro, keep_bp,
+    sample_bucket) — shared by the sample query and the calibration audit,
+    generated once from the dq.sampling/classifier constants."""
+    from dq.sampling import LCG_ADD, LCG_MUL, QW_HI_MICRO, QW_LO_MICRO, SAMPLE_MOD
+
+    weight = _token_weight_sql()
+    span = QW_HI_MICRO - QW_LO_MICRO
+    return f"""qwt AS (SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents),
+qws AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
+              AS BIGINT) AS score_micro
+  FROM qwt
+), qwp AS (
+  SELECT *, CASE WHEN n_tokens = 0 THEN 0
+                 ELSE score_micro // n_tokens END AS ptoken_micro
+  FROM qws
+), qwk AS (
+  SELECT *,
+         greatest(0, least(10000,
+             ((ptoken_micro - {QW_LO_MICRO}) * 10000) // {span})) AS keep_bp,
+         (doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS sample_bucket
+  FROM qwp
+)"""
+
+
 def _quality_weighted_sample_sql() -> str:
     """Twin of dq.sampling.quality_weighted_sample: the classifier score
     twin's token-weight lambda + the shared LCG bucket, with the ramp in
     exact truncating integer division (both engines truncate toward zero,
     probed — ptoken_micro and the pre-clamp ramp can both go negative)."""
-    from dq.sampling import LCG_ADD, LCG_MUL, QW_HI_MICRO, QW_LO_MICRO, SAMPLE_MOD
-
-    weight = _token_weight_sql()
-    span = QW_HI_MICRO - QW_LO_MICRO
     return f"""
-WITH t AS (SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents),
-s AS (
-  SELECT doc_id,
-         CAST(len(words) AS BIGINT) AS n_tokens,
-         CAST(coalesce(list_sum(list_transform(words, w -> {weight})), 0)
-              AS BIGINT) AS score_micro
-  FROM t
-), p AS (
-  SELECT *, CASE WHEN n_tokens = 0 THEN 0
-                 ELSE score_micro // n_tokens END AS ptoken_micro
-  FROM s
-), k AS (
-  SELECT *,
-         greatest(0, least(10000,
-             ((ptoken_micro - {QW_LO_MICRO}) * 10000) // {span})) AS keep_bp,
-         (doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS sample_bucket
-  FROM p
-)
+WITH {_qws_ctes()}
 SELECT doc_id, n_tokens, score_micro,
        CAST(ptoken_micro AS BIGINT) AS ptoken_micro,
        CAST(keep_bp AS BIGINT) AS keep_bp,
        CAST(sample_bucket AS BIGINT) AS sample_bucket,
        sample_bucket < keep_bp AS sampled
-FROM k
+FROM qwk
 """
 
 
@@ -3159,3 +3167,80 @@ FROM c
 # round-5 addition: robots-meta crawl-compliance filter over the in-plan
 # render (the second length-exact consumer of the shared render twin).
 ORACLES["meta_robots_filter"] = _meta_robots_sql()
+
+
+def _robots_txt_sql() -> str:
+    """Twin of queries.robots_txt_filter: the same rule VALUES generated
+    from dq.urlstats.ROBOTS_TXT_RULES, the same score = prefix_len * 2 +
+    allow integer argmax (unmatched defaults to 1 = len 0 / allow), so the
+    longest-match + allow-on-tie decision is pure max() in both engines."""
+    from dq.urlstats import DOMAIN_RE, ROBOTS_TXT_RULES, URL_PATH_RE
+
+    values = ", ".join(
+        f"('{_sq(d)}', '{_sq(p)}', {a})" for d, p, a in ROBOTS_TXT_RULES
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_url_expr()} AS url FROM documents
+), p AS (
+  SELECT doc_id,
+         regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+         regexp_extract(url, '{URL_PATH_RE}', 1) AS path
+  FROM u
+), r(r_domain, prefix, allow) AS (VALUES {values}),
+j AS (
+  SELECT doc_id, domain, path,
+         CASE WHEN prefix IS NOT NULL THEN length(prefix) * 2 + allow
+              ELSE 1 END AS s
+  FROM p LEFT JOIN r ON domain = r_domain AND starts_with(path, prefix)
+), g AS (
+  SELECT doc_id, domain, path, max(s) AS s FROM j GROUP BY 1, 2, 3
+)
+SELECT doc_id, domain, path,
+       CAST(s // 2 AS BIGINT) AS matched_len,
+       s % 2 = 1 AS allowed
+FROM g
+"""
+
+
+# round-5 addition: robots.txt longest-match interpreter (RFC 9309
+# crawl-compliance gate; integer-argmax decision, bit-exact).
+ORACLES["robots_txt_filter"] = _robots_txt_sql()
+
+
+def _classifier_calibration_sql() -> str:
+    """Twin of queries.classifier_calibration: composes the shared
+    quality_weighted_sample CTE chain (_qws_ctes) with the heuristics CTE +
+    keep predicate — both generated from the same constants as the Spark
+    side. All integer DIV/`//` (truncation parity probed, including the
+    possibly-negative gap)."""
+    from dq.queries import CAL_BANDS, _cal_thresholds
+
+    width = 10_000 // CAL_BANDS
+    return f"""
+WITH {_heuristics_cte()},
+h AS (
+  SELECT doc_id, CASE WHEN {_keep_pred(_cal_thresholds())} THEN 1 ELSE 0 END AS k
+  FROM m
+),
+{_qws_ctes()},
+j AS (
+  SELECT least({CAL_BANDS - 1}, keep_bp // {width}) AS band, keep_bp, k
+  FROM qwk JOIN h USING (doc_id)
+), g AS (
+  SELECT band, count(*) AS n_docs, sum(keep_bp) AS sbp, sum(k) AS nk
+  FROM j GROUP BY band
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sbp // n_docs AS BIGINT) AS mean_predicted_bp,
+       CAST(nk AS BIGINT) AS n_heuristic_keep,
+       CAST(nk * 10000 // n_docs AS BIGINT) AS observed_keep_bp,
+       CAST(sbp // n_docs - nk * 10000 // n_docs AS BIGINT) AS gap_bp
+FROM g
+"""
+
+
+# round-5 addition: soft-classifier calibration audit (reliability diagram
+# vs the hard heuristic rules; composes two existing oracled twins).
+ORACLES["classifier_calibration"] = _classifier_calibration_sql()

@@ -2259,6 +2259,83 @@ def meta_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match interpreter (dq.urlstats.robots_rules_filter,
+    RFC 9309): per url, the longest matching path-prefix rule of its domain
+    decides allowed (equal-length tie → allow, no rule → allow) — the
+    crawl-compliance gate a Common-Crawl-style ingestion runs before any
+    content filter. Planted rule set exercises whole-site disallow,
+    nested carve-outs, and the tie. Broadcast rule join + one integer
+    argmax agg — never a window, urls only in the exchange."""
+    from dq import urlstats
+
+    docs = _t(spark, sf_dir, "documents")
+    return urlstats.robots_rules_filter(urlstats.url_docs(docs))
+
+
+# calibration bands over the soft classifier's predicted keep probability
+CAL_BANDS = 10
+# The hard predicate the audit calibrates AGAINST, re-anchored for the
+# documents corpus: the flagship's en-stopword clauses are tuned for the
+# pages table and fail EVERY documents row (probed: stop_ratio avg 0.03 <
+# 0.05, distinct stops 0.76 < 2) — calibrating against a constant-0 signal
+# is vacuous. Relaxing exactly those two clauses (the same override
+# mechanism heuristic_threshold_sweep uses) leaves a predicate that varies
+# over the corpus (~55% keep, driven by min_words and the shape rules),
+# which is what a reliability audit needs.
+def _cal_thresholds() -> dict:
+    from dq.heuristics import THRESHOLDS
+
+    return {**THRESHOLDS, "min_stop_ratio": 0.0, "min_distinct_stops": 0}
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-classifier calibration audit (the reliability-diagram figure):
+    per predicted keep-probability band (keep_bp decile from
+    quality_weighted_sample), the observed HARD heuristic keep rate —
+    mean_predicted_bp vs observed_keep_bp and their signed gap_bp. A
+    well-calibrated soft sampler tracks the hard rules it is meant to
+    soften; a large gap in one band says the ramp mis-scores that tier.
+
+    Scale shape: two projections over the same scan (classifier score ramp
+    + heuristic metrics), one narrow (doc_id, keep_bp) ⋈ (doc_id, keep)
+    join, then a ≤CAL_BANDS-row hash-agg — all integer arithmetic (both
+    engines truncate toward zero, probed; gap_bp may be negative, and
+    negative integer division is oracle-safe per the probed DIV/`//`
+    parity)."""
+    from dq.heuristics import keep_expr, with_heuristic_metrics
+    from dq.sampling import quality_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    qws = quality_weighted_sample(docs).select("doc_id", "keep_bp")
+    heur = with_heuristic_metrics(docs).select(
+        "doc_id", keep_expr(_cal_thresholds()).cast("int").alias("k")
+    )
+    width = 10_000 // CAL_BANDS
+    j = qws.join(heur, "doc_id").select(
+        F.least(F.lit(CAL_BANDS - 1), F.expr(f"keep_bp DIV {width}"))
+        .cast("bigint")
+        .alias("band"),
+        "keep_bp",
+        "k",
+    )
+    g = j.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep_bp").alias("_sbp"),
+        F.sum("k").alias("_nk"),
+    )
+    return g.select(
+        "band",
+        "n_docs",
+        F.expr("_sbp DIV n_docs").cast("bigint").alias("mean_predicted_bp"),
+        F.col("_nk").cast("bigint").alias("n_heuristic_keep"),
+        F.expr("_nk * 10000 DIV n_docs").cast("bigint").alias("observed_keep_bp"),
+        F.expr("_sbp DIV n_docs - _nk * 10000 DIV n_docs")
+        .cast("bigint")
+        .alias("gap_bp"),
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2385,4 +2462,6 @@ QUERIES = {
     "split_leakage_check": split_leakage_check,
     "training_order_shuffle": training_order_shuffle,
     "meta_robots_filter": meta_robots_filter,
+    "robots_txt_filter": robots_txt_filter,
+    "classifier_calibration": classifier_calibration,
 }

@@ -149,6 +149,73 @@ def url_blocklist_filter(base: DataFrame) -> DataFrame:
     )
 
 
+# ---- robots.txt longest-match interpreter (RFC 9309) -----------------------
+
+# Planted per-domain robots.txt rule set (allow = 1 / disallow = 0): the
+# shapes a crawler actually meets — a whole-site disallow with a carve-out,
+# a nested longer-prefix carve-out, and an equal-length allow/disallow tie
+# (the spec's least-restrictive tie-break). dq.oracles generates the VALUES
+# twin from this list. Prefixes are chosen against the synthetic url_expr
+# path shapes (/item-N and /{ads,tracker,signup}/item-N).
+ROBOTS_TXT_RULES: list[tuple[str, str, int]] = [
+    (HOT_DOMAIN, "/ads", 0),              # disallow the ads tree ...
+    (HOT_DOMAIN, "/ads/item-1", 1),       # ... but allow one deep carve-out
+    ("blog.alpha.example", "/", 0),       # whole-site disallow ...
+    ("blog.alpha.example", "/signup", 1), # ... with a prefix carve-out
+    ("docs.beta.example", "/item-7", 0),
+    ("wiki.epsilon.example", "/item-2", 0),  # equal-length tie:
+    ("wiki.epsilon.example", "/item-2", 1),  # allow wins (least-restrictive)
+]
+URL_PATH_RE = r"https?://[^/?#]+(/[^?#]*)"
+
+
+def robots_rules_filter(base: DataFrame) -> DataFrame:
+    """(doc_id, domain, path, matched_len, allowed) — RFC 9309 robots.txt
+    longest-match evaluation: among the url's domain's rules whose
+    path-prefix matches, the LONGEST wins; on an equal-length tie the
+    allow rule wins (least-restrictive, per spec); no matching rule means
+    allowed. The whole decision is one integer argmax — score =
+    prefix_len * 2 + allow, unmatched rows default to score 1 (len 0,
+    allow) — so max(score) is map-side combinable: no window, no
+    tie-break ambiguity across engines.
+
+    Scale shape: the rule table is broadcast (robots rules are KBs per
+    domain); per-url join fan-out is bounded by rules-per-domain; the one
+    exchange is the (doc_id, domain, path) hash-agg (~40 B/row — url
+    strings only, never text)."""
+    spark = base.sparkSession
+    rules = spark.createDataFrame(
+        ROBOTS_TXT_RULES, "r_domain string, prefix string, allow int"
+    )
+    u = base.select(
+        "doc_id",
+        domain_col().alias("domain"),
+        F.regexp_extract(F.col("url"), URL_PATH_RE, 1).alias("path"),
+    )
+    j = u.join(
+        F.broadcast(rules),
+        (F.col("domain") == F.col("r_domain"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    score = (
+        F.when(
+            F.col("prefix").isNotNull(),
+            F.length("prefix") * 2 + F.col("allow"),
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    g = j.groupBy("doc_id", "domain", "path").agg(F.max(score).alias("_s"))
+    return g.select(
+        "doc_id",
+        "domain",
+        "path",
+        F.expr("_s DIV 2").cast("bigint").alias("matched_len"),
+        (F.col("_s") % 2 == 1).alias("allowed"),
+    )
+
+
 # ---- URL canonicalization (crawl-frontier / pre-dedup normalization) -------
 # Ordered (name, pattern, replacement) — constant replacements ONLY (group-
 # reference syntax differs between Java ($1) and RE2/DuckDB (\\1), so rules

@@ -87,6 +87,7 @@ TEXT_QUERIES = [
     "canonical_content_audit",
     "split_leakage_check",
     "meta_robots_filter",
+    "classifier_calibration",
 ]
 
 

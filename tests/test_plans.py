@@ -807,3 +807,31 @@ def test_meta_robots_no_exchange_single_scan(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert simple_plan_of(df).count("Scan parquet") == 1, plan
+
+
+def test_robots_txt_broadcast_no_window(spark):
+    """The robots rule table must broadcast and the longest-match argmax
+    must be an aggregate, never a window."""
+    from dq.queries import robots_txt_filter
+
+    plan = plan_of(robots_txt_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_classifier_calibration_no_text_in_exchange(spark):
+    """The calibration join carries (doc_id, keep_bp) x (doc_id, k) —
+    text never shuffles."""
+    import re
+
+    from dq.queries import classifier_calibration
+
+    plan = plan_of(classifier_calibration(spark, SF))
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    for node in nodes:
+        if not node.split("\n")[0].rstrip().endswith("Exchange"):
+            continue
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
+        assert inp, node
+        assert "text#" not in inp.group(2), node

@@ -118,3 +118,35 @@ def test_url_canonicalize_collapses_planted_variants(spark):
         if did % CANON_VARIANT_MOD == CANON_VARIANT_REM:
             assert r.changed and r.n_same_canon == 2      # variant collapsed
             assert out[did - 1].url_canon == r.url_canon  # onto its neighbor
+
+
+def test_robots_rules_longest_match_semantics(spark):
+    """Hand urls against the planted rule set: whole-site disallow,
+    prefix carve-out, nested carve-out, equal-length tie -> allow,
+    unmatched domain/path -> allow."""
+    rows = [
+        # hot domain: /ads disallowed, /ads/item-1* carved back in
+        (1, f"https://{urlstats.HOT_DOMAIN}/ads/item-150"),
+        (2, f"https://{urlstats.HOT_DOMAIN}/ads/item-90"),
+        (3, f"https://{urlstats.HOT_DOMAIN}/item-7"),
+        # blog: site-wide disallow, /signup carve-out
+        (4, "https://blog.alpha.example/tracker/item-15"),
+        (5, "https://blog.alpha.example/signup/item-35"),
+        # wiki: equal-length allow+disallow on /item-2 -> allow wins
+        (6, "https://wiki.epsilon.example/item-24"),
+        # unknown domain: no rules at all
+        (7, "https://nowhere.example/item-1"),
+    ]
+    base = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r.doc_id: r for r in urlstats.robots_rules_filter(base).collect()
+    }
+    assert got[1].allowed and got[1].matched_len == len("/ads/item-1")
+    assert not got[2].allowed and got[2].matched_len == len("/ads")
+    assert got[3].allowed and got[3].matched_len == 0  # no hot rule matches
+    assert not got[4].allowed and got[4].matched_len == 1  # "/"
+    assert got[5].allowed and got[5].matched_len == len("/signup")
+    assert got[6].allowed and got[6].matched_len == len("/item-2")
+    assert got[7].allowed and got[7].matched_len == 0
+    # exactly one row per input url (the argmax collapses the rule fan-out)
+    assert len(got) == len(rows)
