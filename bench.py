@@ -109,6 +109,8 @@ HEADLINE = [
     "meta_robots_filter",        # round-5: robots-meta compliance
     "robots_txt_filter",         # round-5: robots.txt longest-match
     "classifier_calibration",    # round-5: soft-vs-hard calibration
+    "lm_doc_scores",             # round-5: held-out KN scoring + terciles
+    "bm25_topk",                 # round-5: integer-exact BM25 retrieval
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

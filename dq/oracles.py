@@ -3244,3 +3244,164 @@ FROM g
 # round-5 addition: soft-classifier calibration audit (reliability diagram
 # vs the hard heuristic rules; composes two existing oracled twins).
 ORACLES["classifier_calibration"] = _classifier_calibration_sql()
+
+
+def _lm_doc_scores_sql() -> str:
+    """Twin of dq.lm.kn_doc_scores: the _ngram_lm_counts_sql bigram/marginal
+    construction restricted to the train slice, occurrence-joined against
+    the held-out slice, per-doc integer means, tercile cutoffs from the
+    cumulative distinct-mean histogram. All nonnegative int64, // == DIV."""
+    from dq.lm import (
+        LM_BANDS,
+        LM_DISCOUNT_MILLI,
+        LM_MIN_COUNT,
+        LM_SCALE,
+        LM_TRAIN_MOD,
+        LM_UNK_MICRO,
+    )
+
+    head, mid, tail = LM_BANDS
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(words), 1)),
+             i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+), o AS (
+  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+  FROM g
+), tr AS (
+  SELECT w1, w2 FROM o WHERE doc_id % {LM_TRAIN_MOD} = 0
+), sc AS (
+  SELECT doc_id, w1, w2 FROM o WHERE doc_id % {LM_TRAIN_MOD} <> 0
+), types AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2
+), l AS (
+  SELECT w1, CAST(sum(cnt) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS right_types_w1
+  FROM types GROUP BY 1
+), lam AS (
+  SELECT w1, c_w1,
+         CAST({LM_DISCOUNT_MILLI} * right_types_w1 * {LM_SCALE}
+              // (1000 * c_w1) AS BIGINT) AS lambda_micro
+  FROM l
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_types FROM types
+), cont AS (
+  SELECT w2, CAST(count(*) * {LM_SCALE} // tot.total_types AS BIGINT)
+           AS cont_micro
+  FROM types, tot GROUP BY w2, tot.total_types
+), pr AS (
+  SELECT t.w1, t.w2,
+         CAST(greatest(1000 * t.cnt - {LM_DISCOUNT_MILLI}, 0) * {LM_SCALE}
+              // (1000 * l.c_w1) AS BIGINT) AS p_kn_micro
+  FROM types t JOIN l USING (w1)
+  WHERE t.cnt >= {LM_MIN_COUNT}
+), ps AS (
+  SELECT sc.doc_id,
+         CASE WHEN pr.p_kn_micro IS NOT NULL
+              THEN pr.p_kn_micro
+                   + ((lam.lambda_micro * cont.cont_micro) // {LM_SCALE})
+              WHEN lam.lambda_micro IS NOT NULL
+                   AND cont.cont_micro IS NOT NULL
+              THEN greatest((lam.lambda_micro * cont.cont_micro)
+                            // {LM_SCALE}, {LM_UNK_MICRO})
+              WHEN cont.cont_micro IS NOT NULL THEN cont.cont_micro
+              ELSE {LM_UNK_MICRO} END AS p_micro
+  FROM sc
+  LEFT JOIN pr ON sc.w1 = pr.w1 AND sc.w2 = pr.w2
+  LEFT JOIN lam ON sc.w1 = lam.w1
+  LEFT JOIN cont ON sc.w2 = cont.w2
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+  FROM ps GROUP BY 1
+), perdoc AS (
+  SELECT d.doc_id,
+         CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(a.sum_p_micro, 0) AS BIGINT) AS sum_p_micro,
+         CAST(coalesce(a.sum_p_micro, 0)
+              // greatest(coalesce(a.n_bigrams, 0), 1) AS BIGINT)
+           AS avg_p_micro
+  FROM (SELECT doc_id FROM documents WHERE doc_id % {LM_TRAIN_MOD} <> 0) d
+  LEFT JOIN agg a USING (doc_id)
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_scored FROM perdoc
+), hist AS (
+  SELECT avg_p_micro AS v, CAST(count(*) AS BIGINT) AS c
+  FROM perdoc GROUP BY 1
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge
+  FROM hist
+), cuts AS (
+  SELECT max(CASE WHEN cum_ge >= (nn.n_scored + 2) // 3 THEN v END)
+           AS head_cut,
+         max(CASE WHEN cum_ge >= (2 * nn.n_scored + 2) // 3 THEN v END)
+           AS mid_cut
+  FROM cum, nn
+)
+SELECT p.doc_id, p.n_bigrams, p.sum_p_micro, p.avg_p_micro,
+       CASE WHEN p.avg_p_micro >= cuts.head_cut THEN '{head}'
+            WHEN p.avg_p_micro >= cuts.mid_cut THEN '{mid}'
+            ELSE '{tail}' END AS lm_band
+FROM perdoc p, cuts
+"""
+
+
+# round-5 addition: CCNet-style held-out KN document scoring + terciles
+# (closes the train->score loop over the ngram_lm_counts tables).
+ORACLES["lm_doc_scores"] = _lm_doc_scores_sql()
+
+
+def _bm25_topk_sql() -> str:
+    """Twin of dq.index.bm25_topk: same rational idf and cleared-fraction
+    tf normalization, plain row_number() top-k (the engine's two-phase rank
+    is order-identical — ties impossible on (score DESC, doc_id))."""
+    from dq.index import BM25_K, BM25_QUERY_TERMS, BM25_SCALE
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_LOWER_NS} AS words FROM documents
+), t AS (
+  SELECT doc_id, unnest(words) AS term FROM w
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), lt AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total_len FROM tf
+), q AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM tf WHERE term IN ({terms}) GROUP BY 1
+), m AS (
+  SELECT tf.doc_id, tf.tf, dl.dl, q.df
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum(((nn.n_docs + 1) * 1000 // (df + 1))
+                  * (22 * tf * lt.total_len * {BM25_SCALE}
+                     // (10 * tf * lt.total_len + 3 * lt.total_len
+                         + 9 * dl * nn.n_docs))
+                  // 1000) AS BIGINT) AS score_micro
+  FROM m, nn, lt GROUP BY doc_id
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
+           AS bm_rank,
+         doc_id, n_terms_matched, score_micro
+  FROM s
+)
+SELECT bm_rank, doc_id, n_terms_matched, score_micro
+FROM r WHERE bm_rank <= {BM25_K}
+"""
+
+
+# round-5 addition: integer-exact BM25 retrieval over the inverted-index
+# tier (rational idf documented deviation; tf normalization exact).
+ORACLES["bm25_topk"] = _bm25_topk_sql()

@@ -2336,6 +2336,28 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style held-out LM scoring (dq.lm.kn_doc_scores): KN bigram
+    tables trained on the even-doc_id half score every odd-doc_id document
+    — integer micro-unit interpolated-KN mean per doc, banded into
+    head/middle/tail terciles via a histogram-threshold pick (no global
+    document sort; the one unpartitioned window sees only distinct mean
+    values)."""
+    from dq.lm import kn_doc_scores
+
+    return kn_doc_scores(_t(spark, sf_dir, "documents"))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-k retrieval (dq.index.bm25_topk) for the
+    fixed BM25_QUERY_TERMS set over documents — rational idf + cleared-
+    fraction tf normalization so the twin is bit-identical; skew-proof
+    two-phase global rank."""
+    from dq.index import bm25_topk as bm25
+
+    return bm25(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2464,4 +2486,6 @@ QUERIES = {
     "meta_robots_filter": meta_robots_filter,
     "robots_txt_filter": robots_txt_filter,
     "classifier_calibration": classifier_calibration,
+    "lm_doc_scores": lm_doc_scores,
+    "bm25_topk": bm25_topk,
 }

@@ -65,6 +65,129 @@ def test_kn_probability_mass_bound(spark):
         assert r["p_sum"] + r["lam"] <= LM_SCALE + r["n"]  # +n for rounding
 
 
+def _py_kn_doc_scores(rows, min_count=None, scale=None, d=None, mod=None, unk=None):
+    """Pure-python replica of dq.lm.kn_doc_scores' integer arithmetic
+    (per-doc triples only; band cutoffs tested separately)."""
+    import collections
+
+    from dq.lm import (
+        LM_DISCOUNT_MILLI,
+        LM_MIN_COUNT,
+        LM_SCALE,
+        LM_TRAIN_MOD,
+        LM_UNK_MICRO,
+    )
+
+    min_count = LM_MIN_COUNT if min_count is None else min_count
+    scale = LM_SCALE if scale is None else scale
+    d = LM_DISCOUNT_MILLI if d is None else d
+    mod = LM_TRAIN_MOD if mod is None else mod
+    unk = LM_UNK_MICRO if unk is None else unk
+
+    tok = lambda t: [w for w in (t or "").lower().split() if w]  # noqa: E731
+    big = lambda ws: list(zip(ws, ws[1:]))  # noqa: E731
+    cnt: collections.Counter = collections.Counter()
+    for did, t in rows:
+        if did % mod == 0:
+            cnt.update(big(tok(t)))
+    c_w1: collections.Counter = collections.Counter()
+    rt: collections.Counter = collections.Counter()
+    lt: collections.Counter = collections.Counter()
+    for (w1, w2), c in cnt.items():
+        c_w1[w1] += c
+        rt[w1] += 1
+        lt[w2] += 1
+    total = len(cnt)
+    lam = {w: d * rt[w] * scale // (1000 * c_w1[w]) for w in c_w1}
+    cont = {w: lt[w] * scale // total for w in lt}
+    pkn = {
+        bg: max(1000 * c - d, 0) * scale // (1000 * c_w1[bg[0]])
+        for bg, c in cnt.items()
+        if c >= min_count
+    }
+    out = {}
+    for did, t in rows:
+        if did % mod == 0:
+            continue
+        s = 0
+        bgs = big(tok(t))
+        for w1, w2 in bgs:
+            if (w1, w2) in pkn:
+                s += pkn[(w1, w2)] + (lam[w1] * cont[w2]) // scale
+            elif w1 in lam and w2 in cont:
+                s += max((lam[w1] * cont[w2]) // scale, unk)
+            elif w2 in cont:
+                s += cont[w2]
+            else:
+                s += unk
+        out[did] = (len(bgs), s, s // max(len(bgs), 1))
+    return out
+
+
+def test_kn_doc_scores_all_backoff_branches(spark):
+    """Hand corpus exercising every scoring branch: interpolated table hit,
+    pruned-bigram backoff, unknown-context continuation, fully-unseen
+    floor, and a zero-bigram doc — each per-doc triple matches the
+    pure-python integer replica."""
+    from dq.lm import kn_doc_scores
+
+    rows = [
+        (0, "a b a b a c"),  # train
+        (2, "b a b a"),      # train
+        (1, "a b a c"),      # hits: table x2, pruned-backoff (a,c)
+        (3, "c b"),          # unknown context c -> continuation-only
+        (5, "x y z"),        # fully unseen -> unk floor per bigram
+        (7, "solo"),         # zero bigrams -> (0, 0, 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"], r["avg_p_micro"])
+        for r in kn_doc_scores(docs).collect()
+    }
+    want = _py_kn_doc_scores(rows)
+    assert got == want
+    # branch sanity pinned: doc 5 scores exactly the floor per bigram
+    from dq.lm import LM_UNK_MICRO
+
+    assert got[5] == (2, 2 * LM_UNK_MICRO, LM_UNK_MICRO)
+    assert got[7] == (0, 0, 0)
+    assert got[1][1] > got[3][1] > got[5][1]  # in-distribution ranks higher
+
+
+def test_kn_doc_scores_tercile_bands(spark):
+    """On the real corpus: bands partition the held-out slice, ranges are
+    value-disjoint in head > middle > tail order, and head is the SMALLEST
+    top-value set holding >= ceil(n/3) docs (the histogram-pick
+    definition)."""
+    from dq.lm import LM_TRAIN_MOD, kn_doc_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = kn_doc_scores(docs).collect()
+    n_held = docs.where(F.col("doc_id") % LM_TRAIN_MOD != 0).count()
+    assert len(out) == n_held
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["lm_band"], []).append(r["avg_p_micro"])
+    assert set(by_band) == {"head", "middle", "tail"}
+    assert min(by_band["head"]) > max(by_band["middle"])
+    assert min(by_band["middle"]) > max(by_band["tail"])
+    need = (n_held + 2) // 3
+    head = sorted(by_band["head"])
+    assert len(head) >= need
+    # minimality: dropping the lowest head VALUE must fall under the target
+    lowest = head[0]
+    assert sum(1 for v in head if v > lowest) < need
+
+
+def test_kn_doc_scores_scoring_is_heldout_only(spark):
+    """No train-slice doc appears in the output (the split really holds)."""
+    from dq.lm import LM_TRAIN_MOD, kn_doc_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r["doc_id"] for r in kn_doc_scores(docs).select("doc_id").collect()]
+    assert ids and all(i % LM_TRAIN_MOD != 0 for i in ids)
+
+
 # -------------------------------------------------------------- winnow ------
 
 

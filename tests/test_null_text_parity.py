@@ -88,6 +88,8 @@ TEXT_QUERIES = [
     "split_leakage_check",
     "meta_robots_filter",
     "classifier_calibration",
+    "lm_doc_scores",
+    "bm25_topk",
 ]
 
 

@@ -155,6 +155,109 @@ def test_term_postings_two_phase_equals_plain_window(spark):
     assert got.equals(want[got.columns])
 
 
+# --------------------------------------------------------------- bm25 -------
+
+
+def _py_bm25(rows, terms, k=None, scale=None):
+    """Pure-python replica of dq.index.bm25_topk's integer arithmetic."""
+    import collections
+
+    from dq.index import BM25_K, BM25_SCALE
+
+    k = BM25_K if k is None else k
+    scale = BM25_SCALE if scale is None else scale
+    tf: collections.Counter = collections.Counter()
+    dl: collections.Counter = collections.Counter()
+    for did, t in rows:
+        words = [w for w in (t or "").lower().split() if w]
+        dl[did] += len(words)
+        for w in words:
+            tf[(w, did)] += 1
+    n, total_len = len(rows), sum(dl.values())
+    df: collections.Counter = collections.Counter()
+    for (w, _), _c in tf.items():
+        df[w] += 1
+    scores: dict = {}
+    for (w, did), c in tf.items():
+        if w not in terms:
+            continue
+        idf = (n + 1) * 1000 // (df[w] + 1)
+        tfn = (
+            22 * c * total_len * scale
+            // (10 * c * total_len + 3 * total_len + 9 * dl[did] * n)
+        )
+        m, s = scores.get(did, (0, 0))
+        scores[did] = (m + 1, s + idf * tfn // 1000)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [
+        (r + 1, did, m, s) for r, (did, (m, s)) in enumerate(ranked)
+    ]
+
+
+def test_bm25_matches_python_twin(spark):
+    """Full top-k (ranks, matched-term counts, integer scores) equals the
+    pure-python replica on a pinned mixed corpus."""
+    from dq.index import bm25_topk
+
+    terms = ("rare", "common")
+    rows = [
+        (1, "rare alpha beta gamma"),
+        (2, "common common alpha beta"),
+        (3, "rare rare common delta"),
+        (4, "alpha beta gamma delta"),          # no query term
+        (5, "common epsilon zeta eta theta iota kappa common"),
+        (6, "rare"),                            # short doc, high tf weight
+        (7, "common alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["bm_rank"], r["doc_id"], r["n_terms_matched"], r["score_micro"])
+        for r in bm25_topk(docs, query_terms=terms).collect()
+    ]
+    assert got == _py_bm25(rows, set(terms))
+    assert all(did != 4 for _, did, _, _ in got)  # unmatched doc absent
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """Same tf, same doc length: the doc holding the RARE term scores
+    higher than the doc holding the common one (idf ordering)."""
+    from dq.index import bm25_topk
+
+    rows = [(1, "rare filler one two")] + [
+        (i, f"common filler{i} x{i} y{i}") for i in range(2, 12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["bm_rank"] for r in bm25_topk(
+        docs, query_terms=("rare", "common")
+    ).collect()}
+    assert got[1] == 1
+
+
+def test_bm25_two_phase_equals_plain_window(spark):
+    """On the real corpus the skew-proof two-phase global rank returns
+    exactly the plain row_number() <= k result."""
+    from pyspark.sql import Window
+
+    from dq.index import BM25_K, bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = bm25_topk(docs).toPandas()
+
+    # plain variant: strip the salt phase, keep everything else identical
+    scored = bm25_topk(docs, k=10**9)  # cap never binds inside phase 1
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    want = (
+        scored.select("doc_id", "n_terms_matched", "score_micro")
+        .withColumn("bm_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("bm_rank") <= BM25_K)
+        .select("bm_rank", "doc_id", "n_terms_matched", "score_micro")
+        .toPandas()
+    )
+    assert got.sort_values("bm_rank").reset_index(drop=True).equals(
+        want.sort_values("bm_rank").reset_index(drop=True)
+    )
+
+
 def test_site_keep_rollup_consistency(spark):
     """Rollup columns are internally consistent and cover the corpus."""
     from dq.queries import SITE_KEEP_PCT, site_keep_rollup
