@@ -111,6 +111,7 @@ HEADLINE = [
     "classifier_calibration",    # round-5: soft-vs-hard calibration
     "lm_doc_scores",             # round-5: held-out KN scoring + terciles
     "bm25_topk",                 # round-5: integer-exact BM25 retrieval
+    "domain_trustrank",          # round-5: seeded trust propagation (spam prior)
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -3405,3 +3405,61 @@ FROM r WHERE bm_rank <= {BM25_K}
 # round-5 addition: integer-exact BM25 retrieval over the inverted-index
 # tier (rational idf documented deviation; tf normalization exact).
 ORACLES["bm25_topk"] = _bm25_topk_sql()
+
+
+def _trustrank_sql() -> str:
+    """Twin of dq.webgraph.trustrank: the _pagerank_ctes unroll with the
+    base/teleport mass restricted to TRUST_SEED_DOMAINS (r0 = scale on
+    seeds, 0 elsewhere; per-round base = RANK_BASE on seeds, 0 elsewhere).
+    All positive integers, // == DIV, bit-identical per round."""
+    from dq.webgraph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        RANK_BASE,
+        RANK_SCALE,
+        TRUST_ITERS,
+        TRUST_SEED_DOMAINS,
+    )
+
+    seeds = ", ".join(f"'{_sq(s)}'" for s in TRUST_SEED_DOMAINS)
+    rounds = []
+    prev = "t0"
+    for i in range(1, TRUST_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst_domain AS domain, sum((r.trust * e.weight) // o.out_w) AS s
+  FROM edges e JOIN {prev} r ON e.src_domain = r.domain
+  JOIN outw o ON e.src_domain = o.src_domain
+  GROUP BY 1
+), t{i} AS (
+  SELECT n.domain,
+         CAST(CASE WHEN n.domain IN ({seeds}) THEN {RANK_BASE} ELSE 0 END
+              + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN} AS BIGINT)
+           AS trust
+  FROM nodes n LEFT JOIN c{i} c USING (domain)
+)"""
+        )
+        prev = f"t{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_link_edges_ctes()},
+nodes AS (
+  SELECT src_domain AS domain FROM edges
+  UNION
+  SELECT dst_domain AS domain FROM edges
+), outw AS (
+  SELECT src_domain, CAST(sum(weight) AS BIGINT) AS out_w FROM edges GROUP BY 1
+), t0 AS (
+  SELECT domain,
+         CAST(CASE WHEN domain IN ({seeds}) THEN {RANK_SCALE} ELSE 0 END
+              AS BIGINT) AS trust
+  FROM nodes
+),
+{chain}
+SELECT domain, trust, domain IN ({seeds}) AS is_seed FROM {prev}
+"""
+
+
+# round-5 addition: TrustRank spam-demotion prior (seed-restricted teleport
+# over the mined domain graph; unrolled-CTE twin like domain_pagerank).
+ORACLES["domain_trustrank"] = _trustrank_sql()

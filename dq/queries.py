@@ -2348,6 +2348,17 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_doc_scores(_t(spark, sf_dir, "documents"))
 
 
+def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized TrustRank over the mined domain graph
+    (dq.webgraph.trustrank): PageRank's damped update with teleport mass
+    restricted to the TRUST_SEED_DOMAINS — the spam-demotion prior of
+    Gyongyi et al. 2004. Bit-reproduced by the DuckDB unrolled-CTE twin
+    (same machinery as domain_pagerank, seed-restricted base)."""
+    from dq.webgraph import domain_edges, trustrank
+
+    return trustrank(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact BM25 top-k retrieval (dq.index.bm25_topk) for the
     fixed BM25_QUERY_TERMS set over documents — rational idf + cleared-
@@ -2488,4 +2499,5 @@ QUERIES = {
     "classifier_calibration": classifier_calibration,
     "lm_doc_scores": lm_doc_scores,
     "bm25_topk": bm25_topk,
+    "domain_trustrank": domain_trustrank,
 }

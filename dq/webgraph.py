@@ -42,6 +42,12 @@ DAMP_NUM, DAMP_DEN = 85, 100
 RANK_BASE = RANK_SCALE - (DAMP_NUM * RANK_SCALE) // DAMP_DEN  # 150000
 PAGERANK_ITERS = 3
 
+# TrustRank (Gyongyi et al. 2004): teleport mass restricted to a vetted
+# seed set — spam domains far from every seed decay toward zero trust.
+# Seeds avoid the planted hub (src0) so trust FLOWS there, not from there.
+TRUST_SEED_DOMAINS = ("src3", "src11")
+TRUST_ITERS = PAGERANK_ITERS
+
 
 def out_link_urls(doc_id: Column) -> Column:
     """Deterministic outlink urls for one doc (see module constants)."""
@@ -191,3 +197,62 @@ def pagerank(
             # domain-count rows; cut per-round lineage (CLAUDE.md iterative-loop rule)
             r = r.localCheckpoint()
     return r
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: tuple[str, ...] = TRUST_SEED_DOMAINS,
+    iters: int = TRUST_ITERS,
+    scale: int = RANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(domain, trust, is_seed): integer-quantized TrustRank after ``iters``
+    rounds — PageRank's damped update with the teleport/base mass
+    restricted to the vetted seed set (Gyongyi, Garcia-Molina & Pedersen
+    2004, "Combating Web Spam with TrustRank"). Un-normalized convention:
+    each seed's base is RANK_BASE and r0(seed) = scale (same per-node
+    figures as dq PageRank, so the two columns are directly comparable);
+    non-seeds start and teleport at zero, so a domain no seed can reach
+    holds trust 0 after any number of rounds — the spam-demotion signal a
+    crawl frontier or quality prior thresholds on.
+
+    Same scale shape as :func:`pagerank`: the iteration runs on the DOMAIN
+    graph (edges localCheckpointed once so no round re-mines hrefs from the
+    corpus), every step an equi-join / hash-agg on integer values —
+    bit-reproduced by the DuckDB unrolled-CTE twin.
+    """
+    if checkpoint:
+        edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionByName(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    outw = edges.groupBy("src_domain").agg(F.sum("weight").alias("out_w"))
+    base = scale - (DAMP_NUM * scale) // DAMP_DEN
+    seed_col = F.col("domain").isin(list(seeds))
+    r = nodes.select(
+        "domain",
+        F.when(seed_col, F.lit(scale)).otherwise(F.lit(0)).cast("bigint").alias("trust"),
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(r, edges["src_domain"] == r["domain"])
+            .join(outw, "src_domain")
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.expr("(trust * weight) DIV out_w").alias("_c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = nodes.join(contribs, "domain", "left").select(
+            "domain",
+            (
+                F.when(seed_col, F.lit(base)).otherwise(F.lit(0)).cast("bigint")
+                + F.expr(f"({DAMP_NUM} * coalesce(_s, 0)) DIV {DAMP_DEN}")
+            ).cast("bigint").alias("trust"),
+        )
+        if checkpoint:
+            r = r.localCheckpoint()
+    return r.select("domain", "trust", seed_col.alias("is_seed"))

@@ -94,6 +94,72 @@ def test_pagerank_matches_python_reference(spark):
     assert got[hub] == max(got.values()) and got[hub] > min(got.values())
 
 
+def ref_trustrank(
+    edges: dict[tuple[str, str], int], seeds: set[str], iters: int
+) -> dict[str, int]:
+    """Pure-Python twin of dq.webgraph.trustrank (seed-restricted base)."""
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outw: dict[str, int] = defaultdict(int)
+    for (u, _), w in edges.items():
+        outw[u] += w
+    r = {n: webgraph.RANK_SCALE if n in seeds else 0 for n in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = defaultdict(int)
+        for (u, v), w in edges.items():
+            s[v] += (r[u] * w) // outw[u]
+        r = {
+            n: (webgraph.RANK_BASE if n in seeds else 0)
+            + (webgraph.DAMP_NUM * s[n]) // webgraph.DAMP_DEN
+            for n in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_reference(spark):
+    from dq.queries import docs_as_pages
+
+    edges_df = webgraph.domain_edges(docs_as_pages(spark, SF0001))
+    edges = {
+        (r["src_domain"], r["dst_domain"]): r["weight"] for r in edges_df.collect()
+    }
+    seeds = set(webgraph.TRUST_SEED_DOMAINS)
+    expect = ref_trustrank(edges, seeds, webgraph.TRUST_ITERS)
+    rows = webgraph.trustrank(edges_df).collect()
+    got = {r["domain"]: r["trust"] for r in rows}
+    assert got == expect
+    assert {r["domain"] for r in rows if r["is_seed"]} == seeds
+    # seeds hold trust; the planted graph is dense enough that trust flows
+    assert all(got[s] > 0 for s in seeds)
+    assert max(got.values()) > 0
+
+
+def test_trustrank_spam_cluster_gets_zero(spark):
+    """A cluster no seed can reach ends with exactly zero trust, however
+    heavily it links to itself — the spam-demotion property that
+    distinguishes TrustRank from PageRank (where self-linking farms mass
+    from the uniform base)."""
+    rows = [
+        ("seed", "good", 3),
+        ("good", "hub", 1),
+        ("spamA", "spamB", 50),   # link farm, unreachable from the seed
+        ("spamB", "spamA", 50),
+        ("spamB", "hub", 1),      # spam linking OUT doesn't earn trust
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_domain string, dst_domain string, weight bigint"
+    )
+    got = {
+        r["domain"]: (r["trust"], r["is_seed"])
+        for r in webgraph.trustrank(edges, seeds=("seed",), checkpoint=False).collect()
+    }
+    assert got["spamA"][0] == 0 and got["spamB"][0] == 0
+    assert got["good"][0] > got["hub"][0] > 0  # trust decays with distance
+    assert got["seed"][1] and not got["spamA"][1]
+    # the SAME farm under pagerank holds plenty of mass (the contrast)
+    pr = {r["domain"]: r["rank"] for r in webgraph.pagerank(edges, checkpoint=False).collect()}
+    assert pr["spamA"] > pr["good"]
+
+
 def test_pagerank_plan_no_cartesian(spark):
     from dq.queries import docs_as_pages
 
