@@ -112,6 +112,7 @@ HEADLINE = [
     "lm_doc_scores",             # round-5: held-out KN scoring + terciles
     "bm25_topk",                 # round-5: integer-exact BM25 retrieval
     "domain_trustrank",          # round-5: seeded trust propagation (spam prior)
+    "domain_hits",               # round-5: HITS hub/authority centrality
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -3463,3 +3463,57 @@ SELECT domain, trust, domain IN ({seeds}) AS is_seed FROM {prev}
 # round-5 addition: TrustRank spam-demotion prior (seed-restricted teleport
 # over the mined domain graph; unrolled-CTE twin like domain_pagerank).
 ORACLES["domain_trustrank"] = _trustrank_sql()
+
+
+def _hits_sql() -> str:
+    """Twin of dq.webgraph.hits: unrolled weighted HITS rounds, each
+    half-round max-normalized with ``//`` (== Spark DIV on the non-negative
+    values here) — bit-identical per round. The scalar max subqueries twin
+    the Spark side's broadcast crossJoin."""
+    from dq.webgraph import HITS_ITERS, RANK_SCALE
+
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, HITS_ITERS + 1):
+        rounds.append(
+            f"""ar{i} AS (
+  SELECT e.dst_domain AS domain, sum(h.hub * e.weight) AS raw
+  FROM edges e JOIN {prev_h} h ON e.src_domain = h.domain
+  GROUP BY 1
+), a{i} AS (
+  SELECT n.domain,
+         CAST(coalesce((ar.raw * {RANK_SCALE}) // (SELECT max(raw) FROM ar{i}), 0)
+              AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN ar{i} ar USING (domain)
+), hr{i} AS (
+  SELECT e.src_domain AS domain, sum(a.auth * e.weight) AS raw
+  FROM edges e JOIN a{i} a ON e.dst_domain = a.domain
+  GROUP BY 1
+), h{i} AS (
+  SELECT n.domain,
+         CAST(coalesce((hr.raw * {RANK_SCALE}) // (SELECT max(raw) FROM hr{i}), 0)
+              AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN hr{i} hr USING (domain)
+)"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_link_edges_ctes()},
+nodes AS (
+  SELECT src_domain AS domain FROM edges
+  UNION
+  SELECT dst_domain AS domain FROM edges
+), h0 AS (
+  SELECT domain, CAST({RANK_SCALE} AS BIGINT) AS hub FROM nodes
+),
+{chain}
+SELECT n.domain, h.hub, a.auth
+FROM nodes n JOIN {prev_h} h USING (domain) JOIN {prev_a} a USING (domain)
+"""
+
+
+# round-5 addition: HITS hub/authority centrality (Kleinberg 1999) over the
+# mined domain graph — completes the webgraph trio with PageRank/TrustRank.
+ORACLES["domain_hits"] = _hits_sql()

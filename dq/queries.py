@@ -2359,6 +2359,16 @@ def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank(domain_edges(docs_as_pages(spark, sf_dir)))
 
 
+def domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized weighted HITS (dq.webgraph.hits) over the mined
+    domain graph — Kleinberg 1999 hub/authority scores, each half-round
+    max-normalized to RANK_SCALE. Bit-reproduced by the DuckDB unrolled-CTE
+    twin (scalar-max subqueries twin the broadcast crossJoin)."""
+    from dq.webgraph import domain_edges, hits
+
+    return hits(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact BM25 top-k retrieval (dq.index.bm25_topk) for the
     fixed BM25_QUERY_TERMS set over documents — rational idf + cleared-
@@ -2500,4 +2510,5 @@ QUERIES = {
     "lm_doc_scores": lm_doc_scores,
     "bm25_topk": bm25_topk,
     "domain_trustrank": domain_trustrank,
+    "domain_hits": domain_hits,
 }

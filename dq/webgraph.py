@@ -48,6 +48,13 @@ PAGERANK_ITERS = 3
 TRUST_SEED_DOMAINS = ("src3", "src11")
 TRUST_ITERS = PAGERANK_ITERS
 
+# HITS (Kleinberg 1999): mutually-reinforcing hub/authority scores. The
+# integer port max-normalizes each vector to RANK_SCALE per half-round —
+# sum-normalization would collapse every score to ~SCALE/n at web scale
+# (integer DIV rounds millions of domains to 0), while max-norm keeps the
+# full [0, SCALE] dynamic range at any graph size.
+HITS_ITERS = PAGERANK_ITERS
+
 
 def out_link_urls(doc_id: Column) -> Column:
     """Deterministic outlink urls for one doc (see module constants)."""
@@ -256,3 +263,73 @@ def trustrank(
         if checkpoint:
             r = r.localCheckpoint()
     return r.select("domain", "trust", seed_col.alias("is_seed"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    scale: int = RANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(domain, hub, auth): integer-quantized weighted HITS (Kleinberg
+    1999, "Authoritative Sources in a Hyperlinked Environment") after
+    ``iters`` rounds. Per round: auth(v) = Σ hub(u)·w(u,v) over in-edges,
+    then hub(u) = Σ auth(v)·w(u,v) over out-edges, each half-round
+    max-normalized to ``scale`` with integral division (see HITS_ITERS
+    note) — all values non-negative integers, so Spark ``DIV`` == DuckDB
+    ``//`` and the unrolled-CTE twin reproduces every round bit-for-bit.
+
+    Scale shape: identical to :func:`pagerank` — the iteration runs on the
+    DOMAIN graph (edges localCheckpointed once), every step an equi-join /
+    hash-agg on integers; the per-half-round max is ONE scalar row,
+    broadcast back via crossJoin (no driver round-trip in the plan).
+    Overflow headroom: hub ≤ scale (1e6) × edge weight × in-degree summed —
+    a domain with 10^6 in-edges of avg weight 10^3 peaks at 10^15 < 2^63.
+    """
+    if checkpoint:
+        edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_domain").alias("domain"))
+        .unionByName(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    h = nodes.select("domain", F.lit(scale).cast("bigint").alias("hub"))
+    a = None
+    for _ in range(iters):
+        auth_raw = (
+            edges.join(h, edges["src_domain"] == h["domain"])
+            .select(F.col("dst_domain").alias("domain"), (F.col("hub") * F.col("weight")).alias("_r"))
+            .groupBy("domain")
+            .agg(F.sum("_r").alias("_raw"))
+        )
+        a = (
+            nodes.join(auth_raw, "domain", "left")
+            .crossJoin(F.broadcast(auth_raw.agg(F.max("_raw").alias("_mx"))))
+            .select(
+                "domain",
+                F.coalesce(F.expr(f"(_raw * {scale}) DIV _mx"), F.lit(0))
+                .cast("bigint")
+                .alias("auth"),
+            )
+        )
+        if checkpoint:
+            a = a.localCheckpoint()
+        hub_raw = (
+            edges.join(a, edges["dst_domain"] == a["domain"])
+            .select(F.col("src_domain").alias("domain"), (F.col("auth") * F.col("weight")).alias("_r"))
+            .groupBy("domain")
+            .agg(F.sum("_r").alias("_raw"))
+        )
+        h = (
+            nodes.join(hub_raw, "domain", "left")
+            .crossJoin(F.broadcast(hub_raw.agg(F.max("_raw").alias("_mx"))))
+            .select(
+                "domain",
+                F.coalesce(F.expr(f"(_raw * {scale}) DIV _mx"), F.lit(0))
+                .cast("bigint")
+                .alias("hub"),
+            )
+        )
+        if checkpoint:
+            h = h.localCheckpoint()
+    return h.join(a, "domain")

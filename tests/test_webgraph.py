@@ -160,6 +160,70 @@ def test_trustrank_spam_cluster_gets_zero(spark):
     assert pr["spamA"] > pr["good"]
 
 
+def ref_hits(
+    edges: dict[tuple[str, str], int], iters: int
+) -> dict[str, tuple[int, int]]:
+    """Pure-Python twin of dq.webgraph.hits (max-normalized integer HITS)."""
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    scale = webgraph.RANK_SCALE
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        ar: dict[str, int] = defaultdict(int)
+        for (u, v), w in edges.items():
+            ar[v] += h[u] * w
+        mx = max(ar.values())
+        a = {n: (ar.get(n, 0) * scale) // mx for n in nodes}
+        hr: dict[str, int] = defaultdict(int)
+        for (u, v), w in edges.items():
+            hr[u] += a[v] * w
+        mxh = max(hr.values())
+        h = {n: (hr.get(n, 0) * scale) // mxh for n in nodes}
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_python_reference(spark):
+    from dq.queries import docs_as_pages
+
+    edges_df = webgraph.domain_edges(docs_as_pages(spark, SF0001))
+    edges = {
+        (r["src_domain"], r["dst_domain"]): r["weight"] for r in edges_df.collect()
+    }
+    expect = ref_hits(edges, webgraph.HITS_ITERS)
+    got = {
+        r["domain"]: (r["hub"], r["auth"])
+        for r in webgraph.hits(edges_df).collect()
+    }
+    assert got == expect
+    # max-normalization: exactly one score per vector sits at RANK_SCALE
+    assert max(h for h, _ in got.values()) == webgraph.RANK_SCALE
+    assert max(a for _, a in got.values()) == webgraph.RANK_SCALE
+
+
+def test_hits_hub_authority_distinction(spark):
+    """A directory page linking out to every authority earns hub mass but
+    no authority mass; the pages it points at earn authority but (linking
+    nowhere) zero hub — the asymmetry HITS exists to expose, invisible to
+    PageRank's single score."""
+    rows = [
+        ("directory", "paperA", 1),
+        ("directory", "paperB", 1),
+        ("directory", "paperC", 1),
+        ("reader1", "directory", 1),   # someone links the directory too
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_domain string, dst_domain string, weight bigint"
+    )
+    got = {
+        r["domain"]: (r["hub"], r["auth"])
+        for r in webgraph.hits(edges, checkpoint=False).collect()
+    }
+    assert got["directory"][0] == webgraph.RANK_SCALE  # the top hub
+    assert all(got[p][0] == 0 for p in ("paperA", "paperB", "paperC"))
+    assert all(got[p][1] > 0 for p in ("paperA", "paperB", "paperC"))
+    assert got["reader1"][1] == 0  # nobody links the reader
+
+
 def test_pagerank_plan_no_cartesian(spark):
     from dq.queries import docs_as_pages
 
