@@ -113,6 +113,7 @@ HEADLINE = [
     "bm25_topk",                 # round-5: integer-exact BM25 retrieval
     "domain_trustrank",          # round-5: seeded trust propagation (spam prior)
     "domain_hits",               # round-5: HITS hub/authority centrality
+    "classifier_auc",            # round-5: exact ROC-AUC ranking audit
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

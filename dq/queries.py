@@ -2348,6 +2348,33 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_doc_scores(_t(spark, sf_dir, "documents"))
 
 
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the soft classifier score (keep_bp from
+    quality_weighted_sample) against the hard heuristic keep label — the
+    single-number ranking-quality audit next to classifier_calibration's
+    per-band view. Mann-Whitney with midranks, fully integer: per distinct
+    score s the doubled midrank is 2·cum_below(s) + n_tot(s) + 1 (always
+    integral), so r2 = Σ n_pos(s)·(2·midrank) and
+    AUC = (r2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) — emitted as exact
+    numerator/denominator plus truncated basis points, bit-identical
+    cross-engine (all values non-negative).
+
+    Scale shape: see dq.classifier.exact_auc — the rank arithmetic runs on
+    the SCORE-GROUPED table (keep_bp ∈ [0, 10000], so the unpartitioned
+    cumulative window sees ≤10001 rows at ANY corpus size); docs cross the
+    exchange once as (keep_bp, k) pairs into a hash-agg."""
+    from dq.classifier import exact_auc
+    from dq.heuristics import keep_expr, with_heuristic_metrics
+    from dq.sampling import quality_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    qws = quality_weighted_sample(docs).select("doc_id", "keep_bp")
+    heur = with_heuristic_metrics(docs).select(
+        "doc_id", keep_expr(_cal_thresholds()).cast("int").alias("k")
+    )
+    return exact_auc(qws.join(heur, "doc_id"), score_col="keep_bp", label_col="k")
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2511,4 +2538,5 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "domain_trustrank": domain_trustrank,
     "domain_hits": domain_hits,
+    "classifier_auc": classifier_auc,
 }

@@ -134,3 +134,67 @@ def test_ccnet_rate_truncates_toward_zero(spark):
     expect = -((-q) // n) if q < 0 else q // n
     got = {r.doc_id: r.rate_nano for r in ccnet_buckets(df).collect()}
     assert got[1] == expect
+
+
+# ---- exact ROC-AUC (Mann-Whitney with midranks) -----------------------------
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "score bigint, k int")
+
+
+def ref_auc(scored: list[tuple[int, int]]) -> tuple[int, int]:
+    """Brute-force pair-counting reference: (auc_num, auc_den) with
+    auc = (wins + ties/2) / (n_pos*n_neg) expressed as exact integers
+    num = 2*wins + ties, den = 2*n_pos*n_neg."""
+    pos = [s for s, k in scored if k == 1]
+    neg = [s for s, k in scored if k == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return 2 * wins + ties, 2 * len(pos) * len(neg)
+
+
+def test_exact_auc_hand_case_with_ties(spark):
+    from dq.classifier import exact_auc
+
+    # scores 1,2,2,3 / labels 0,0,1,1 -> wins 3, ties 1 -> 3.5/4 = 0.875
+    row = exact_auc(
+        _pairs_df(spark, [(1, 0), (2, 0), (2, 1), (3, 1)]), score_col="score"
+    ).collect()[0]
+    assert (row["auc_num"], row["auc_den"]) == (7, 8)
+    assert row["auc_bp"] == 8750
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+
+
+def test_exact_auc_perfect_and_inverted(spark):
+    from dq.classifier import exact_auc
+
+    perfect = [(10, 0), (20, 0), (30, 1), (40, 1)]
+    row = exact_auc(_pairs_df(spark, perfect), score_col="score").collect()[0]
+    assert row["auc_num"] == row["auc_den"] and row["auc_bp"] == 10000
+    inverted = [(s, 1 - k) for s, k in perfect]
+    row = exact_auc(_pairs_df(spark, inverted), score_col="score").collect()[0]
+    assert row["auc_num"] == 0 and row["auc_bp"] == 0
+
+
+def test_exact_auc_one_class_sentinel(spark):
+    from dq.classifier import exact_auc
+
+    row = exact_auc(
+        _pairs_df(spark, [(1, 1), (2, 1)]), score_col="score"
+    ).collect()[0]
+    assert row["auc_den"] == 0 and row["auc_bp"] == -1
+
+
+def test_exact_auc_matches_bruteforce_on_skewed_ties(spark):
+    from dq.classifier import exact_auc
+
+    # deterministic LCG-planted scores with heavy ties (score domain 0..7)
+    rows, x = [], 7
+    for i in range(240):
+        x = (x * 1103515245 + 12345) % (2**31)
+        rows.append(((x >> 3) % 8, (x >> 11) % 2))
+    num, den = ref_auc(rows)
+    row = exact_auc(_pairs_df(spark, rows), score_col="score").collect()[0]
+    assert (row["auc_num"], row["auc_den"]) == (num, den)
+    assert row["auc_bp"] == num * 10000 // den

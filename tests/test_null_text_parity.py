@@ -90,6 +90,7 @@ TEXT_QUERIES = [
     "classifier_calibration",
     "lm_doc_scores",
     "bm25_topk",
+    "classifier_auc",
 ]
 
 
