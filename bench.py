@@ -114,6 +114,7 @@ HEADLINE = [
     "domain_trustrank",          # round-5: seeded trust propagation (spam prior)
     "domain_hits",               # round-5: HITS hub/authority centrality
     "classifier_auc",            # round-5: exact ROC-AUC ranking audit
+    "signal_fusion_rrf",         # round-5: reciprocal-rank signal fusion
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -3560,3 +3560,44 @@ FROM t
 # round-5 addition: exact ROC-AUC ranking audit of the soft classifier
 # against the hard heuristic labels (integer Mann-Whitney with midranks).
 ORACLES["classifier_auc"] = _classifier_auc_sql()
+
+
+def _signal_fusion_rrf_sql() -> str:
+    """Twin of queries.signal_fusion_rrf: the qws, readability, and
+    pagerank CTE chains composed, dense_rank() DESC per signal (== the
+    Spark side's distinct-value row_number joined back), integer RRF sum.
+    All positive, // == DIV."""
+    from dq.fusion import RRF_K, RRF_SCALE
+
+    pr_ctes, pr_final = _pagerank_ctes()
+    contribs = " + ".join(
+        f"{RRF_SCALE} // ({RRF_K} + rank_{s})"
+        for s in ("keep_bp", "flesch_mp", "domain_rank")
+    )
+    return f"""
+WITH {pr_ctes},
+{_readability_cte(prefix="rd")},
+{_qws_ctes()},
+base AS (
+  SELECT d.doc_id, q.keep_bp, rd.flesch_mp, p."rank" AS domain_rank
+  FROM documents d
+  JOIN qwk q USING (doc_id)
+  JOIN rds rd USING (doc_id)
+  JOIN {pr_final} p ON p.domain = d.source
+), ranked AS (
+  SELECT doc_id, keep_bp, flesch_mp, domain_rank,
+         CAST(dense_rank() OVER (ORDER BY keep_bp DESC) AS BIGINT) AS rank_keep_bp,
+         CAST(dense_rank() OVER (ORDER BY flesch_mp DESC) AS BIGINT) AS rank_flesch_mp,
+         CAST(dense_rank() OVER (ORDER BY domain_rank DESC) AS BIGINT) AS rank_domain_rank
+  FROM base
+)
+SELECT doc_id, keep_bp, flesch_mp, domain_rank,
+       rank_keep_bp, rank_flesch_mp, rank_domain_rank,
+       CAST({contribs} AS BIGINT) AS rrf_micro
+FROM ranked
+"""
+
+
+# round-5 addition: reciprocal-rank fusion of classifier/readability/
+# centrality signals (Cormack et al. 2009) — integer dense-rank RRF.
+ORACLES["signal_fusion_rrf"] = _signal_fusion_rrf_sql()

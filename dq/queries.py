@@ -2375,6 +2375,43 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_auc(qws.join(heur, "doc_id"), score_col="keep_bp", label_col="k")
 
 
+def signal_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (dq.fusion, Cormack et al. 2009) of three
+    heterogeneous per-document quality signals — soft classifier score
+    (keep_bp), Flesch readability (flesch_mp), and the domain PageRank
+    prior — into one integer curation ranking, without calibrating their
+    scales against each other. Dense ranks over each signal's bounded
+    value domain (see dq/fusion.py for why that is the scale-safe form);
+    bit-exact DuckDB twin via dense_rank() windows."""
+    from dq.fusion import rrf_fuse
+    from dq.sampling import quality_weighted_sample
+    from dq.webgraph import domain_edges, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    qws = quality_weighted_sample(docs).select("doc_id", "keep_bp")
+    read = textstats.readability_scores(docs).select("doc_id", "flesch_mp")
+    ranks = pagerank(domain_edges(docs_as_pages(spark, sf_dir))).select(
+        F.col("domain").alias("source"), F.col("rank").alias("domain_rank")
+    )
+    base = (
+        docs.select("doc_id", "source")
+        .join(qws, "doc_id")
+        .join(read, "doc_id")
+        .join(F.broadcast(ranks), "source")
+        .select("doc_id", "keep_bp", "flesch_mp", "domain_rank")
+    )
+    return rrf_fuse(base, ["keep_bp", "flesch_mp", "domain_rank"]).select(
+        "doc_id",
+        "keep_bp",
+        "flesch_mp",
+        "domain_rank",
+        "rank_keep_bp",
+        "rank_flesch_mp",
+        "rank_domain_rank",
+        "rrf_micro",
+    )
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2539,4 +2576,5 @@ QUERIES = {
     "domain_trustrank": domain_trustrank,
     "domain_hits": domain_hits,
     "classifier_auc": classifier_auc,
+    "signal_fusion_rrf": signal_fusion_rrf,
 }

@@ -91,6 +91,7 @@ TEXT_QUERIES = [
     "lm_doc_scores",
     "bm25_topk",
     "classifier_auc",
+    "signal_fusion_rrf",
 ]
 
 
