@@ -3601,3 +3601,31 @@ FROM ranked
 # round-5 addition: reciprocal-rank fusion of classifier/readability/
 # centrality signals (Cormack et al. 2009) — integer dense-rank RRF.
 ORACLES["signal_fusion_rrf"] = _signal_fusion_rrf_sql()
+
+
+def _zorder_values_sql() -> str:
+    """Twin of queries.zorder_values: row_number over the DISTINCT-source
+    frame == the Spark side's dense code; the interleave expression comes
+    from the SAME generator (dq.layout.zvalue_sql) in its DuckDB spelling,
+    so the bit math literally cannot drift between engines."""
+    from dq.layout import Z_MASK, zvalue_sql
+
+    z = zvalue_sql("len_bucket", "src_code", "duckdb")
+    return f"""
+WITH src AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source DESC) AS BIGINT) AS src_code
+  FROM (SELECT DISTINCT source FROM documents)
+), b AS (
+  SELECT d.doc_id,
+         least(greatest(coalesce(d.n_chars, 0) // 16, 0), {Z_MASK}) AS len_bucket,
+         s.src_code
+  FROM documents d JOIN src s USING (source)
+)
+SELECT doc_id, len_bucket, src_code, {z} AS zval
+FROM b
+"""
+
+
+# round-5 addition: Morton/Z-order two-key layout interleave (dq.layout).
+ORACLES["zorder_values"] = _zorder_values_sql()

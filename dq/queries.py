@@ -2412,6 +2412,34 @@ def signal_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave key for two-key data layout (dq.layout):
+    length-band bucket (n_chars DIV 16) × dense domain code, clamped to
+    Z_BITS each and bit-interleaved into one BIGINT — the clustering key
+    ``write_zorder_layout`` range-partitions written files on so parquet
+    min/max footers prune on EITHER predicate. Pure bounded-int bit
+    arithmetic generated once for both dialects; the source-code table is
+    a distinct-VALUE window (one row per domain, broadcast back — the
+    dq.fusion scale contract), and the projection itself is zero-exchange."""
+    from dq.fusion import dense_rank_by_value
+    from dq.layout import Z_MASK, zvalue_col
+
+    docs = _t(spark, sf_dir, "documents")
+    src_codes = dense_rank_by_value(docs, "source", "src_code")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(src_codes), "source")
+        .select(
+            "doc_id",
+            F.expr(
+                f"least(greatest(coalesce(n_chars, 0) DIV 16, 0), {Z_MASK})"
+            ).alias("len_bucket"),
+            "src_code",
+        )
+        .withColumn("zval", zvalue_col("len_bucket", "src_code"))
+    )
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2577,4 +2605,5 @@ QUERIES = {
     "domain_hits": domain_hits,
     "classifier_auc": classifier_auc,
     "signal_fusion_rrf": signal_fusion_rrf,
+    "zorder_values": zorder_values,
 }
