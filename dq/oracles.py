@@ -3629,3 +3629,28 @@ FROM b
 
 # round-5 addition: Morton/Z-order two-key layout interleave (dq.layout).
 ORACLES["zorder_values"] = _zorder_values_sql()
+
+
+def _heavy_hitter_tokens_sql() -> str:
+    """Twin of queries.heavy_hitter_tokens: the exact global top-K the MG
+    candidates→verify pipeline is guaranteed to equal whenever every true
+    top-K token's count exceeds n/(capacity+1) — trivially true on the
+    gate corpora, whose whole vocabulary fits the capacity."""
+    from dq.heavyhitters import HH_TOP_K
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT {HH_TOP_K}
+"""
+
+
+# round-5 addition: Misra-Gries heavy hitters, exact via candidate verify.
+ORACLES["heavy_hitter_tokens"] = _heavy_hitter_tokens_sql()

@@ -2440,6 +2440,21 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K corpus tokens WITHOUT a vocabulary-wide exchange
+    (dq.heavyhitters): per-task Misra–Gries summaries (one Arrow pass,
+    ≤ capacity counters each) nominate candidates — guaranteed to contain
+    every token with count > n/(capacity+1) — then a broadcast join back
+    over the token stream exact-counts candidates only, so the one
+    exchange carries ≤ tasks×capacity keys instead of the ~10^9-token web
+    vocabulary. Deterministic (cnt DESC, token ASC) top-K; oracle is the
+    plain SQL top-K, equal whenever capacity covers the Zipf head (pytest
+    pins the guarantee where the cap actually trips)."""
+    from dq.heavyhitters import heavy_hitter_topk
+
+    return heavy_hitter_topk(_t(spark, sf_dir, "documents"))
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2606,4 +2621,5 @@ QUERIES = {
     "classifier_auc": classifier_auc,
     "signal_fusion_rrf": signal_fusion_rrf,
     "zorder_values": zorder_values,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
 }

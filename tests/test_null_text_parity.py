@@ -92,6 +92,7 @@ TEXT_QUERIES = [
     "bm25_topk",
     "classifier_auc",
     "signal_fusion_rrf",
+    "heavy_hitter_tokens",
 ]
 
 
