@@ -117,6 +117,8 @@ HEADLINE = [
     "signal_fusion_rrf",         # round-5: reciprocal-rank signal fusion
     "zorder_values",             # round-5: Morton two-key layout key
     "heavy_hitter_tokens",       # round-5: MG candidates -> exact top-K
+    "pq_codes",                  # round-5: product-quantization encode
+    "pq_ann_topk",               # round-5: ADC search over PQ codes
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

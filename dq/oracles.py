@@ -3654,3 +3654,93 @@ LIMIT {HH_TOP_K}
 
 # round-5 addition: Misra-Gries heavy hitters, exact via candidate verify.
 ORACLES["heavy_hitter_tokens"] = _heavy_hitter_tokens_sql()
+
+
+def _pq_cte() -> str:
+    """Shared CTE chain reproducing dq.pq bit-for-bit: quantize -> slice
+    into PQ_M subvectors -> per-subspace seed centroids -> PQ_ITERS
+    (argmin assign, floor-mean update) rounds keyed by (sub, cid) ->
+    final assignment ``af`` (vec_id, sub, sv, cid, d2). The same unrolled
+    recipe as _kmeans_cte with the subspace id joined through."""
+    from dq.pq import PQ_CENT_MOD, PQ_ITERS, PQ_M, PQ_SUB
+
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(s.sv, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, sub, sv, cid, d2 FROM (
+    SELECT s.vec_id, s.sub, s.sv, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM subs s JOIN {cents} c ON s.sub = c.sub
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        """q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"""subs AS (
+  SELECT vec_id, s AS sub, list_slice(qv, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB}) AS sv
+  FROM q CROSS JOIN unnest(range(0, {PQ_M})) AS t(s)
+)""",
+        f"c0 AS (SELECT sub, vec_id AS cid, sv AS cq FROM subs WHERE vec_id % {PQ_CENT_MOD} = 0)",
+    ]
+    for r in range(PQ_ITERS):
+        parts.append(assign(f"a{r}", f"c{r}"))
+        parts.append(f"""u{r} AS (
+  SELECT sub, cid, i AS pos, CAST(floor(sum(sv[i]) / count(*)) AS BIGINT) AS m
+  FROM a{r} CROSS JOIN unnest(range(1, {PQ_SUB + 1})) AS t(i)
+  GROUP BY sub, cid, i
+)""")
+        parts.append(
+            f"c{r + 1} AS (SELECT sub, cid, list(m ORDER BY pos) AS cq FROM u{r} GROUP BY sub, cid)"
+        )
+    parts.append(assign("af", f"c{PQ_ITERS}"))
+    return "WITH " + ",\n".join(parts)
+
+
+def _pq_codes_sql() -> str:
+    return f"""{_pq_cte()}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub_id, CAST(cid AS BIGINT) AS code,
+       d2 AS sq_dist
+FROM af
+"""
+
+
+def _pq_ann_topk_sql() -> str:
+    from dq.pq import PQ_ITERS
+    from dq.queries import ANN_K, ANN_QUERY_MOD
+
+    d2q = (
+        "CAST(list_sum(list_transform(list_zip(s.sv, c.cq), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""{_pq_cte()},
+dt AS (
+  SELECT s.vec_id AS query_id, s.sub, c.cid, {d2q} AS d2
+  FROM subs s JOIN c{PQ_ITERS} c ON s.sub = c.sub
+  WHERE s.vec_id % {ANN_QUERY_MOD} = 0
+), adc AS (
+  SELECT d.query_id, a.vec_id AS neighbor_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+  FROM af a JOIN dt d ON a.sub = d.sub AND a.cid = d.cid
+  WHERE a.vec_id <> d.query_id
+  GROUP BY d.query_id, a.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, adc_d2
+FROM r WHERE rnk <= {ANN_K}
+"""
+
+
+# round-5 addition: product quantization (Jegou et al. 2011) — codes + ADC.
+ORACLES["pq_codes"] = _pq_codes_sql()
+ORACLES["pq_ann_topk"] = _pq_ann_topk_sql()

@@ -2455,6 +2455,33 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_topk(_t(spark, sf_dir, "documents"))
 
 
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (dq.pq; Jégou et al. 2011): each
+    embedding as M per-subspace nearest-centroid ids + exact integer
+    quantization error — the ~30x-compressed representation the ADC scan
+    reads instead of raw vectors at 100 TB. All M codebooks train in one
+    integer Lloyd program keyed by subspace; bit-exact DuckDB twin via the
+    unrolled per-round CTE chain (the dq.clustering recipe)."""
+    from dq.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_train(emb))
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (dq.pq): per-query
+    (sub, centroid) -> d2 lookup tables broadcast as composite-key maps,
+    each corpus row scored by one M-element fold over its codes — the
+    corpus never shuffles. Same query subset / k / tie-break contract as
+    ann_topk_bruteforce, so the two oracled queries bracket the
+    compression trade end-to-end."""
+    from dq.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return pq_adc_topk(emb, queries, k=ANN_K)
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2622,4 +2649,6 @@ QUERIES = {
     "signal_fusion_rrf": signal_fusion_rrf,
     "zorder_values": zorder_values,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "pq_codes": pq_codes,
+    "pq_ann_topk": pq_ann_topk,
 }
