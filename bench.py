@@ -119,6 +119,8 @@ HEADLINE = [
     "heavy_hitter_tokens",       # round-5: MG candidates -> exact top-K
     "pq_codes",                  # round-5: product-quantization encode
     "pq_ann_topk",               # round-5: ADC search over PQ codes
+    "cluster_purity",            # round-5: embedding-vs-label audit
+    "homoglyph_metrics",         # round-5: confusable-fold obfuscation dedup
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

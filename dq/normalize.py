@@ -134,3 +134,56 @@ def with_fixed_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         "mojibake_found",
         F.coalesce(F.col("text_fixed") != F.col(text_col), F.lit(False)),
     )
+
+
+# ---- homoglyph / confusable folding (spam-obfuscation dedup signal) --------
+#
+# Spammers dodge exact dedup and keyword filters by swapping Latin letters
+# for visually identical Cyrillic/Greek codepoints (Unicode TR39
+# "confusables"). Folding the common confusables back to Latin BEFORE
+# fingerprinting makes the obfuscated copies collide again: a fold-group
+# holding >1 distinct RAW fingerprint is exactly an obfuscation family.
+# The mapping lives as PAIRS so the from/to strings can never misalign;
+# both engines' translate() (and Python str.translate in the pytest twin)
+# apply the same codepoint-for-codepoint substitution.
+HOMOGLYPH_PAIRS: list[tuple[str, str]] = [
+    # Cyrillic lowercase -> Latin
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"),
+    ("с", "c"), ("у", "y"), ("х", "x"), ("і", "i"),
+    ("ѕ", "s"), ("ј", "j"), ("ԁ", "d"), ("к", "k"),
+    # Cyrillic uppercase -> Latin
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"),
+    ("М", "M"), ("Н", "H"), ("О", "O"), ("Р", "P"),
+    ("С", "C"), ("Т", "T"), ("У", "Y"), ("Х", "X"),
+    # Greek lowercase -> Latin
+    ("ο", "o"), ("ν", "v"), ("ρ", "p"), ("υ", "u"),
+    ("ι", "i"), ("κ", "k"),
+    # Greek uppercase -> Latin
+    ("Α", "A"), ("Β", "B"), ("Ε", "E"), ("Ζ", "Z"),
+    ("Η", "H"), ("Ι", "I"), ("Κ", "K"), ("Μ", "M"),
+    ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"), ("Τ", "T"),
+    ("Υ", "Y"), ("Χ", "X"),
+]
+HOMOGLYPH_FROM = "".join(f for f, _ in HOMOGLYPH_PAIRS)
+HOMOGLYPH_TO = "".join(t for _, t in HOMOGLYPH_PAIRS)
+_HOMOGLYPH_TABLE = str.maketrans(HOMOGLYPH_FROM, HOMOGLYPH_TO)
+
+
+def fold_homoglyphs_col(col) -> F.Column:
+    """Confusables folded to Latin — a plain codegen translate()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, HOMOGLYPH_FROM, HOMOGLYPH_TO)
+
+
+def fold_homoglyphs_py(text: str) -> str:
+    """Python twin of :func:`fold_homoglyphs_col` (tests)."""
+    return text.translate(_HOMOGLYPH_TABLE)
+
+
+def confusable_count_col(col) -> F.Column:
+    """Chars in the confusable set — length delta after deleting them
+    (translate with an empty replacement deletes, in both engines)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return (F.length(c) - F.length(F.translate(c, HOMOGLYPH_FROM, ""))).cast(
+        "bigint"
+    )

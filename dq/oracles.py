@@ -3744,3 +3744,66 @@ FROM r WHERE rnk <= {ANN_K}
 # round-5 addition: product quantization (Jegou et al. 2011) — codes + ADC.
 ORACLES["pq_codes"] = _pq_codes_sql()
 ORACLES["pq_ann_topk"] = _pq_ann_topk_sql()
+
+
+def _cluster_purity_sql() -> str:
+    """Twin of queries.cluster_purity over the shared k-means CTE chain."""
+    return f"""{_kmeans_cte()},
+lab AS (
+  SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster_id, e.label
+  FROM af JOIN embeddings e USING (vec_id)
+), counts AS (
+  SELECT cluster_id, label, count(*) AS n_lab FROM lab GROUP BY 1, 2
+), top AS (
+  SELECT cluster_id, label, n_lab,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_lab DESC, label ASC) AS rn
+  FROM counts
+), sizes AS (
+  SELECT cluster_id, CAST(sum(n_lab) AS BIGINT) AS n_members
+  FROM counts GROUP BY 1
+)
+SELECT s.cluster_id, s.n_members,
+       CAST(t.label AS BIGINT) AS top_label,
+       CAST(t.n_lab AS BIGINT) AS top_label_n,
+       (10000 * CAST(t.n_lab AS BIGINT)) // s.n_members AS purity_bp
+FROM sizes s JOIN top t ON t.cluster_id = s.cluster_id AND t.rn = 1
+"""
+
+
+# round-5 addition: k-means label-purity audit over the shared kmeans CTE.
+ORACLES["cluster_purity"] = _cluster_purity_sql()
+
+
+def _homoglyph_metrics_sql() -> str:
+    """Twin of queries.homoglyph_metrics — the from/to strings interpolate
+    from the SAME dq.normalize pair list, so the fold mapping cannot
+    drift. translate() is codepoint-for-codepoint in both engines; the
+    chr(0) NULL sentinel is outside the confusable set, so it survives
+    the fold untouched."""
+    from dq.normalize import HOMOGLYPH_FROM, HOMOGLYPH_TO
+
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) -
+              length(translate(coalesce(text, ''), '{HOMOGLYPH_FROM}', ''))
+              AS BIGINT) AS n_confusable,
+         sha256(coalesce(text, chr(0))) AS fp_raw,
+         sha256(translate(coalesce(text, chr(0)),
+                          '{HOMOGLYPH_FROM}', '{HOMOGLYPH_TO}')) AS fp_fold
+  FROM documents
+), s AS (
+  SELECT fp_fold,
+         CAST(count(*) AS BIGINT) AS n_fold_group,
+         CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw
+  FROM b GROUP BY 1
+)
+SELECT b.doc_id, b.n_confusable, s.n_fold_group,
+       CAST(CASE WHEN s.n_raw > 1 THEN 1 ELSE 0 END AS BIGINT) AS obfus_dup
+FROM b JOIN s USING (fp_fold)
+"""
+
+
+# round-5 addition: confusable folding / obfuscated-dup detection (TR39).
+ORACLES["homoglyph_metrics"] = _homoglyph_metrics_sql()

@@ -2482,6 +2482,84 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, k=ANN_K)
 
 
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-purity audit: per k-means cluster (the
+    bit-reproduced dq.clustering assignment), the majority label, its
+    count, and purity in integer basis points — the standard check that an
+    embedding column actually separates the classes a curation pipeline
+    keys on (low purity = the SemDeDup/ANN tiers are clustering noise).
+    Label counts are a (clusters × labels)-row agg; the majority pick's
+    window sees only those rows, never the corpus. Integers end-to-end:
+    purity_bp = (10000 * top_n) DIV n_members, positive, DIV == //."""
+    from dq.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, dim=EMB_DIM)
+    counts = (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_lab"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_lab").desc(), F.col("label").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("n_lab").cast("bigint").alias("top_label_n"),
+        )
+    )
+    sizes = counts.groupBy("cluster_id").agg(
+        F.sum("n_lab").cast("bigint").alias("n_members")
+    )
+    return (
+        sizes.join(top, "cluster_id")
+        .withColumn("purity_bp", F.expr("(10000 * top_label_n) DIV n_members"))
+        .select("cluster_id", "n_members", "top_label", "top_label_n", "purity_bp")
+    )
+
+
+def homoglyph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-folding spam signal (dq.normalize homoglyph tier,
+    Unicode TR39): per doc the confusable-char count, the size of its
+    FOLDED-fingerprint group, and an obfuscated-dup flag — set when the
+    fold group holds >1 distinct raw fingerprint, i.e. texts that differ
+    only by Cyrillic/Greek lookalike substitution (the classic dodge
+    around exact dedup and keyword filters). Codegen translate() +
+    sha2 fingerprints; the group stats are one narrow (fp, counts) agg
+    joined back on the 32-B fold key — the dedup-tier exchange shape,
+    text never shuffles."""
+    from dq.normalize import HOMOGLYPH_FROM, HOMOGLYPH_TO, confusable_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    sent = F.coalesce(F.col("text"), F.lit("\x00"))
+    narrow = docs.select(
+        "doc_id",
+        confusable_count_col("text").alias("n_confusable"),
+        F.sha2(sent, 256).alias("fp_raw"),
+        F.sha2(F.translate(sent, HOMOGLYPH_FROM, HOMOGLYPH_TO), 256).alias("fp_fold"),
+    )
+    stats = narrow.groupBy("fp_fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fold_group"),
+        F.countDistinct("fp_raw").cast("bigint").alias("_n_raw"),
+    )
+    return (
+        narrow.join(stats, "fp_fold")
+        .select(
+            "doc_id",
+            "n_confusable",
+            "n_fold_group",
+            F.when(F.col("_n_raw") > 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("obfus_dup"),
+        )
+    )
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2651,4 +2729,6 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "pq_codes": pq_codes,
     "pq_ann_topk": pq_ann_topk,
+    "cluster_purity": cluster_purity,
+    "homoglyph_metrics": homoglyph_metrics,
 }

@@ -113,3 +113,38 @@ def test_semdedup_cap_identity_below_threshold(two_blobs):
     a = sorted(map(tuple, semdedup_keep(two_blobs).collect()))
     b = sorted(map(tuple, semdedup_keep(two_blobs, max_cluster_size=None).collect()))
     assert a == b
+
+
+def test_cluster_purity_matches_python_reference(spark, tmp_path):
+    """queries.cluster_purity == a pandas recomputation from the (already
+    twin-verified) kmeans assignment joined to labels: majority label with
+    (count DESC, label ASC) tie-break, purity_bp = 10000*top//n."""
+    from collections import Counter
+
+    from dq.clustering import kmeans_assign
+    from dq.queries import EMB_DIM, cluster_purity
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    asg = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(emb, dim=EMB_DIM).collect()
+    }
+    per_cluster: dict[int, Counter] = {}
+    for vid, cid in asg.items():
+        per_cluster.setdefault(cid, Counter())[labels[vid]] += 1
+    expect = {}
+    for cid, cnts in per_cluster.items():
+        top_label, top_n = min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = sum(cnts.values())
+        expect[cid] = (n, top_label, top_n, 10000 * top_n // n)
+
+    got = {
+        r["cluster_id"]: (
+            r["n_members"], r["top_label"], r["top_label_n"], r["purity_bp"]
+        )
+        for r in cluster_purity(spark, sf).collect()
+    }
+    assert got == expect
+    assert all(0 <= v[3] <= 10000 for v in got.values())

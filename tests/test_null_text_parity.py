@@ -93,6 +93,7 @@ TEXT_QUERIES = [
     "classifier_auc",
     "signal_fusion_rrf",
     "heavy_hitter_tokens",
+    "homoglyph_metrics",
 ]
 
 
