@@ -121,6 +121,7 @@ HEADLINE = [
     "pq_ann_topk",               # round-5: ADC search over PQ codes
     "cluster_purity",            # round-5: embedding-vs-label audit
     "homoglyph_metrics",         # round-5: confusable-fold obfuscation dedup
+    "filter_overlap_matrix",     # round-5: one-pass rule-redundancy audit
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

@@ -176,3 +176,38 @@ def heuristic_metrics_pdf(texts: pd.Series, t: dict | None = None) -> pd.DataFra
         & (out.alpha_word_ratio >= t["min_alpha_word_ratio"])
     )
     return out
+
+
+# ---- per-rule fail attribution (single source for Spark + oracle) ----------
+#
+# (rule_name, metric_key, op, threshold_key): a doc FAILS the rule when
+# `metric op THRESHOLDS[threshold_key]` holds. keep_expr above is exactly
+# the conjunction of the negations; queries.filter_overlap_matrix and its
+# DuckDB twin both generate their comparisons from THIS list, so a
+# threshold change can never desynchronize the three.
+RULE_DEFS: list[tuple[str, str, str, str]] = [
+    ("too_few_words", "n_words", "<", "min_words"),
+    ("too_many_words", "n_words", ">", "max_words"),
+    ("word_len_low", "mean_word_len", "<", "min_mean_word_len"),
+    ("word_len_high", "mean_word_len", ">", "max_mean_word_len"),
+    ("symbol_heavy", "symbol_ratio", ">", "max_symbol_ratio"),
+    ("stopword_poor", "stop_ratio", "<", "min_stop_ratio"),
+    ("stop_variety_low", "n_distinct_stops", "<", "min_distinct_stops"),
+    ("dup_lines", "dup_line_ratio", ">", "max_dup_line_ratio"),
+    ("ellipsis_heavy", "ellipsis_line_ratio", ">", "max_ellipsis_line_ratio"),
+    ("alpha_poor", "alpha_word_ratio", "<", "min_alpha_word_ratio"),
+]
+
+# the Spark metric frame spells word count n_words_m (with_heuristic_metrics);
+# the oracle CTE spells it n_words — map per consumer.
+SPARK_METRIC_COLS = {"n_words": "n_words_m"}
+
+
+def rule_fail_exprs(t: dict | None = None) -> dict[str, Column]:
+    """rule -> boolean FAIL Column over with_heuristic_metrics columns."""
+    t = t or THRESHOLDS
+    ops = {"<": Column.__lt__, ">": Column.__gt__}
+    return {
+        name: ops[op](F.col(SPARK_METRIC_COLS.get(metric, metric)), F.lit(t[thr]))
+        for name, metric, op, thr in RULE_DEFS
+    }

@@ -3807,3 +3807,54 @@ FROM b JOIN s USING (fp_fold)
 
 # round-5 addition: confusable folding / obfuscated-dup detection (TR39).
 ORACLES["homoglyph_metrics"] = _homoglyph_metrics_sql()
+
+
+def _filter_overlap_matrix_sql() -> str:
+    """Twin of queries.filter_overlap_matrix: same RULE_DEFS/THRESHOLDS
+    constants, the shared heuristics metric CTE, 55 pair sums in one agg,
+    UNION ALL unpivot, integer Jaccard with // (all operands positive)."""
+    from dq.heuristics import RULE_DEFS, THRESHOLDS
+
+    names = [n for n, *_ in RULE_DEFS]
+    preds = {
+        name: f"{metric} {op} {THRESHOLDS[thr]!r}"
+        for name, metric, op, thr in RULE_DEFS
+    }
+    flag_cols = ",\n    ".join(
+        f"CASE WHEN {preds[n]} THEN 1 ELSE 0 END AS {n}" for n in names
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    pair_sums = ",\n    ".join(
+        f"CAST(sum({a} * {b}) AS BIGINT) AS p{i}" for i, (a, b) in enumerate(pairs)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, p{i} AS n_both FROM wide"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return f"""WITH {_heuristics_cte()},
+flags AS (
+  SELECT doc_id,
+    {flag_cols}
+  FROM m
+), wide AS (
+  SELECT
+    {pair_sums}
+  FROM flags
+), long AS (
+  {unpivot}
+), diag AS (
+  SELECT rule_a AS r, n_both AS nf FROM long WHERE rule_a = rule_b
+)
+SELECT l.rule_a, l.rule_b, l.n_both,
+       da.nf AS n_a_fail, db.nf AS n_b_fail,
+       CASE WHEN da.nf + db.nf - l.n_both > 0
+            THEN (10000 * l.n_both) // (da.nf + db.nf - l.n_both)
+            ELSE CAST(0 AS BIGINT) END AS jaccard_bp
+FROM long l
+JOIN diag da ON da.r = l.rule_a
+JOIN diag db ON db.r = l.rule_b
+"""
+
+
+# round-5 addition: heuristic-rule overlap/redundancy matrix (one-pass).
+ORACLES["filter_overlap_matrix"] = _filter_overlap_matrix_sql()

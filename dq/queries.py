@@ -2560,6 +2560,60 @@ def homoglyph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-redundancy audit over the Gopher/C4 heuristic gate: for every
+    rule pair (a <= b), how many docs fail BOTH, each rule's total fail
+    count, and the integer-Jaccard overlap in basis points — the report
+    that says which rules are redundant (high Jaccard) and which do unique
+    work before anyone tunes THRESHOLDS. All pair sums come out of ONE
+    map-side-combinable hash-agg over the per-doc 0/1 fail flags (the
+    threshold-sweep trick: G(G+1)/2 conditional sums in a single corpus
+    pass, 55 scalar cells at any corpus size); rules and thresholds come
+    from dq.heuristics.RULE_DEFS, the same list keep_expr and the oracle
+    derive from."""
+    from dq.heuristics import RULE_DEFS, rule_fail_exprs, with_heuristic_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    fails = rule_fail_exprs()
+    names = [n for n, *_ in RULE_DEFS]
+    flags = with_heuristic_metrics(docs).select(
+        *[fails[n].cast("bigint").alias(n) for n in names]
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    wide = flags.agg(
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"_p{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', _p{i}" for i, (a, b) in enumerate(pairs)
+    )
+    long = wide.select(
+        F.expr(f"stack({len(pairs)}, {stack}) AS (rule_a, rule_b, n_both)")
+    )
+    diag = long.where("rule_a = rule_b").select(
+        F.col("rule_a").alias("_r"), F.col("n_both").alias("_nf")
+    )
+    return (
+        long.join(F.broadcast(diag), F.col("rule_a") == F.col("_r"))
+        .withColumnRenamed("_nf", "n_a_fail")
+        .drop("_r")
+        .join(F.broadcast(diag), F.col("rule_b") == F.col("_r"))
+        .withColumnRenamed("_nf", "n_b_fail")
+        .drop("_r")
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CASE WHEN n_a_fail + n_b_fail - n_both > 0 "
+                "THEN (10000 * n_both) DIV (n_a_fail + n_b_fail - n_both) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .select("rule_a", "rule_b", "n_both", "n_a_fail", "n_b_fail", "jaccard_bp")
+    )
+
+
 def domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized TrustRank over the mined domain graph
     (dq.webgraph.trustrank): PageRank's damped update with teleport mass
@@ -2731,4 +2785,5 @@ QUERIES = {
     "pq_ann_topk": pq_ann_topk,
     "cluster_purity": cluster_purity,
     "homoglyph_metrics": homoglyph_metrics,
+    "filter_overlap_matrix": filter_overlap_matrix,
 }

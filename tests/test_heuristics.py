@@ -66,3 +66,63 @@ def test_empty_and_null_text():
     m = heuristics.heuristic_metrics_pdf(pd.Series(["", None, "word"]))
     assert (m["n_words_m"] == [0, 0, 1]).all()
     assert not m["keep_heuristic"].any()
+
+
+def test_rule_fail_exprs_conjunction_equals_keep_expr(spark):
+    """RULE_DEFS is the single source: the conjunction of the rule
+    negations must BE keep_expr — a drifted threshold or missing rule
+    fails here before it can desynchronize filter_overlap_matrix."""
+    from dq.heuristics import keep_expr, rule_fail_exprs, with_heuristic_metrics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = with_heuristic_metrics(docs)
+    none_fail = None
+    for c in rule_fail_exprs().values():
+        none_fail = ~c if none_fail is None else none_fail & ~c
+    assert m.select((keep_expr() != none_fail).alias("d")).where("d").count() == 0
+
+
+def test_filter_overlap_matrix_matches_pandas_twin(spark):
+    """Pair counts recomputed from the pandas metric oracle
+    (heuristic_metrics_pdf — the same batch function the UDF tier uses)."""
+    import operator
+
+    from dq.heuristics import (
+        RULE_DEFS,
+        SPARK_METRIC_COLS,
+        THRESHOLDS,
+        heuristic_metrics_pdf,
+    )
+    from dq.queries import filter_overlap_matrix
+
+    sf = "/root/testdata/sf0.001"
+    texts = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("text")
+        .toPandas()["text"]
+    )
+    pdf = heuristic_metrics_pdf(texts)  # spells word count n_words_m
+    ops = {"<": operator.lt, ">": operator.gt}
+    flags = {
+        name: (
+            ops[op](pdf[SPARK_METRIC_COLS.get(metric, metric)], THRESHOLDS[thr])
+        ).astype(int)
+        for name, metric, op, thr in RULE_DEFS
+    }
+    got = {
+        (r["rule_a"], r["rule_b"]): (
+            r["n_both"], r["n_a_fail"], r["n_b_fail"], r["jaccard_bp"]
+        )
+        for r in filter_overlap_matrix(spark, sf).collect()
+    }
+    names = [n for n, *_ in RULE_DEFS]
+    assert len(got) == len(names) * (len(names) + 1) // 2
+    for (a, b), (n_both, n_a, n_b, j_bp) in got.items():
+        exp_both = int((flags[a] * flags[b]).sum())
+        exp_a, exp_b = int(flags[a].sum()), int(flags[b].sum())
+        assert (n_both, n_a, n_b) == (exp_both, exp_a, exp_b)
+        union = exp_a + exp_b - exp_both
+        assert j_bp == (10000 * exp_both // union if union > 0 else 0)
+        assert n_both <= min(n_a, n_b)
+        if a == b and n_a > 0:
+            assert j_bp == 10000

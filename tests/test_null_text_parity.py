@@ -94,6 +94,7 @@ TEXT_QUERIES = [
     "signal_fusion_rrf",
     "heavy_hitter_tokens",
     "homoglyph_metrics",
+    "filter_overlap_matrix",
 ]
 
 
