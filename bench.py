@@ -122,6 +122,16 @@ HEADLINE = [
     "cluster_purity",            # round-5: embedding-vs-label audit
     "homoglyph_metrics",         # round-5: confusable-fold obfuscation dedup
     "filter_overlap_matrix",     # round-5: one-pass rule-redundancy audit
+    "perceptron_preds",          # round-5: batch-perceptron distillation (full
+                                 # train + final scores; _weights shares the
+                                 # identical training run — benching both would
+                                 # time the same job twice)
+    "constraint_report",         # round-5: one-scan declarative DQ suite
+    "bootstrap_keep_rates",      # round-5: one-pass Poisson-bootstrap CI
+    "containment_pairs",         # round-5: asymmetric n-gram containment
+    # image_dhash_dups stays OUT of the headline for the same reason as
+    # media_decode_features: fixed 48-asset synthesized corpus — wall time
+    # would measure worker spawn over a constant input, not throughput at sf.
     # near_dup_survivors stays OUT of the headline for the same reason as
     # near_dup_clusters (it consumes those labels): iterative CC rounds
     # dominate local wall time — the gate + pytest own its correctness.

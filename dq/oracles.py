@@ -3858,3 +3858,237 @@ JOIN diag db ON db.r = l.rule_b
 
 # round-5 addition: heuristic-rule overlap/redundancy matrix (one-pass).
 ORACLES["filter_overlap_matrix"] = _filter_overlap_matrix_sql()
+
+
+# ---- round-5 additions: in-engine training / checks / bootstrap / containment
+
+
+_TRAIN_TOKS = (
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+def _perceptron_cte() -> tuple[str, str]:
+    """Shared CTE chain for the batch-perceptron twins: teacher labels from
+    the heuristics CTE, rank-assigned vocabulary (count DESC, token ASC —
+    row_number computed over the FULL count table, LIMIT after, so fids
+    are the global ranks), integer bag-of-words features + the bias row per
+    doc, then TRAIN_ROUNDS unrolled full-batch rounds (the kmeans/pagerank
+    unrolled-iteration oracle machinery: each round is score -> miss ->
+    delta -> weight CTEs). Returns (cte_sql, final_weight_cte_name).
+    Constants (TRAIN_VOCAB_K, TRAIN_ROUNDS) come from dq.train — the same
+    objects the Spark path uses, so the two sides cannot drift."""
+    from dq.train import TRAIN_ROUNDS, TRAIN_VOCAB_K
+
+    head = f"""{_heuristics_cte()},
+lab AS (
+  SELECT doc_id, CAST(CASE WHEN {_keep_pred()} THEN 1 ELSE -1 END AS BIGINT) AS y FROM m
+), toks AS (
+  SELECT doc_id, unnest({_TRAIN_TOKS}) AS tok FROM documents
+), vcnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS fid, tok, n
+  FROM vcnt ORDER BY n DESC, tok ASC LIMIT {TRAIN_VOCAB_K}
+), x0 AS (
+  SELECT t.doc_id, v.fid, CAST(count(*) AS BIGINT) AS c
+  FROM toks t JOIN vocab v USING (tok) GROUP BY 1, 2
+), x AS (
+  SELECT * FROM x0
+  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM lab
+), w0 AS (
+  SELECT CAST(0 AS BIGINT) AS fid, CAST(0 AS BIGINT) AS w
+  UNION ALL SELECT fid, CAST(0 AS BIGINT) FROM vocab
+)"""
+    rounds = []
+    prev = "w0"
+    for r in range(1, TRAIN_ROUNDS + 1):
+        rounds.append(f""", s{r} AS (
+  SELECT x.doc_id, sum(x.c * {prev}.w) AS s FROM x JOIN {prev} USING (fid) GROUP BY 1
+), m{r} AS (
+  SELECT lab.doc_id, lab.y FROM lab JOIN s{r} USING (doc_id) WHERE lab.y * s{r}.s <= 0
+), d{r} AS (
+  SELECT x.fid, sum(m{r}.y * x.c) AS d FROM x JOIN m{r} USING (doc_id) GROUP BY 1
+), w{r} AS (
+  SELECT {prev}.fid, {prev}.w + coalesce(d{r}.d, 0) AS w
+  FROM {prev} LEFT JOIN d{r} USING (fid)
+)""")
+        prev = f"w{r}"
+    return head + "".join(rounds), prev
+
+
+def _perceptron_weights_sql() -> str:
+    """Twin of queries.perceptron_weights (bias token reported as '')."""
+    cte, w_n = _perceptron_cte()
+    return f"""WITH {cte}
+SELECT wf.fid AS feature_id, coalesce(v.tok, '') AS token, CAST(wf.w AS BIGINT) AS weight
+FROM {w_n} wf LEFT JOIN vocab v USING (fid)
+"""
+
+
+def _perceptron_preds_sql() -> str:
+    """Twin of queries.perceptron_preds: final-weight scores per doc;
+    pred = +1 iff score > 0 (ties drop — same rule as the Spark path)."""
+    cte, w_n = _perceptron_cte()
+    return f"""WITH {cte}, sf AS (
+  SELECT x.doc_id, CAST(sum(x.c * {w_n}.w) AS BIGINT) AS score
+  FROM x JOIN {w_n} USING (fid) GROUP BY 1
+)
+SELECT lab.doc_id, lab.y, sf.score,
+       CAST(CASE WHEN sf.score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM lab JOIN sf USING (doc_id)
+"""
+
+
+ORACLES["perceptron_weights"] = _perceptron_weights_sql()
+ORACLES["perceptron_preds"] = _perceptron_preds_sql()
+
+
+def _check_violation_sql(c) -> str:
+    """Row-violation CASE for one dq.checks constraint — the same
+    two-valued semantics as dq.checks._violation_pred (NULL = violation
+    for value constraints; the NOT IN NULL trap is compiled away)."""
+    col = c.col
+    if c.kind == "not_null":
+        return f"CASE WHEN {col} IS NULL THEN 1 ELSE 0 END"
+    if c.kind == "in_set":
+        vals = ", ".join("'" + _sq(v) + "'" for v in c.values)
+        return f"CASE WHEN {col} IS NULL OR {col} NOT IN ({vals}) THEN 1 ELSE 0 END"
+    if c.kind == "in_range":
+        return (
+            f"CASE WHEN {col} IS NULL OR {col} < {c.lo!r} OR {col} > {c.hi!r} "
+            f"THEN 1 ELSE 0 END"
+        )
+    if c.kind == "matches":
+        return (
+            f"CASE WHEN {col} IS NULL OR NOT regexp_matches({col}, '{_sq(c.pattern)}') "
+            f"THEN 1 ELSE 0 END"
+        )
+    raise ValueError(f"not a row-predicate constraint: {c.kind}")
+
+
+def _constraint_report_sql() -> str:
+    """Twin of queries.constraint_report, generated from the SAME
+    dq.checks.ORDERS_CHECKS list: one wide conditional-sum agg + UNION ALL
+    unpivot; fk checks as NOT EXISTS scalar subqueries. "constraint" is
+    quoted (DuckDB keyword)."""
+    from dq.checks import ORDERS_CHECKS
+
+    aggs = ["CAST(count(*) AS BIGINT) AS _nr"]
+    cells = []
+    for i, c in enumerate(ORDERS_CHECKS):
+        if c.kind in ("not_null", "in_set", "in_range", "matches"):
+            aggs.append(f"CAST(sum({_check_violation_sql(c)}) AS BIGINT) AS _v{i}")
+            cells.append((c.name, f"_v{i}"))
+        elif c.kind == "unique":
+            aggs.append(f"CAST(count({c.col}) AS BIGINT) AS _n{i}")
+            aggs.append(f"CAST(count(DISTINCT {c.col}) AS BIGINT) AS _d{i}")
+            cells.append((c.name, f"_n{i} - _d{i}"))
+        elif c.kind == "min_rows":
+            cells.append((c.name, f"CASE WHEN _nr < {c.n} THEN 1 ELSE 0 END"))
+        elif c.kind != "fk":
+            raise ValueError(f"unknown constraint kind: {c.kind}")
+    agg_sql = ",\n    ".join(aggs)
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS constraint, _nr AS n_rows, "
+        f"CAST({cell} AS BIGINT) AS n_violations FROM agg"
+        for name, cell in cells
+    )
+    fk_unions = []
+    for c in ORDERS_CHECKS:
+        if c.kind != "fk":
+            continue
+        fk_unions.append(f"""SELECT '{c.name}' AS constraint,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o.{c.col} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {c.dim} d WHERE d.{c.dim_col} = o.{c.col})
+       ) AS n_violations""")
+    all_unions = unions + (
+        "\n  UNION ALL " + "\n  UNION ALL ".join(fk_unions) if fk_unions else ""
+    )
+    return f"""WITH agg AS (
+  SELECT
+    {agg_sql}
+  FROM orders
+), rep AS (
+  {all_unions}
+)
+SELECT "constraint", n_rows, n_violations, n_violations = 0 AS passed FROM rep
+"""
+
+
+ORACLES["constraint_report"] = _constraint_report_sql()
+
+
+def _bootstrap_keep_rates_sql() -> str:
+    """Twin of queries.bootstrap_keep_rates: the draw expression and the
+    Poisson CASE come from the SAME dq.bootstrap builders the Spark path
+    evaluates (one SQL text, two engines), over the shared heuristics CTE."""
+    from dq.bootstrap import (
+        BOOT_REPLICAS,
+        _poisson_weight_sql_case,
+        replica_draw_cols,
+    )
+
+    case = _poisson_weight_sql_case(replica_draw_cols("doc_id", "replica"))
+    return f"""WITH {_heuristics_cte()},
+flags AS (
+  SELECT doc_id, CAST(CASE WHEN {_keep_pred()} THEN 1 ELSE 0 END AS BIGINT) AS k FROM m
+), reps AS (
+  SELECT doc_id, k, unnest(range(0, {BOOT_REPLICAS})) AS replica FROM flags
+), wts AS (
+  SELECT CAST(replica AS BIGINT) AS replica, k, CAST({case} AS BIGINT) AS w FROM reps
+)
+SELECT replica,
+       CAST(sum(w) AS BIGINT) AS w_total,
+       CAST(sum(w * k) AS BIGINT) AS keep_w,
+       CAST(CASE WHEN sum(w) > 0 THEN (10000 * sum(w * k)) // sum(w)
+            ELSE 0 END AS BIGINT) AS keep_rate_bp
+FROM wts GROUP BY 1
+"""
+
+
+ORACLES["bootstrap_keep_rates"] = _bootstrap_keep_rates_sql()
+
+
+def _containment_pairs_sql() -> str:
+    """Twin of queries.containment_pairs — the _ngram_jaccard_sql shingle
+    CTE with the asymmetric |A∩B|/|A| and |A∩B|/|B| outputs (Broder 1997
+    containment; exact-integer double divisions)."""
+    n = JACCARD_SHINGLE_N
+    return f"""
+WITH base AS ({_PLANTED_BASE}),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + {PLANT_EXACT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET}
+  FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {n}
+              THEN list_distinct(list_transform(range(1, len(words) - {n - 2}),
+                   i -> array_to_string(list_slice(words, i, i + {n - 1}), ' ')))
+              ELSE [coalesce(array_to_string(words, ' '), '')] END AS s
+  FROM w
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN len(a.s) > 0
+            THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+            ELSE 0.0 END AS cont_a_in_b,
+       CASE WHEN len(b.s) > 0
+            THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+            ELSE 0.0 END AS cont_b_in_a
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
+"""
+
+
+ORACLES["containment_pairs"] = _containment_pairs_sql()

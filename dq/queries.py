@@ -2645,6 +2645,121 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25(_t(spark, sf_dir, "documents"))
 
 
+def perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING, learned weights (dq.train): the
+    DCLM/FineWeb-Edu distillation step — a bag-of-words linear student
+    trained with the integer batch perceptron on the heuristic keep labels.
+    (feature_id, token, weight) after TRAIN_ROUNDS full-batch rounds;
+    bit-reproduced by the DuckDB unrolled-round CTE twin (the kmeans/
+    pagerank oracle machinery). Scale shape in dq/train.py: per round one
+    broadcast join of the (K+1)-row weight table + two narrow hash-aggs
+    over the doc_id-partitioned feature frame."""
+    from dq.train import perceptron_train
+
+    docs = _t(spark, sf_dir, "documents")
+    weights, _ = perceptron_train(docs)
+    return weights
+
+
+def perceptron_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictions of the trained perceptron under the FINAL weights:
+    (doc_id, y, score, pred) — the student-vs-teacher agreement surface
+    (audited further by tests; score/pred are exact integers)."""
+    from dq.train import perceptron_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, preds = perceptron_train(docs)
+    return preds
+
+
+def constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ constraint suite (dq.checks — the Deequ/VLDB'18 shape
+    the reference's volumetria/duplicidade/qualitativo jobs are instances
+    of): the ORDERS_CHECKS suite compiled into ONE conditional-sum hash
+    aggregate over orders (+ one broadcast left-anti per fk dim), unpivoted
+    to (constraint, n_rows, n_violations, passed)."""
+    from dq.checks import ORDERS_CHECKS, run_checks
+
+    return run_checks(
+        _t(spark, sf_dir, "orders"),
+        ORDERS_CHECKS,
+        dims={"customer": _t(spark, sf_dir, "customer")},
+    )
+
+
+def bootstrap_keep_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap sampling distribution of the corpus keep rate
+    (dq.bootstrap, Chamandy et al. 2012): BOOT_REPLICAS deterministic
+    Poisson(1)-weighted replicas of the heuristic keep rate computed in
+    ONE corpus pass — the only way to put a CI on a 100 TB metric without
+    resampling the corpus. Integer LCG draws + integer CDF thresholds, so
+    every replica is bit-identical in DuckDB."""
+    from dq.bootstrap import bootstrap_keep_rates as boot
+
+    return boot(_t(spark, sf_dir, "documents"))
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for the planted dup pairs:
+    |A∩B| / |A| and |A∩B| / |B| over distinct string shingles — the
+    decontamination-grade overlap measure (a benchmark quoted inside a
+    larger page has containment ≈ 1 while Jaccard is small; Broder 1997
+    distinguishes resemblance from containment). The planted near-copies
+    are base + suffix, so cont(base in copy) = 1.0 exactly while Jaccard
+    < 1 — the asymmetry the jaccard query cannot see. Same shingle
+    machinery / guards as ngram_jaccard_pairs; doubles are exact-integer
+    divisions."""
+    from dq.dedup import with_string_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.where(F.col("doc_id") % PLANT_EXACT_MOD == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + PLANT_EXACT_OFFSET).alias("id_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % PLANT_NEAR_MOD == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("id_b"),
+            )
+        )
+    )
+    base = _docs_with_planted_dups(spark, sf_dir)
+    sh = with_string_shingles(base, "doc_id", "text", JACCARD_SHINGLE_N)
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(F.size("_sh_a") > 0, inter.cast("double") / F.size("_sh_a"))
+        .otherwise(F.lit(0.0))
+        .alias("cont_a_in_b"),
+        F.when(F.size("_sh_b") > 0, inter.cast("double") / F.size("_sh_b"))
+        .otherwise(F.lit(0.0))
+        .alias("cont_b_in_a"),
+    )
+
+
+def image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (dq.imagehash): REAL decode
+    (dq.codecs, pure numpy+stdlib) -> 64-bit dHash -> SimHash-style
+    chunk-banded candidate join (hot-bucket capped) -> Hamming verify,
+    over a deterministic corpus with planted cross-container duplicates
+    (same pixels as PNG and BMP — byte dedup is blind to these) and
+    small-patch edits. Rows-only: the hash rides a decode UDF; pytest
+    pins the python dHash twin bit-for-bit and the planted-pair recall."""
+    from dq.imagehash import image_near_dups, synth_images_neardup
+
+    assets = synth_images_neardup(spark, n=48)
+    return image_near_dups(assets).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2786,4 +2901,10 @@ QUERIES = {
     "cluster_purity": cluster_purity,
     "homoglyph_metrics": homoglyph_metrics,
     "filter_overlap_matrix": filter_overlap_matrix,
+    "perceptron_weights": perceptron_weights,
+    "perceptron_preds": perceptron_preds,
+    "constraint_report": constraint_report,
+    "bootstrap_keep_rates": bootstrap_keep_rates,
+    "containment_pairs": containment_pairs,
+    "image_dhash_dups": image_dhash_dups,
 }

@@ -95,6 +95,10 @@ TEXT_QUERIES = [
     "heavy_hitter_tokens",
     "homoglyph_metrics",
     "filter_overlap_matrix",
+    "perceptron_weights",
+    "perceptron_preds",
+    "bootstrap_keep_rates",
+    "containment_pairs",
 ]
 
 
