@@ -129,6 +129,11 @@ HEADLINE = [
     "constraint_report",         # round-5: one-scan declarative DQ suite
     "bootstrap_keep_rates",      # round-5: one-pass Poisson-bootstrap CI
     "containment_pairs",         # round-5: asymmetric n-gram containment
+    "priority_sample",           # round-5: one-pass weighted sample + estimator
+    "mixture_weights",           # round-5: Hedge domain reweighting
+    "snapshot_band_drift",       # round-5: banded TV drift scorecard
+    # snapshot_drift_summary shares the band_drift job — benching both would
+    # time the same scans twice.
     # image_dhash_dups stays OUT of the headline for the same reason as
     # media_decode_features: fixed 48-asset synthesized corpus — wall time
     # would measure worker spawn over a constant input, not throughput at sf.

@@ -1,0 +1,148 @@
+"""Snapshot distribution drift: banded scorecard + exact total variation.
+
+Data-quality monitoring addition in the reference's own spirit (the
+volumetria layer reconciles row COUNTS across snapshots — SURVEY.md §2.11;
+this lifts the same reconcile-two-snapshots semantics from counts to the
+SHAPE of a distribution, the classic production drift monitor usually run
+as PSI). PSI's log term is transcendental and can't be bit-reproduced
+across engines, so the scorecard reports the two distribution-distance
+pieces that are exact in integer arithmetic:
+
+- per-band rates in DRIFT_SCALE fixed point (parts-per-million):
+  r = c * DRIFT_SCALE DIV t — the banded histogram both sides;
+- the signed per-band rate delta, whose absolute sum halved is the exact
+  TOTAL VARIATION distance between the two banded distributions (TV is
+  what PSI monotonically tracks for small shifts; unlike PSI it is defined
+  at zero-count bands without epsilon hacks).
+
+Overflow/precision: c * DRIFT_SCALE stays in int64 for band counts to
+~9.2e12 documents at SCALE=1e6 — covers the 10^12-doc target with 1 ppm
+rate granularity (drift thresholds in practice are 1e4+ ppm). The floor
+quantization makes TV exact over the QUANTIZED distributions — both
+engines compute the identical integer, and the quantization error is
+bounded by n_bands/SCALE (~1e-4 here), far under any alerting threshold.
+
+Scale shape (100 TB notes): each snapshot contributes one map-side-
+combinable (band, count) hash agg — band count is bounded by the band
+width, not the corpus (~1e4 rows); the full-outer band join, totals, and
+deltas all operate on the tiny banded table. Two corpus scans total (one
+per snapshot), text never read (bands come from numeric columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+DRIFT_BAND_WIDTH = 40     # n_chars per band
+DRIFT_SCALE = 10**6       # rate fixed point (parts-per-million)
+
+
+def _band_counts(snap: DataFrame, value_col: str, width: int) -> DataFrame:
+    return snap.select(
+        F.expr(f"CAST({value_col} AS BIGINT) DIV {width}").alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def band_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str = "n_chars",
+    width: int = DRIFT_BAND_WIDTH,
+) -> DataFrame:
+    """Per-band drift scorecard between two snapshots of the same metric:
+    (band, c_old, c_new, r_old_ppm, r_new_ppm, delta_ppm) — full outer on
+    band (absent side counts 0), rates in DRIFT_SCALE fixed point,
+    delta = r_new - r_old (signed)."""
+    o = _band_counts(old, value_col, width).withColumnRenamed("c", "c_old")
+    n = _band_counts(new, value_col, width).withColumnRenamed("c", "c_new")
+    j = o.join(n, "band", "full_outer").select(
+        "band",
+        F.coalesce("c_old", F.lit(0)).cast("bigint").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("bigint").alias("c_new"),
+    )
+    tot = j.agg(
+        F.sum("c_old").cast("bigint").alias("t_old"),
+        F.sum("c_new").cast("bigint").alias("t_new"),
+    )
+    return j.crossJoin(F.broadcast(tot)).select(
+        "band", "c_old", "c_new",
+        F.expr(f"CAST(c_old * {DRIFT_SCALE} AS BIGINT) DIV t_old").alias("r_old_ppm"),
+        F.expr(f"CAST(c_new * {DRIFT_SCALE} AS BIGINT) DIV t_new").alias("r_new_ppm"),
+        F.expr(
+            f"CAST(c_new * {DRIFT_SCALE} AS BIGINT) DIV t_new"
+            f" - CAST(c_old * {DRIFT_SCALE} AS BIGINT) DIV t_old"
+        ).alias("delta_ppm"),
+    )
+
+
+def drift_summary(bands: DataFrame) -> DataFrame:
+    """1-row rollup of a band_drift scorecard: (n_bands, n_grown, n_shrunk,
+    tv_ppm) — tv_ppm = sum(|delta_ppm|) DIV 2, the exact total-variation
+    distance between the quantized banded distributions."""
+    return bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.sum(F.when(F.col("delta_ppm") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_grown"),
+        F.sum(F.when(F.col("delta_ppm") < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_shrunk"),
+        # DIV, not `/`: bigint `/` is double division in Spark and decimal
+        # in DuckDB — the floor-div is the shared exact form
+        F.expr("CAST(sum(abs(delta_ppm)) AS BIGINT) DIV 2").alias("tv_ppm"),
+    )
+
+
+def planted_length_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """dq.crawldiff's planted two-crawl construction lifted to the n_chars
+    metric (same shared constants, so the drift gate query and the crawl
+    diff gate query describe the SAME planted snapshot pair): OLD drops its
+    planted residue class, NEW drops a different one and the 'changed' docs
+    grow by the suffix length — a real, deterministic length-shape shift."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+
+    did = F.col("doc_id")
+    old = docs.where(did % OLD_DROP_MOD != OLD_DROP_REM).select("n_chars")
+    new = docs.where(did % NEW_DROP_MOD != NEW_DROP_REM).select(
+        F.when(
+            did % CHANGED_MOD == CHANGED_REM,
+            F.col("n_chars") + len(CHANGED_SUFFIX),
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars")
+    )
+    return old, new
+
+
+# ---- pure-python twin (the pytest oracle) -----------------------------------
+
+
+def band_drift_py(
+    old_vals: list[int],
+    new_vals: list[int],
+    width: int = DRIFT_BAND_WIDTH,
+) -> dict[int, tuple[int, int, int, int, int]]:
+    """{band: (c_old, c_new, r_old_ppm, r_new_ppm, delta_ppm)} — must match
+    the Spark path integer-for-integer (pytest-pinned)."""
+    co: dict[int, int] = {}
+    cn: dict[int, int] = {}
+    for v in old_vals:
+        co[v // width] = co.get(v // width, 0) + 1
+    for v in new_vals:
+        cn[v // width] = cn.get(v // width, 0) + 1
+    t_o, t_n = sum(co.values()), sum(cn.values())
+    out = {}
+    for b in set(co) | set(cn):
+        a, c = co.get(b, 0), cn.get(b, 0)
+        ro, rn_ = a * DRIFT_SCALE // t_o, c * DRIFT_SCALE // t_n
+        out[b] = (a, c, ro, rn_, rn_ - ro)
+    return out

@@ -4092,3 +4092,158 @@ JOIN sh b ON b.doc_id = p.id_b
 
 
 ORACLES["containment_pairs"] = _containment_pairs_sql()
+
+
+# ---- round-5 additions: priority sampling / mixture reweighting / drift ----
+
+
+def _priority_sample_sql() -> str:
+    """Twin of queries.priority_sample — the LCG draw, fixed-point priority,
+    threshold tau, and DLT estimator all from the SAME dq.priority /
+    dq.sampling constants the Spark path evaluates."""
+    from dq.priority import PRIORITY_K, PRIORITY_SCALE
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD
+
+    return f"""WITH pri AS (
+  SELECT doc_id,
+         CAST(n_chars + 1 AS BIGINT) AS w,
+         CAST((doc_id * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} + 1 AS BIGINT) AS u
+  FROM documents
+), ranked AS (
+  SELECT doc_id, w, u,
+         CAST((w * {PRIORITY_SCALE}) // u AS BIGINT) AS q,
+         row_number() OVER (
+           ORDER BY (w * {PRIORITY_SCALE}) // u DESC, doc_id ASC
+         ) AS rn
+  FROM pri
+), tau AS (
+  SELECT CAST(coalesce(
+           (SELECT q FROM ranked WHERE rn = {PRIORITY_K + 1}), 0) AS BIGINT) AS tau
+)
+SELECT doc_id, w, u, q, tau.tau AS tau,
+       CAST(greatest(w * {PRIORITY_SCALE}, tau.tau * {SAMPLE_MOD}) AS BIGINT)
+         AS w_hat_scaled
+FROM ranked, tau WHERE rn <= {PRIORITY_K}
+"""
+
+
+ORACLES["priority_sample"] = _priority_sample_sql()
+
+
+def _mixture_weights_sql() -> str:
+    """Twin of queries.mixture_weights: heuristic keep rates per source
+    (the shared heuristics CTE), excess over the corpus mean, MIX_ROUNDS
+    unrolled multiplicative-weights rounds with floor renormalization —
+    constants from dq.mixture, so the engines cannot drift."""
+    from dq.mixture import MIX_BP, MIX_ROUNDS
+
+    head = f"""{_heuristics_cte()},
+fl AS (
+  SELECT d.source AS domain,
+         CASE WHEN {_keep_pred()} THEN 1 ELSE 0 END AS k
+  FROM m JOIN documents d USING (doc_id)
+), rates AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(k) AS BIGINT) AS n_keep,
+         CAST((sum(k) * {MIX_BP}) // count(*) AS BIGINT) AS keep_bp
+  FROM fl GROUP BY 1
+), cm AS (
+  SELECT CAST((sum(n_keep) * {MIX_BP}) // sum(n_docs) AS BIGINT) AS corpus_bp
+  FROM rates
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM rates
+), w0 AS (
+  SELECT rates.domain, rates.keep_bp,
+         CAST(greatest(rates.keep_bp - cm.corpus_bp, 0) AS BIGINT) AS excess_bp,
+         CAST({MIX_BP} // nd.n AS BIGINT) AS wbp
+  FROM rates, cm, nd
+)"""
+    rounds = []
+    prev = "w0"
+    for r in range(1, MIX_ROUNDS + 1):
+        rounds.append(f""", raw{r} AS (
+  SELECT domain, keep_bp, excess_bp,
+         CAST(wbp * ({MIX_BP} + excess_bp) AS BIGINT) AS raw
+  FROM {prev}
+), tot{r} AS (
+  SELECT CAST(sum(raw) AS BIGINT) AS t FROM raw{r}
+), w{r} AS (
+  SELECT domain, keep_bp, excess_bp,
+         CAST((raw * {MIX_BP}) // tot{r}.t AS BIGINT) AS wbp
+  FROM raw{r}, tot{r}
+)""")
+        prev = f"w{r}"
+    return (
+        "WITH " + head + "".join(rounds)
+        + f"\nSELECT domain, keep_bp, excess_bp, wbp AS weight_bp FROM {prev}\n"
+    )
+
+
+ORACLES["mixture_weights"] = _mixture_weights_sql()
+
+
+def _drift_cte() -> str:
+    """Shared CTE chain for the snapshot-drift twins: the crawldiff planted
+    snapshot constants lifted to n_chars (dq.drift.planted_length_snapshots),
+    banded counts, full-outer band join, totals, fixed-point rates."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+    from dq.drift import DRIFT_BAND_WIDTH, DRIFT_SCALE
+
+    suf = len(CHANGED_SUFFIX)
+    return f"""o AS (
+  SELECT CAST(n_chars AS BIGINT) // {DRIFT_BAND_WIDTH} AS band,
+         CAST(count(*) AS BIGINT) AS c_old
+  FROM documents WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM} GROUP BY 1
+), n AS (
+  SELECT CAST(CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
+                   THEN n_chars + {suf} ELSE n_chars END AS BIGINT)
+           // {DRIFT_BAND_WIDTH} AS band,
+         CAST(count(*) AS BIGINT) AS c_new
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM} GROUP BY 1
+), j AS (
+  SELECT coalesce(o.band, n.band) AS band,
+         CAST(coalesce(c_old, 0) AS BIGINT) AS c_old,
+         CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+  FROM o FULL OUTER JOIN n ON o.band = n.band
+), t AS (
+  SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
+         CAST(sum(c_new) AS BIGINT) AS t_new FROM j
+), scored AS (
+  SELECT band, c_old, c_new,
+         CAST((c_old * {DRIFT_SCALE}) // t.t_old AS BIGINT) AS r_old_ppm,
+         CAST((c_new * {DRIFT_SCALE}) // t.t_new AS BIGINT) AS r_new_ppm,
+         CAST((c_new * {DRIFT_SCALE}) // t.t_new
+              - (c_old * {DRIFT_SCALE}) // t.t_old AS BIGINT) AS delta_ppm
+  FROM j, t
+)"""
+
+
+def _snapshot_band_drift_sql() -> str:
+    """Twin of queries.snapshot_band_drift."""
+    return f"""WITH {_drift_cte()}
+SELECT band, c_old, c_new, r_old_ppm, r_new_ppm, delta_ppm FROM scored
+"""
+
+
+def _snapshot_drift_summary_sql() -> str:
+    """Twin of queries.snapshot_drift_summary."""
+    return f"""WITH {_drift_cte()}
+SELECT CAST(count(*) AS BIGINT) AS n_bands,
+       CAST(sum(CASE WHEN delta_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_grown,
+       CAST(sum(CASE WHEN delta_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shrunk,
+       CAST(sum(abs(delta_ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM scored
+"""
+
+
+ORACLES["snapshot_band_drift"] = _snapshot_band_drift_sql()
+ORACLES["snapshot_drift_summary"] = _snapshot_drift_summary_sql()

@@ -2760,6 +2760,53 @@ def image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (dq.priority, Duffield-Lund-Thorup JACM 2007): the
+    PRIORITY_K-row weighted document sample with the max(w, tau) subset-sum
+    estimator, weights = n_chars + 1, draws from the shared LCG — one
+    corpus pass, TakeOrdered top-(k+1), k+1 rows of moving data. Integer
+    fixed point throughout, so the sample, tau, and every estimator value
+    are bit-identical in DuckDB."""
+    from dq.priority import priority_sample as psample
+
+    return psample(_t(spark, sf_dir, "documents"))
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting (dq.mixture, DoReMi-shaped Hedge): the
+    per-source heuristic keep rate drives MIX_ROUNDS integer
+    multiplicative-weights updates from the uniform mixture; returns
+    (domain, keep_bp, excess_bp, weight_bp). One corpus scan for the rate
+    table; rounds iterate on the dozens-row mixture frame. Bit-exact
+    unrolled-round CTE twin (the perceptron/kmeans oracle machinery)."""
+    from dq.mixture import mixture_weights as mweights
+
+    return mweights(_t(spark, sf_dir, "documents"))
+
+
+def snapshot_band_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded length-distribution drift between the planted crawl snapshots
+    (dq.drift — the PSI-style scorecard with exact integer rates): per
+    n_chars band, both sides' counts, DRIFT_SCALE-fixed-point rates, and
+    the signed rate delta. Two corpus scans (one per snapshot), hash aggs
+    on ~dozens of band rows, text never read."""
+    from dq.drift import band_drift, planted_length_snapshots
+
+    old, new = planted_length_snapshots(_t(spark, sf_dir, "documents"))
+    return band_drift(old, new)
+
+
+def snapshot_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row rollup of snapshot_band_drift: band counts by direction plus
+    tv_ppm — the exact total-variation distance between the quantized
+    banded distributions (what PSI tracks, without the transcendental log
+    that would break cross-engine bit-equality)."""
+    from dq.drift import band_drift, drift_summary, planted_length_snapshots
+
+    old, new = planted_length_snapshots(_t(spark, sf_dir, "documents"))
+    return drift_summary(band_drift(old, new))
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2907,4 +2954,8 @@ QUERIES = {
     "bootstrap_keep_rates": bootstrap_keep_rates,
     "containment_pairs": containment_pairs,
     "image_dhash_dups": image_dhash_dups,
+    "priority_sample": priority_sample,
+    "mixture_weights": mixture_weights,
+    "snapshot_band_drift": snapshot_band_drift,
+    "snapshot_drift_summary": snapshot_drift_summary,
 }

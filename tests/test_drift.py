@@ -1,0 +1,121 @@
+"""dq.drift — banded snapshot drift: python-twin bit-equality, zero-drift
+identity, planted-shift detection, rate-mass bounds, TV summary math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq.crawldiff import (
+    CHANGED_MOD,
+    CHANGED_REM,
+    CHANGED_SUFFIX,
+    NEW_DROP_MOD,
+    NEW_DROP_REM,
+    OLD_DROP_MOD,
+    OLD_DROP_REM,
+)
+from dq.drift import (
+    DRIFT_BAND_WIDTH,
+    DRIFT_SCALE,
+    band_drift,
+    band_drift_py,
+    drift_summary,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def snapshots(docs):
+    """The crawldiff planted two-snapshot construction lifted to n_chars:
+    OLD drops its planted residue, NEW drops a different one and the
+    'changed' docs grow by the suffix length — a real length-shape shift."""
+    did = F.col("doc_id")
+    old = docs.where(did % OLD_DROP_MOD != OLD_DROP_REM).select("n_chars")
+    new = docs.where(did % NEW_DROP_MOD != NEW_DROP_REM).select(
+        F.when(
+            did % CHANGED_MOD == CHANGED_REM,
+            F.col("n_chars") + len(CHANGED_SUFFIX),
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars")
+    )
+    return old, new
+
+
+@pytest.fixture(scope="module")
+def bands(snapshots):
+    old, new = snapshots
+    return {
+        r.band: (r.c_old, r.c_new, r.r_old_ppm, r.r_new_ppm, r.delta_ppm)
+        for r in band_drift(old, new).collect()
+    }
+
+
+def test_python_twin_bit_equality(docs, bands):
+    rows = docs.collect()
+    ov = [r.n_chars for r in rows if r.doc_id % OLD_DROP_MOD != OLD_DROP_REM]
+    nv = [
+        r.n_chars + len(CHANGED_SUFFIX)
+        if r.doc_id % CHANGED_MOD == CHANGED_REM
+        else r.n_chars
+        for r in rows
+        if r.doc_id % NEW_DROP_MOD != NEW_DROP_REM
+    ]
+    assert bands == band_drift_py(ov, nv)
+
+
+def test_zero_drift_identity(docs):
+    """band_drift(x, x) is all-zero deltas and TV exactly 0."""
+    b = band_drift(docs, docs)
+    assert b.where(F.col("delta_ppm") != 0).count() == 0
+    s = drift_summary(b).collect()[0]
+    assert s.tv_ppm == 0 and s.n_grown == 0 and s.n_shrunk == 0
+
+
+def test_planted_shift_detected(snapshots, bands):
+    """The planted suffix growth + asymmetric drops must register: some
+    band moved, and TV is positive."""
+    old, new = snapshots
+    s = drift_summary(band_drift(old, new)).collect()[0]
+    assert s.tv_ppm > 0
+    assert s.n_grown + s.n_shrunk <= s.n_bands
+    assert any(d != 0 for *_, d in bands.values())
+
+
+def test_rate_mass_bounds(bands):
+    """Quantized rates each sum to SCALE within the floor remainder."""
+    so = sum(ro for _, _, ro, _, _ in bands.values())
+    sn = sum(rn for _, _, _, rn, _ in bands.values())
+    n = len(bands)
+    assert DRIFT_SCALE - n < so <= DRIFT_SCALE
+    assert DRIFT_SCALE - n < sn <= DRIFT_SCALE
+
+
+def test_tv_summary_is_half_abs_sum(bands, snapshots):
+    old, new = snapshots
+    s = drift_summary(band_drift(old, new)).collect()[0]
+    assert s.tv_ppm == sum(abs(d) for *_, d in bands.values()) // 2
+    assert s.n_bands == len(bands)
+
+
+def test_whole_band_translation_tv_is_total(spark):
+    """Shifting every value by a full band width moves ALL mass: TV hits
+    the quantized maximum (SCALE minus floor dust)."""
+    vals = [(i, 10 + (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(vals, "doc_id bigint, n_chars bigint")
+    shifted = df.select(
+        (F.col("n_chars") + DRIFT_BAND_WIDTH).alias("n_chars")
+    )
+    s = drift_summary(band_drift(df, shifted)).collect()[0]
+    assert s.tv_ppm >= DRIFT_SCALE - s.n_bands

@@ -99,6 +99,7 @@ TEXT_QUERIES = [
     "perceptron_preds",
     "bootstrap_keep_rates",
     "containment_pairs",
+    "mixture_weights",
 ]
 
 
