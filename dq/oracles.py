@@ -4247,3 +4247,81 @@ FROM scored
 
 ORACLES["snapshot_band_drift"] = _snapshot_band_drift_sql()
 ORACLES["snapshot_drift_summary"] = _snapshot_drift_summary_sql()
+
+
+# ---- round-5 additions: edit-distance verify / cohort retention ------------
+
+
+def _editdist_pairs_sql() -> str:
+    """Twin of queries.editdist_pairs — the ASCII fold (same regex, 'g'
+    flag), prefix cut, length-gap prune, DP distance, and fixed-point
+    similarity all from dq.editdist constants. levenshtein() is byte-based
+    in DuckDB and codepoint-based in Spark; the fold makes them equal (the
+    module docstring's probe)."""
+    from dq.editdist import ASCII_FOLD_RE, EDIT_MAX, EDIT_PREFIX, EDIT_SIM_BP
+
+    return f"""WITH base AS ({_PLANTED_BASE}),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + {PLANT_EXACT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % {PLANT_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET}
+  FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
+), f AS (
+  SELECT doc_id,
+         substring(regexp_replace(text, '{ASCII_FOLD_RE}', '?', 'g'),
+                   1, {EDIT_PREFIX}) AS p
+  FROM base
+), j AS (
+  SELECT id_a, id_b,
+         CAST(length(a.p) AS BIGINT) AS len_a,
+         CAST(length(b.p) AS BIGINT) AS len_b,
+         CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+  FROM pairs
+  JOIN f a ON a.doc_id = pairs.id_a
+  JOIN f b ON b.doc_id = pairs.id_b
+  WHERE abs(length(a.p) - length(b.p)) <= {EDIT_MAX}
+)
+SELECT id_a, id_b, len_a, len_b, lev,
+       CAST((greatest(len_a, len_b) - lev) * {EDIT_SIM_BP}
+            // greatest(greatest(len_a, len_b), 1) AS BIGINT) AS sim_bp,
+       lev <= {EDIT_MAX} AS is_dup
+FROM j
+"""
+
+
+ORACLES["editdist_pairs"] = _editdist_pairs_sql()
+
+
+def _retention_cohorts_sql() -> str:
+    """Twin of queries.retention_cohorts: first-seen day per user, distinct
+    user-day activity, exact day offsets, RETENTION_BP fixed point."""
+    from dq.queries import RETENTION_BP
+
+    return f"""WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, day FROM ev
+), joined AS (
+  SELECT a.user_id, strftime(f.first_day, '%Y%m%d') AS cohort_day,
+         CAST(date_diff('day', f.first_day, a.day) AS BIGINT) AS day_offset
+  FROM activity a JOIN first f USING (user_id)
+), sizes AS (
+  SELECT strftime(first_day, '%Y%m%d') AS cohort_day,
+         CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1
+), ret AS (
+  SELECT cohort_day, day_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined GROUP BY 1, 2
+)
+SELECT ret.cohort_day, ret.day_offset, ret.n_active, sizes.cohort_size,
+       CAST((ret.n_active * {RETENTION_BP}) // sizes.cohort_size AS BIGINT)
+         AS retention_bp
+FROM ret JOIN sizes USING (cohort_day)
+"""
+
+
+ORACLES["retention_cohorts"] = _retention_cohorts_sql()

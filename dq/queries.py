@@ -2807,6 +2807,80 @@ def snapshot_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_summary(band_drift(old, new))
 
 
+def editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the planted candidate pairs
+    (dq.editdist): character-level Levenshtein over ASCII-folded
+    EDIT_PREFIX-char prefixes — the last-stage near-dup check shingle
+    Jaccard cannot express (in-place edits shift every shingle; Jaccard
+    collapses, Levenshtein counts exactly the edits). Exact copies verify
+    at lev=0, the ' appendix extra' near copies at lev>0 within the
+    prefix-or-suffix budget. Integer sim_bp + boolean verdict, bit-exact
+    in DuckDB after the ASCII fold (Spark counts codepoints, DuckDB bytes
+    — equal only on ASCII, the trap the fold removes)."""
+    from dq.editdist import editdist_verify
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.where(F.col("doc_id") % PLANT_EXACT_MOD == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + PLANT_EXACT_OFFSET).alias("id_b"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % PLANT_NEAR_MOD == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("id_b"),
+            )
+        )
+    )
+    return editdist_verify(pairs, _docs_with_planted_dups(spark, sf_dir))
+
+
+RETENTION_BP = 10_000  # fixed-point scale for the retention ratio
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users grouped by first-seen
+    day, per (cohort_day, day_offset) the distinct active users, cohort
+    size, and retention_bp = n_active * RETENTION_BP DIV cohort_size —
+    the engagement scorecard every events-warehouse job family ships
+    (reference's volumetria tier counts rows per partition; this is the
+    same shape lifted to user-day grain). All integers; date arithmetic
+    via yyyymmdd strings + exact day diffs, identical in DuckDB (session
+    TZ pinned UTC both engines).
+
+    Scale shape: first-seen is a min-agg on user_id; activity is a
+    distinct on (user_id, day) — same leading key, so AQE co-locates the
+    join after the two aggs; the final rollup sees cohorts x offsets rows
+    (bounded by days^2, not users). user_id skew is bounded by the
+    distinct-day grain (<= days rows per user)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("_day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("_day").alias("_first"))
+    activity = ev.distinct()
+    joined = activity.join(first, "user_id").select(
+        "user_id",
+        F.date_format("_first", "yyyyMMdd").alias("cohort_day"),
+        F.datediff("_day", "_first").cast("bigint").alias("day_offset"),
+    )
+    sizes = first.groupBy(
+        F.date_format("_first", "yyyyMMdd").alias("cohort_day")
+    ).agg(F.count("*").cast("bigint").alias("cohort_size"))
+    ret = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.expr(f"CAST(n_active * {RETENTION_BP} AS BIGINT) DIV cohort_size").alias(
+            "retention_bp"
+        ),
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -2958,4 +3032,6 @@ QUERIES = {
     "mixture_weights": mixture_weights,
     "snapshot_band_drift": snapshot_band_drift,
     "snapshot_drift_summary": snapshot_drift_summary,
+    "editdist_pairs": editdist_pairs,
+    "retention_cohorts": retention_cohorts,
 }

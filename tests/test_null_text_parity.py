@@ -100,6 +100,7 @@ TEXT_QUERIES = [
     "bootstrap_keep_rates",
     "containment_pairs",
     "mixture_weights",
+    "editdist_pairs",
 ]
 
 
