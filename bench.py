@@ -132,6 +132,15 @@ HEADLINE = [
     "priority_sample",           # round-5: one-pass weighted sample + estimator
     "mixture_weights",           # round-5: Hedge domain reweighting
     "snapshot_band_drift",       # round-5: banded TV drift scorecard
+    "editdist_pairs",            # round-5: Levenshtein near-dup verify
+    "retention_cohorts",         # round-5: events cohort retention
+    "event_funnel",              # round-5: ordered-step conversion funnel
+    "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows
+    "snapshot_line_churn",       # round-5: line-set churn attribution
+    # volumetry_anomaly stays OUT of the headline: its heavy part is the
+    # same per-day count agg retention/funnel already time; the median/MAD
+    # layer runs over a ~30-row control frame — wall time would measure
+    # per-job fixed overhead, not engine throughput.
     # snapshot_drift_summary shares the band_drift job — benching both would
     # time the same scans twice.
     # image_dhash_dups stays OUT of the headline for the same reason as

@@ -197,3 +197,69 @@ def planted_snapshots(docs: DataFrame, url_col: Column) -> tuple[DataFrame, Data
         )
     )
     return old, new
+
+
+# ---- line-level churn attribution (content diff under the url diff) --------
+
+CHURN_BP = 10_000  # fixed-point scale for the churn ratio
+
+
+def line_churn(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-url LINE-set churn between two crawls of the same frontier:
+    (url, n_old_lines, n_new_lines, n_added, n_removed, churn_bp) for
+    every url present in BOTH snapshots. The content-attribution sibling
+    of :func:`crawl_diff` — where crawl_diff says THAT a page changed,
+    this says HOW MUCH of it changed, in distinct-line units (a one-date
+    template edit churns 1 line of 40; a rewrite churns them all). The
+    set semantics (distinct lines, position-blind) are the same unit the
+    line-dedup tier operates on (dq.lines).
+
+    churn_bp = (n_added + n_removed) * CHURN_BP DIV (n_old + n_new) —
+    exact integers; identical re-crawls score 0, disjoint rewrites
+    CHURN_BP.
+
+    Engine portability: Spark keys the set algebra on xxhash64(line) —
+    an 8-B exchange key, the line text never shuffles — while the DuckDB
+    twin groups by the line itself; grouping by fingerprint ≡ grouping
+    by line (the dq.lines discipline), so the integer outputs match.
+
+    Scale shape: explode to (url, fp, side) ~24-B rows; ONE hash-agg per
+    (url, fp) collapses duplicates and computes both presence flags (no
+    pre-distinct, no full-outer join), then the url rollup re-uses the
+    url-leading key. NULL text contributes the single empty line its
+    split produces in both engines (split('') = [''] — probed parity).
+    """
+
+    def sides(snap: DataFrame, side: int) -> DataFrame:
+        lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+        return snap.select(
+            "url", F.explode_outer(lines).alias("_line"), F.lit(side).alias("_side")
+        ).select("url", F.xxhash64("_line").alias("_fp"), "_side")
+
+    u = sides(old, 0).unionByName(sides(new, 1))
+    per_fp = u.groupBy("url", "_fp").agg(
+        F.max(F.col("_side") == 0).alias("_in_old"),
+        F.max(F.col("_side") == 1).alias("_in_new"),
+    )
+    bi = lambda c: c.cast("int")  # noqa: E731 — sum of booleans
+    per_url = (
+        per_fp.groupBy("url")
+        .agg(
+            F.sum(bi(F.col("_in_old"))).cast("bigint").alias("n_old_lines"),
+            F.sum(bi(F.col("_in_new"))).cast("bigint").alias("n_new_lines"),
+            F.sum(bi(F.col("_in_new") & ~F.col("_in_old"))).cast("bigint").alias("n_added"),
+            F.sum(bi(F.col("_in_old") & ~F.col("_in_new"))).cast("bigint").alias("n_removed"),
+        )
+        .where((F.col("n_old_lines") > 0) & (F.col("n_new_lines") > 0))
+    )
+    return per_url.select(
+        "url",
+        "n_old_lines",
+        "n_new_lines",
+        "n_added",
+        "n_removed",
+        F.expr(
+            f"CAST((n_added + n_removed) * {CHURN_BP} AS BIGINT)"
+            " DIV (n_old_lines + n_new_lines)"
+        ).alias("churn_bp"),
+    )

@@ -4325,3 +4325,166 @@ FROM ret JOIN sizes USING (cohort_day)
 
 
 ORACLES["retention_cohorts"] = _retention_cohorts_sql()
+
+
+# ---- round-5 additions: events analytics / line churn ----------------------
+
+
+def _event_funnel_sql() -> str:
+    """Twin of queries.event_funnel: sequential min-join chain (a different
+    plan than Spark's shared-window form — deliberate oracle independence),
+    FUNNEL_BP conversion from step 1."""
+    from dq.events import FUNNEL_BP, FUNNEL_STEPS
+
+    steps = FUNNEL_STEPS
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = '{steps[0]}' GROUP BY 1
+)"""
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT user_id, min(ts) AS t{k} FROM ev JOIN s{k-1} USING (user_id)
+  WHERE event_type = '{steps[k-1]}' AND ts >= t{k-1} GROUP BY 1
+)"""
+        )
+    n_cols = ", ".join(
+        f"(SELECT count(*) FROM s{k}) AS n{k}" for k in range(1, len(steps) + 1)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS step_idx, '{s}' AS step,
+       CAST(n{k} AS BIGINT) AS n_users,
+       CAST(n{k} * {FUNNEL_BP} // greatest(n1, 1) AS BIGINT) AS conversion_bp
+FROM n"""
+        for k, s in enumerate(steps, 1)
+    )
+    return f"""WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type IN ({in_list})
+), {", ".join(ctes)}, n AS (
+  SELECT {n_cols}
+)
+{rows}
+"""
+
+
+ORACLES["event_funnel"] = _event_funnel_sql()
+
+
+def _active_user_windows_sql() -> str:
+    """Twin of queries.active_user_windows: generate_series window fan-out
+    over the distinct user-day grain; DuckDB DATE + INTEGER adds days."""
+    from dq.events import ACTIVE_BP, ACTIVE_M, ACTIVE_W
+
+    def rolled(days: int, out: str) -> str:
+        return f"""{out}c AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+  FROM act, generate_series(0, {days - 1}) t(i)
+), {out} AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS {out} FROM {out}c GROUP BY 1
+)"""
+
+    return f"""WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1
+), {rolled(ACTIVE_W, "wau")}, {rolled(ACTIVE_M, "mau")}
+SELECT strftime(dau.day, '%Y%m%d') AS day, dau, wau, mau,
+       CAST(dau * {ACTIVE_BP} // mau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+"""
+
+
+ORACLES["active_user_windows"] = _active_user_windows_sql()
+
+
+def _volumetry_anomaly_sql() -> str:
+    """Twin of queries.volumetry_anomaly: lower medians via row_number
+    rank (total+1)//2 under (value, day) order — dq.volumetry constants."""
+    from dq.volumetry import ANOM_K_X100
+
+    return f"""WITH c AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), t AS (SELECT count(*) AS total FROM c),
+med AS (
+  SELECT n_rows AS med FROM (
+    SELECT n_rows, row_number() OVER (ORDER BY n_rows, day) AS rn FROM c
+  ), t WHERE rn = (total + 1) // 2
+), d AS (
+  SELECT day, n_rows, med, abs(n_rows - med) AS dev FROM c, med
+), mad AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, day, row_number() OVER (ORDER BY dev, day) AS rn FROM d
+  ), t WHERE rn = (total + 1) // 2
+)
+SELECT day, n_rows, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       CAST(dev AS BIGINT) AS dev, dev * 100 > {ANOM_K_X100} * mad AS is_anomaly
+FROM d, mad
+"""
+
+
+ORACLES["volumetry_anomaly"] = _volumetry_anomaly_sql()
+
+
+def _snapshot_line_churn_sql() -> str:
+    """Twin of queries.snapshot_line_churn: multiline construction from
+    _multiline_pieces, the crawldiff plant constants, string_split line
+    sets grouped by the LINE ITSELF (fp ≡ line — dq.lines discipline)."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        CHURN_BP,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+    from dq.lines import FOOTER_MOD
+
+    header, body, footer = _multiline_pieces()
+    return f"""WITH ml AS (
+  SELECT doc_id, {_url_expr()} AS url,
+         CASE WHEN doc_id % {FOOTER_MOD} = 0
+              THEN {header} || chr(10) || {body} || chr(10) || {footer}
+              ELSE {header} || chr(10) || {body} END AS text
+  FROM documents
+), old AS (
+  SELECT url, text FROM ml WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
+), new AS (
+  SELECT url,
+         CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
+              THEN text || '{_sq(CHANGED_SUFFIX)}' ELSE text END AS text
+  FROM ml WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+), sides AS (
+  SELECT url, unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+         0 AS side FROM old
+  UNION ALL
+  SELECT url, unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+         1 AS side FROM new
+), per AS (
+  SELECT url, line,
+         max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_old,
+         max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_new
+  FROM sides GROUP BY 1, 2
+), agg AS (
+  SELECT url,
+         CAST(sum(in_old) AS BIGINT) AS n_old_lines,
+         CAST(sum(in_new) AS BIGINT) AS n_new_lines,
+         CAST(sum(CASE WHEN in_new = 1 AND in_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM per GROUP BY 1
+  HAVING sum(in_old) > 0 AND sum(in_new) > 0
+)
+SELECT url, n_old_lines, n_new_lines, n_added, n_removed,
+       CAST((n_added + n_removed) * {CHURN_BP}
+            // (n_old_lines + n_new_lines) AS BIGINT) AS churn_bp
+FROM agg
+"""
+
+
+ORACLES["snapshot_line_churn"] = _snapshot_line_churn_sql()

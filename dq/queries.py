@@ -2881,6 +2881,69 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel over the events stream (dq.events):
+    greedy-earliest sequential matching of FUNNEL_STEPS per user, one row
+    per step with distinct-user reach and conversion_bp from step 1. One
+    user_id exchange feeds every window min and the rollup; timestamps
+    only compare/min — exact cross-engine."""
+    from dq.events import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"))
+
+
+def active_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness scorecard (dq.events): rolling distinct
+    users via explode of the ALREADY-REDUCED user-day grain (the exact
+    path; the HLL sketch tier is the approximate sibling). Integer
+    stickiness_bp = dau * ACTIVE_BP DIV mau."""
+    from dq.events import active_user_windows as _auw
+
+    return _auw(_t(spark, sf_dir, "events"))
+
+
+def volumetry_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly flags over the per-day events volumetry
+    history (dq.volumetry.count_anomalies) — the alerting layer on top of
+    the reference's volumetria collection: which collected count is WRONG.
+    Lower medians picked by row_number (never an averaged even-split);
+    flag when dev * 100 > ANOM_K_X100 * MAD. The day-count agg is
+    map-side-combinable; the median windows see only the ~days-row
+    history frame."""
+    from dq.volumetry import count_anomalies
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyyMMdd").alias("day")
+    )
+    counts = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return count_anomalies(counts)
+
+
+def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level churn attribution between two planted crawls
+    (dq.crawldiff.line_churn) over the MULTILINE corpus (dq.lines
+    construction — header boilerplate + body + optional footer), so the
+    planted ' [revised edition]' rewrite churns exactly the terminal line
+    of each changed page while headers/footers stay shared. Set algebra
+    keys on xxhash64(line) — line text never shuffles; the oracle groups
+    by the line itself (fp ≡ line)."""
+    from dq import crawldiff
+    from dq.lines import multiline_docs
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = multiline_docs(docs).select(
+        "doc_id", F.array_join("lines", "\n").alias("text")
+    )
+    base = docs.select(
+        "doc_id", url_expr(F.col("doc_id")).alias("url")
+    ).join(ml, "doc_id")
+    old, new = crawldiff.planted_snapshots(base, F.col("url"))
+    return crawldiff.line_churn(old, new)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3034,4 +3097,8 @@ QUERIES = {
     "snapshot_drift_summary": snapshot_drift_summary,
     "editdist_pairs": editdist_pairs,
     "retention_cohorts": retention_cohorts,
+    "event_funnel": event_funnel,
+    "active_user_windows": active_user_windows,
+    "volumetry_anomaly": volumetry_anomaly,
+    "snapshot_line_churn": snapshot_line_churn,
 }

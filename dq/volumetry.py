@@ -14,7 +14,7 @@ history table; the anchor/fresh frames are 1 row and broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dq.schema import DQ_FAILURES, DQ_VOLUMETRIA
@@ -112,3 +112,71 @@ def collect_volumetria(
 
 def empty_history(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], schema=DQ_VOLUMETRIA)
+
+
+# ---- robust anomaly flags over a volumetry history --------------------------
+
+# flag when |count - median| * 100 > ANOM_K_X100 * MAD  (k = 3.5, the
+# textbook robust-zscore cutoff, carried as an integer x100)
+ANOM_K_X100 = 350
+
+
+def count_anomalies(counts: DataFrame, label_col: str = "day",
+                    count_col: str = "n_rows") -> DataFrame:
+    """Median/MAD anomaly flags over a (label, count) volumetry history —
+    the alerting layer the reference's volumetria tier feeds (it collects
+    and reconciles counts; this decides which collected count is WRONG).
+    Robust statistics on purpose: mean/stddev break exactly when the
+    history contains the outage being hunted (masking); the median and
+    the median-absolute-deviation do not.
+
+    Integer determinism: both medians are LOWER medians picked by
+    row_number (rank (n+1) DIV 2 under a total order with the label as
+    tie-break) — never an averaged even-split, which would be a double.
+    A zero MAD (>= half the history identical) degenerates to flagging
+    ANY deviation — the standard robust-zscore behavior, documented
+    rather than epsilon-patched.
+
+    Scale shape: the input is a volumetry history — one row per
+    (partition label), bounded by the calendar (~10^4 rows a decade),
+    control-plane scale by construction; the two unpartitioned
+    row_number windows and the broadcast of the two 1-row median frames
+    see only those rows (same discipline as token packing's super-bucket
+    window, CLAUDE.md). The heavy part — producing the counts — is the
+    caller's map-side-combinable count agg.
+
+    Returns (label, count, med, mad, dev, is_anomaly) — is_anomaly is
+    two-valued (never NULL: all inputs are non-null integers).
+    """
+    c = counts.select(
+        F.col(label_col).alias("_label"), F.col(count_col).cast("bigint").alias("_n")
+    )
+    total = c.agg(F.count(F.lit(1)).alias("_total"))
+
+    def lower_median(df: DataFrame, val: str) -> DataFrame:
+        w = Window.orderBy(F.col(val), F.col("_label"))
+        return (
+            df.crossJoin(F.broadcast(total))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == F.expr("(_total + 1) DIV 2"))
+            .select(F.col(val).alias("_med"))
+        )
+
+    med = lower_median(c, "_n")
+    devs = c.crossJoin(F.broadcast(med)).withColumn(
+        "_dev", F.abs(F.col("_n") - F.col("_med"))
+    )
+    mad = lower_median(devs.select("_label", "_dev"), "_dev").select(
+        F.col("_med").alias("_mad")
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("_label").alias(label_col),
+            F.col("_n").alias(count_col),
+            F.col("_med").alias("med"),
+            F.col("_mad").alias("mad"),
+            F.col("_dev").alias("dev"),
+            (F.col("_dev") * 100 > ANOM_K_X100 * F.col("_mad")).alias("is_anomaly"),
+        )
+    )

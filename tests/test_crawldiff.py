@@ -109,3 +109,42 @@ def test_token_drift_zero_on_identical_snapshots(spark):
     rows = token_drift_topk(docs, docs).collect()
     assert rows and all(r.drift_score == 0 for r in rows)
     assert all(r.n_old == r.n_new for r in rows)
+
+
+# ---- line churn -------------------------------------------------------------
+
+
+def test_line_churn_identical_and_disjoint(spark):
+    old = _snap(spark, [("u/same", "h\nb\nf"), ("u/rewrite", "a\nb")])
+    new = _snap(spark, [("u/same", "h\nb\nf"), ("u/rewrite", "x\ny\nz")])
+    out = {r.url: r for r in crawldiff.line_churn(old, new).collect()}
+    assert out["u/same"].churn_bp == 0
+    assert out["u/rewrite"].churn_bp == crawldiff.CHURN_BP
+    assert (out["u/rewrite"].n_added, out["u/rewrite"].n_removed) == (3, 2)
+
+
+def test_line_churn_one_line_edit(spark):
+    old = _snap(spark, [("u", "h\nbody one\nf")])
+    new = _snap(spark, [("u", "h\nbody two\nf")])
+    r = crawldiff.line_churn(old, new).collect()[0]
+    assert (r.n_old_lines, r.n_new_lines, r.n_added, r.n_removed) == (3, 3, 1, 1)
+    assert r.churn_bp == 2 * crawldiff.CHURN_BP // 6
+
+
+def test_line_churn_excludes_one_sided_urls(spark):
+    old = _snap(spark, [("u/gone", "a"), ("u/both", "a")])
+    new = _snap(spark, [("u/new", "a"), ("u/both", "a")])
+    urls = {r.url for r in crawldiff.line_churn(old, new).collect()}
+    assert urls == {"u/both"}
+
+
+def test_line_churn_set_semantics_and_null(spark):
+    # duplicate lines collapse (distinct-line units); NULL text is the
+    # single empty line its split produces -- parity with the oracle
+    old = _snap(spark, [("u/dup", "a\na\nb"), ("u/null", None)])
+    new = _snap(spark, [("u/dup", "a\nb"), ("u/null", "x")])
+    out = {r.url: r for r in crawldiff.line_churn(old, new).collect()}
+    assert out["u/dup"].churn_bp == 0 and out["u/dup"].n_old_lines == 2
+    r = out["u/null"]
+    assert (r.n_old_lines, r.n_new_lines, r.n_added, r.n_removed) == (1, 1, 1, 1)
+    assert r.churn_bp == crawldiff.CHURN_BP

@@ -1,0 +1,122 @@
+"""Events analytics: funnel semantics vs the python twin, active windows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dq import events
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    """rows = (user_id, minutes_after_T0, event_type)."""
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), e) for u, m, e in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+
+
+def _lcg_rows(n_users=60, per_user=8):
+    """Deterministic pseudo-random event log exercising all orderings."""
+    rows, state = [], 12345
+    types = events.FUNNEL_STEPS + ["noise"]
+    for u in range(n_users):
+        for _ in range(per_user):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            minute = state % 10_000
+            etype = types[(state >> 8) % len(types)]
+            rows.append((u, minute, etype))
+    return rows
+
+
+def test_funnel_matches_python_twin(spark):
+    rows = _lcg_rows()
+    got = sorted(
+        tuple(r) for r in events.funnel_counts(_ev(spark, rows)).collect()
+    )
+    # python twin takes epoch-comparable ts; minutes compare the same way
+    want = sorted(events.funnel_counts_py([(u, m, e) for u, m, e in rows]))
+    assert got == want
+
+
+def test_funnel_step_order_enforced(spark):
+    rows = [
+        # u0 completes in order
+        (0, 0, "view"), (0, 1, "click"), (0, 2, "purchase"),
+        # u1 has every type but purchase precedes click: stops at click
+        (1, 0, "view"), (1, 5, "click"), (1, 3, "purchase"),
+        # u2 never views: reaches nothing
+        (2, 0, "click"), (2, 1, "purchase"),
+        # u3 same-timestamp chain counts (ts >= bound is inclusive)
+        (3, 7, "view"), (3, 7, "click"), (3, 7, "purchase"),
+    ]
+    out = {r.step: r.n_users for r in events.funnel_counts(_ev(spark, rows)).collect()}
+    assert out == {"view": 3, "click": 3, "purchase": 2}
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # u0's first click is BEFORE its view; greedy binds to the earliest
+    # view then finds the later click — conversion still counted.
+    rows = [(0, 5, "click"), (0, 10, "view"), (0, 20, "click"), (0, 30, "purchase")]
+    out = {r.step: r.n_users for r in events.funnel_counts(_ev(spark, rows)).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 1}
+    # conversion_bp from step 1
+    bp = {r.step: r.conversion_bp for r in events.funnel_counts(_ev(spark, rows)).collect()}
+    assert bp == {"view": events.FUNNEL_BP, "click": events.FUNNEL_BP,
+                  "purchase": events.FUNNEL_BP}
+
+
+def test_funnel_empty_and_zero_division(spark):
+    df = _ev(spark, [(0, 0, "noise")])
+    out = {r.step: (r.n_users, r.conversion_bp)
+           for r in events.funnel_counts(df).collect()}
+    # greatest(n1, 1) guards the division; all-zero funnel is well-defined
+    assert out == {s: (0, 0) for s in events.FUNNEL_STEPS}
+
+
+def test_funnel_single_user_exchange(spark):
+    """One hashpartitioning exchange (user_id) feeds the windows AND the
+    per-user rollup; the only other exchange is the steps-sized final agg."""
+    df = events.funnel_counts(_ev(spark, _lcg_rows(n_users=10)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_hash = plan.count("hashpartitioning(")
+    assert n_hash == 1, plan
+
+
+def test_active_windows_match_python_twin(spark):
+    rows, state = [], 999
+    for u in range(40):
+        for _ in range(5):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            rows.append((u, state % 45, "view"))
+    got = sorted(
+        tuple(r)
+        for r in events.active_user_windows(_ev(spark, [(u, d * 1440, "view") for u, d, _ in rows])).collect()
+    )
+    want = sorted(
+        events.active_user_windows_py(
+            [(u, (T0 + dt.timedelta(days=d)).date()) for u, d, _ in rows]
+        )
+    )
+    assert got == want
+
+
+def test_active_windows_single_user(spark):
+    out = events.active_user_windows(_ev(spark, [(1, 0, "view")])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.day, r.dau, r.wau, r.mau, r.stickiness_bp) == (
+        "20240101", 1, 1, 1, events.ACTIVE_BP
+    )
+
+
+def test_active_windows_rolling_membership(spark):
+    # u1 active day0 only; u2 active day6 only. On day6: dau=1 (u2),
+    # wau=2 (day0 is within the 7-day window ending day6), mau=2.
+    rows = [(1, 0, "view"), (2, 6 * 1440, "view")]
+    out = {r.day: r for r in events.active_user_windows(_ev(spark, rows)).collect()}
+    assert out["20240101"].dau == 1 and out["20240101"].wau == 1
+    d6 = out["20240107"]
+    assert (d6.dau, d6.wau, d6.mau) == (1, 2, 2)
+    assert d6.stickiness_bp == 1 * events.ACTIVE_BP // 2

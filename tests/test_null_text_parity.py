@@ -101,6 +101,7 @@ TEXT_QUERIES = [
     "containment_pairs",
     "mixture_weights",
     "editdist_pairs",
+    "snapshot_line_churn",
 ]
 
 

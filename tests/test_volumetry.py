@@ -61,3 +61,47 @@ def test_merge_null_safe_keys(spark):
     fresh = spark.createDataFrame([("db", None, "20240101", "20260101", 9, "2")], ddl)
     out = volumetry.merge_history(hist, fresh).collect()
     assert len(out) == 1 and out[0].qtde_registros == 9
+
+
+# ---- robust anomaly flags ---------------------------------------------------
+
+
+def _hist(spark, pairs):
+    return spark.createDataFrame(pairs, "day string, n_rows long")
+
+
+def test_count_anomalies_flags_planted_outlier(spark):
+    pairs = [(f"2024010{i}", 100 + i % 3) for i in range(1, 9)] + [("20240109", 5)]
+    out = {r.day: r for r in volumetry.count_anomalies(_hist(spark, pairs)).collect()}
+    assert out["20240109"].is_anomaly
+    assert not any(r.is_anomaly for d, r in out.items() if d != "20240109")
+    # outputs are two-valued, never NULL
+    assert all(r.is_anomaly in (True, False) for r in out.values())
+
+
+def test_count_anomalies_lower_median_even_history(spark):
+    # 4 rows -> rank (4+1) DIV 2 = 2 under (value, day) order: LOWER median
+    pairs = [("d1", 1), ("d2", 2), ("d3", 3), ("d4", 4)]
+    out = volumetry.count_anomalies(_hist(spark, pairs)).collect()
+    assert all(r.med == 2 for r in out)
+    # devs |1-2|,0,1,2 sorted [0,1,1,2] -> rank 2 -> mad = 1
+    assert all(r.mad == 1 for r in out)
+    # k=3.5: flag when dev*100 > 350*1 -> only dev >= 4 would flag; none here
+    assert not any(r.is_anomaly for r in out)
+
+
+def test_count_anomalies_zero_mad_flags_any_deviation(spark):
+    pairs = [("d1", 5), ("d2", 5), ("d3", 5), ("d4", 5), ("d5", 7)]
+    out = {r.day: r for r in volumetry.count_anomalies(_hist(spark, pairs)).collect()}
+    assert all(r.mad == 0 for r in out.values())
+    assert out["d5"].is_anomaly and out["d5"].dev == 2
+    assert not any(r.is_anomaly for d, r in out.items() if d != "d5")
+
+
+def test_count_anomalies_median_tiebreak_deterministic(spark):
+    # equal counts break ties on the label: result must be stable across runs
+    pairs = [("b", 10), ("a", 10), ("c", 3)]
+    a = volumetry.count_anomalies(_hist(spark, pairs)).collect()
+    b = volumetry.count_anomalies(_hist(spark, pairs)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.med == 10 for r in a)
