@@ -137,6 +137,10 @@ HEADLINE = [
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows
     "snapshot_line_churn",       # round-5: line-set churn attribution
+    "blocklist_filter",          # round-5: UT1/C4 category blocklist verdicts
+    "crawl_budget_quota",        # round-5: Hamilton crawl-budget apportionment
+    # blocklist_hits shares blocklist_filter's explode+broadcast-join job —
+    # benching both would time the same scan twice.
     # volumetry_anomaly stays OUT of the headline: its heavy part is the
     # same per-day count agg retention/funnel already time; the median/MAD
     # layer runs over a ~30-row control frame — wall time would measure

@@ -4488,3 +4488,105 @@ FROM agg
 
 
 ORACLES["snapshot_line_churn"] = _snapshot_line_churn_sql()
+
+
+# ---- round-5 additions: blocklist / crawl budget ----------------------------
+
+
+def _blocklist_ctes() -> str:
+    """Shared CTEs: term VALUES table + planted corpus + token explode,
+    generated from dq.blocklist constants."""
+    from dq.blocklist import BLOCKLIST, PLANTS, TOKEN_RE
+
+    values = ", ".join(
+        f"('{t}', '{cat}', {str(hard).lower()})"
+        for cat, hard, terms in BLOCKLIST
+        for t in terms
+    )
+    plant = "text" + "".join(
+        f" || CASE WHEN doc_id % {mod} = {rem} THEN '{_sq(suffix)}' ELSE '' END"
+        for mod, rem, suffix in PLANTS
+    )
+    return f"""bl(term, category, is_hard) AS (VALUES {values}),
+p AS (
+  SELECT doc_id, {plant} AS ptext FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(ptext, '')), '{TOKEN_RE}')) AS term
+  FROM p
+)"""
+
+
+def _blocklist_hits_sql() -> str:
+    """Twin of queries.blocklist_hits."""
+    return f"""WITH {_blocklist_ctes()}
+SELECT doc_id, category, CAST(count(*) AS BIGINT) AS n_hits
+FROM tok JOIN bl USING (term)
+GROUP BY 1, 2
+"""
+
+
+ORACLES["blocklist_hits"] = _blocklist_hits_sql()
+
+
+def _blocklist_filter_sql() -> str:
+    """Twin of queries.blocklist_filter: zero-token docs re-enter via the
+    doc-grain left join (Spark keeps them via explode_outer's NULL row)."""
+    from dq.blocklist import BP, SOFT_MAX_BP
+
+    return f"""WITH {_blocklist_ctes()},
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN is_hard THEN 1 ELSE 0 END) AS BIGINT) AS hard_hits,
+         CAST(sum(CASE WHEN is_hard = false THEN 1 ELSE 0 END) AS BIGINT) AS soft_hits
+  FROM tok LEFT JOIN bl USING (term)
+  GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(hard_hits, 0) AS BIGINT) AS hard_hits,
+       CAST(coalesce(soft_hits, 0) AS BIGINT) AS soft_hits,
+       CAST(coalesce(soft_hits, 0) * {BP}
+            // greatest(coalesce(n_tokens, 0), 1) AS BIGINT) AS soft_bp,
+       (coalesce(hard_hits, 0) = 0
+        AND coalesce(soft_hits, 0) * {BP}
+            // greatest(coalesce(n_tokens, 0), 1) <= {SOFT_MAX_BP}) AS keep
+FROM p LEFT JOIN agg USING (doc_id)
+"""
+
+
+ORACLES["blocklist_filter"] = _blocklist_filter_sql()
+
+
+def _crawl_budget_quota_sql() -> str:
+    """Twin of queries.crawl_budget_quota: naive global row_number window
+    over (rem DESC, domain) — a deliberately different plan than the
+    engine's histogram threshold pick, same selection."""
+    from dq.urlstats import CRAWL_BUDGET, DOMAIN_RE
+
+    b = CRAWL_BUDGET
+    return f"""WITH u AS (
+  SELECT doc_id, {_url_expr()} AS url FROM documents
+), d AS (
+  SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM u GROUP BY 1
+), t AS (SELECT CAST(sum(n_pages) AS BIGINT) AS total FROM d),
+q AS (
+  SELECT domain, n_pages,
+         CAST(n_pages * {b} // total AS BIGINT) AS base_quota,
+         CAST(n_pages * {b} % total AS BIGINT) AS rem
+  FROM d, t
+), r AS (SELECT CAST({b} - sum(base_quota) AS BIGINT) AS lft FROM q),
+rk AS (
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, domain) AS _rk FROM q
+)
+SELECT domain, n_pages, base_quota, rem,
+       CAST(CASE WHEN _rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN _rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM rk, r
+"""
+
+
+ORACLES["crawl_budget_quota"] = _crawl_budget_quota_sql()

@@ -2944,6 +2944,50 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+def blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document category blocklist hit counts (dq.blocklist — the UT1
+    / C4 bad-words tier at word grain; the C4 line rules are its line-grain
+    sibling). Hits planted by doc_id residue (scrub_pii discipline); one
+    token explode + broadcast term join + (doc_id, category) hash-agg."""
+    from dq.blocklist import blocklist_frame, doc_category_hits, planted_text
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", planted_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return doc_category_hits(p, blocklist_frame(spark))
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document keep/drop verdicts under the category blocklist: hard
+    categories drop on any hit (C4 policy), soft categories drop past
+    SOFT_MAX_BP hit density (RefinedWeb policy) — exact integers, keep is
+    two-valued. n_tokens rides the SAME single (doc_id) hash-agg as the
+    hit counts; text never shuffles."""
+    from dq.blocklist import blocklist_frame, doc_blocklist_verdicts, planted_text
+
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", planted_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return doc_blocklist_verdicts(p, blocklist_frame(spark))
+
+
+def crawl_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of the crawl fetch budget
+    across domains (dq.urlstats.crawl_budget_quota): sum(quota) == budget
+    exactly, every domain within floor/ceil of its proportional share.
+    Extra-slot pick via the distinct-remainder histogram threshold (dsir
+    discipline); the oracle is a deliberately different plan (naive global
+    row_number window)."""
+    from dq.urlstats import crawl_budget_quota as _quota
+    from dq.urlstats import domain_col, url_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = url_docs(docs).select(domain_col().alias("domain"))
+    return _quota(base)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3101,4 +3145,7 @@ QUERIES = {
     "active_user_windows": active_user_windows,
     "volumetry_anomaly": volumetry_anomaly,
     "snapshot_line_churn": snapshot_line_churn,
+    "blocklist_hits": blocklist_hits,
+    "blocklist_filter": blocklist_filter,
+    "crawl_budget_quota": crawl_budget_quota,
 }

@@ -275,3 +275,99 @@ def url_canonicalize(base: DataFrame) -> DataFrame:
         "n_same_canon",
         F.count(F.lit(1)).over(Window.partitionBy("url_canon")).cast("bigint"),
     )
+
+
+# ---- crawl budget apportionment (Hamilton largest remainder) ----------------
+
+CRAWL_BUDGET = 1_000_000  # fetches to split across domains per crawl cycle
+
+
+def crawl_budget_quota(base: DataFrame, budget: int = CRAWL_BUDGET) -> DataFrame:
+    """Integer-exact crawl-budget apportionment: split ``budget`` fetch
+    slots across domains proportionally to page count, by Hamilton's
+    largest-remainder method (the apportionment rule that is exact,
+    anonymous, and never violates quota) — the scheduler layer a polite
+    recrawler runs on top of the dq.crawldiff churn signals.
+
+        base_d = budget * n_d DIV N;  rem_d = budget * n_d MOD N
+        leftover R = budget - sum(base_d)  (< #domains)
+        the R largest rem_d (ties: domain ASC) each get +1
+
+    sum(quota) == budget exactly, every domain within floor/ceil of its
+    real share. int64 envelope: budget * n_d needs n_d < 9.2e18/budget
+    (1e6 budget -> 9e12 pages/domain) — documented headroom.
+
+    Scale shape: the input reduces to the per-domain rollup first
+    (map-side-combinable count), so every later frame is domains-sized —
+    the control-plane frame of a crawl (10^7-10^8 rows). The extra-slot
+    pick is the histogram threshold trick (dq.dsir discipline): the
+    running-total window runs over the DISTINCT-remainder histogram, and
+    only the single boundary-remainder group needs an ordered row_number —
+    in a Zipfian crawl that group is a handful of domains (degenerate
+    equal-weight corpora collapse it to one partition; documented, the
+    token-packing caveat shape).
+
+    Returns (domain, n_pages, base_quota, rem, extra, quota).
+    """
+    from pyspark.sql import Window
+
+    per = base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages")
+    )
+    tot = per.agg(F.sum("n_pages").cast("bigint").alias("_total"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_pages",
+        F.expr(f"CAST(n_pages * {budget} AS BIGINT) DIV _total").alias("base_quota"),
+        F.expr(f"CAST(n_pages * {budget} AS BIGINT) % _total").alias("rem"),
+    )
+    leftover = q.agg(
+        (F.lit(budget) - F.sum("base_quota")).cast("bigint").alias("_r")
+    )
+
+    # histogram threshold pick: how many domains sit ABOVE each remainder
+    hist = q.groupBy("rem").agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    w = Window.orderBy(F.col("rem").desc())
+    cum = hist.select(
+        "rem",
+        "_cnt",
+        (F.sum("_cnt").over(w) - F.col("_cnt")).cast("bigint").alias("_above"),
+    )
+    bounds = cum.crossJoin(F.broadcast(leftover)).where(
+        (F.col("_above") < F.col("_r")) & (F.col("_above") + F.col("_cnt") >= F.col("_r"))
+    ).select(
+        F.col("rem").alias("_t"),
+        (F.col("_r") - F.col("_above")).cast("bigint").alias("_need"),
+    )
+    # bounds is 0 rows when R == 0 (exact division): left join + coalesce
+    qb = q.crossJoin(
+        F.broadcast(
+            bounds.agg(
+                # R == 0 (exact division) -> bounds is empty: a sentinel
+                # ABOVE any remainder makes both extra branches false
+                F.coalesce(F.max("_t"), F.lit(1 << 62)).cast("bigint").alias("_t"),
+                F.coalesce(F.max("_need"), F.lit(0)).cast("bigint").alias("_need"),
+            )
+        )
+    )
+    # rank within each remainder-collision group (distributed key; only the
+    # boundary group's rank is consumed — see docstring caveat)
+    wb = Window.partitionBy("rem").orderBy("domain")
+    return (
+        qb.withColumn("_rk", F.row_number().over(wb))
+        .select(
+            "domain",
+            "n_pages",
+            "base_quota",
+            "rem",
+            F.when(
+                (F.col("rem") > F.col("_t"))
+                | ((F.col("rem") == F.col("_t")) & (F.col("_rk") <= F.col("_need"))),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("extra"),
+        )
+        .withColumn("quota", (F.col("base_quota") + F.col("extra")).cast("bigint"))
+    )

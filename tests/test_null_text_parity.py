@@ -102,6 +102,8 @@ TEXT_QUERIES = [
     "mixture_weights",
     "editdist_pairs",
     "snapshot_line_churn",
+    "blocklist_hits",
+    "blocklist_filter",
 ]
 
 

@@ -150,3 +150,59 @@ def test_robots_rules_longest_match_semantics(spark):
     assert got[7].allowed and got[7].matched_len == 0
     # exactly one row per input url (the argmax collapses the rule fan-out)
     assert len(got) == len(rows)
+
+
+# ---- crawl budget apportionment ---------------------------------------------
+
+
+def _quota(spark, counts, budget):
+    from dq.urlstats import crawl_budget_quota
+
+    rows = [(d,) for d, n in counts.items() for _ in range(n)]
+    base = spark.createDataFrame(rows, "domain string")
+    return {r.domain: r for r in crawl_budget_quota(base, budget=budget).collect()}
+
+
+def _hamilton_py(counts, budget):
+    total = sum(counts.values())
+    base = {d: budget * n // total for d, n in counts.items()}
+    rem = {d: budget * n % total for d, n in counts.items()}
+    left = budget - sum(base.values())
+    order = sorted(counts, key=lambda d: (-rem[d], d))
+    return {d: base[d] + (1 if i < left else 0) for i, d in enumerate(order)}
+
+
+def test_budget_sums_exactly_and_within_quota(spark):
+    counts = {"a.com": 7, "b.com": 13, "c.com": 1, "d.com": 29, "e.com": 3}
+    out = _quota(spark, counts, budget=100)
+    assert sum(r.quota for r in out.values()) == 100
+    for d, r in out.items():
+        assert r.extra in (0, 1) and r.quota == r.base_quota + r.extra
+    assert {d: r.quota for d, r in out.items()} == _hamilton_py(counts, 100)
+
+
+def test_budget_exact_division_no_extras(spark):
+    counts = {"a.com": 2, "b.com": 2, "c.com": 2, "d.com": 2}
+    out = _quota(spark, counts, budget=100)
+    assert all(r.extra == 0 and r.quota == 25 for r in out.values())
+
+
+def test_budget_remainder_ties_break_on_domain(spark):
+    # four equal-weight domains, budget 6: every rem ties; the 2 extras go
+    # to the lexicographically smallest domains
+    counts = {"d.com": 1, "b.com": 1, "a.com": 1, "c.com": 1}
+    out = _quota(spark, counts, budget=6)
+    assert {d: r.quota for d, r in out.items()} == {
+        "a.com": 2, "b.com": 2, "c.com": 1, "d.com": 1
+    }
+    assert {d: r.quota for d, r in out.items()} == _hamilton_py(counts, 6)
+
+
+def test_budget_matches_python_on_lcg_corpus(spark):
+    state, counts = 7, {}
+    for i in range(40):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        counts[f"dom{i:02d}.com"] = 1 + state % 97
+    out = _quota(spark, counts, budget=12345)
+    assert {d: r.quota for d, r in out.items()} == _hamilton_py(counts, 12345)
+    assert sum(r.quota for r in out.values()) == 12345
