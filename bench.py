@@ -141,6 +141,10 @@ HEADLINE = [
     "crawl_budget_quota",        # round-5: Hamilton crawl-budget apportionment
     # blocklist_hits shares blocklist_filter's explode+broadcast-join job —
     # benching both would time the same scan twice.
+    "events_cube_report",        # round-5: one-pass CUBE multi-grain scorecard
+    # events_moving_windows stays OUT of the headline: its heavy part is
+    # the same per-day count agg volumetry_anomaly already shares with
+    # retention/funnel; the RANGE/lag layer runs over the ~30-row frame.
     # volumetry_anomaly stays OUT of the headline: its heavy part is the
     # same per-day count agg retention/funnel already time; the median/MAD
     # layer runs over a ~30-row control frame — wall time would measure

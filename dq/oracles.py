@@ -4590,3 +4590,52 @@ FROM rk, r
 
 
 ORACLES["crawl_budget_quota"] = _crawl_budget_quota_sql()
+
+
+def _events_cube_report_sql() -> str:
+    """Twin of queries.events_cube_report: CUBE + explicit grouping() gid
+    (engine-default grouping_id bit orders differ — computed the same way
+    on both sides)."""
+    return """WITH ev AS (
+  SELECT event_type,
+         strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+         user_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+       CASE WHEN grouping(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN grouping(day) = 1 THEN 'ALL' ELSE day END AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM ev
+GROUP BY CUBE (event_type, day)
+"""
+
+
+ORACLES["events_cube_report"] = _events_cube_report_sql()
+
+
+def _events_moving_windows_sql() -> str:
+    """Twin of queries.events_moving_windows: RANGE frame on days-since-
+    epoch (calendar-correct across gaps), lag coalesced to 0."""
+    return """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), w AS (
+  SELECT d, n_events,
+         CAST(sum(n_events) OVER (
+           ORDER BY datediff('day', DATE '1970-01-01', d)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_events,
+         CAST(coalesce(lag(n_events) OVER (
+           ORDER BY datediff('day', DATE '1970-01-01', d)), 0) AS BIGINT) AS prev_events
+  FROM daily
+)
+SELECT strftime(d, '%Y%m%d') AS day, n_events, ma7_events, prev_events,
+       CAST(n_events - prev_events AS BIGINT) AS delta
+FROM w
+"""
+
+
+ORACLES["events_moving_windows"] = _events_moving_windows_sql()

@@ -2944,6 +2944,78 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+def events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain volumetry in ONE pass: CUBE over (event_type, day) with
+    per-cell event count, distinct users, and cents-quantized value sum —
+    the (type × day), (type), (day), and grand-total scorecards a warehouse
+    publishes as four queries, produced by one grouping-sets expand (Spark
+    plans CUBE as Expand + one hash-agg: 4× map-side rows, still a single
+    scan and a single exchange of ~40-B partials; at 10^12 events the
+    expand factor is the documented cost knob — drop to GROUPING SETS of
+    the grains actually consumed).
+
+    gid is computed explicitly as grouping(event_type)*2 + grouping(day)
+    (engine-default grouping_id bit orders differ); rolled-up dimensions
+    are labeled 'ALL' via the grouping flag, never by coalescing a data
+    NULL — labels stay two-valued."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyyMMdd").alias("day"),
+        "user_id",
+        F.floor(F.col("value").cast("double") * 100).cast("bigint").alias("cents"),
+    )
+    g = ev.cube("event_type", "day").agg(
+        (F.grouping("event_type") * 2 + F.grouping("day")).cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("sum_value_cents"),
+    )
+    return g.select(
+        "gid",
+        F.when(F.col("gid").bitwiseAND(2) > 0, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("gid").bitwiseAND(1) > 0, F.lit("ALL"))
+        .otherwise(F.col("day"))
+        .alias("day"),
+        "n_events",
+        "n_users",
+        "sum_value_cents",
+    )
+
+
+def events_moving_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume with a calendar-correct 7-day RANGE moving sum
+    and a day-over-day delta (lag over observed days) — the trend layer on
+    the volumetry scorecard. The RANGE frame keys on days-since-epoch so
+    calendar gaps shrink the window (a ROWS frame would silently span
+    them); delta compares to the previous OBSERVED day (lag), coalesced to
+    0 on the first row so no column is ever NULL.
+
+    Scale: the windows run over the per-day rollup — calendar-bounded
+    control-plane rows (the count_anomalies discipline); the heavy count
+    agg below is map-side combinable."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("_d"))
+    daily = ev.groupBy("_d").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    idx = F.datediff(F.col("_d"), F.lit("1970-01-01").cast("date"))
+    wr = Window.orderBy(idx).rangeBetween(-6, 0)
+    wl = Window.orderBy(idx)
+    return (
+        daily.withColumn("ma7_events", F.sum("n_events").over(wr).cast("bigint"))
+        .withColumn(
+            "prev_events",
+            F.coalesce(F.lag("n_events").over(wl), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            F.date_format("_d", "yyyyMMdd").alias("day"),
+            "n_events",
+            "ma7_events",
+            "prev_events",
+            (F.col("n_events") - F.col("prev_events")).cast("bigint").alias("delta"),
+        )
+    )
+
+
 def blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document category blocklist hit counts (dq.blocklist — the UT1
     / C4 bad-words tier at word grain; the C4 line rules are its line-grain
@@ -3148,4 +3220,6 @@ QUERIES = {
     "blocklist_hits": blocklist_hits,
     "blocklist_filter": blocklist_filter,
     "crawl_budget_quota": crawl_budget_quota,
+    "events_cube_report": events_cube_report,
+    "events_moving_windows": events_moving_windows,
 }

@@ -120,3 +120,48 @@ def test_active_windows_rolling_membership(spark):
     d6 = out["20240107"]
     assert (d6.dau, d6.wau, d6.mau) == (1, 2, 2)
     assert d6.stickiness_bp == 1 * events.ACTIVE_BP // 2
+
+
+def test_cube_grains_reconcile(spark):
+    """Every CUBE grain must reconcile with the grand total."""
+    from dq.queries import events_cube_report
+
+    out = events_cube_report(spark, "/root/testdata/sf0.001").collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r.gid, []).append(r)
+    total = by_gid[3][0]
+    assert len(by_gid[3]) == 1
+    assert total.event_type == "ALL" and total.day == "ALL"
+    for gid in (0, 1, 2):
+        assert sum(r.n_events for r in by_gid[gid]) == total.n_events
+        assert sum(r.sum_value_cents for r in by_gid[gid]) == total.sum_value_cents
+    # rolled-up labels come from the grouping flag, not data
+    assert all(r.day == "ALL" for r in by_gid[1])
+    assert all(r.event_type == "ALL" for r in by_gid[2])
+
+
+def test_moving_windows_gap_semantics(spark):
+    """RANGE frame shrinks across calendar gaps; lag is previous OBSERVED
+    day; first-row prev coalesces to 0."""
+    import tempfile
+
+    from dq.queries import events_moving_windows
+
+    rows = (
+        [(1, d * 1440, "view") for d in (0, 1, 2)] * 2          # days 0-2, 2 ev each
+        + [(1, 20 * 1440, "view")]                              # gap, then day 20
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _ev(spark, rows).withColumnRenamed("ts", "ts").selectExpr(
+            "cast(user_id as bigint) as event_id", "ts", "user_id",
+            "event_type", "cast(1.0 as double) as value", "'{}' as props"
+        ).write.parquet(f"{td}/events.parquet")
+        out = {r.day: r for r in events_moving_windows(spark, td).collect()}
+    assert out["20240101"].prev_events == 0 and out["20240101"].delta == 2
+    assert out["20240103"].ma7_events == 6          # days 1-3 all in range
+    d20 = out["20240121"]
+    assert d20.ma7_events == 1                      # gap: window holds only day 20
+    assert d20.prev_events == 2                     # previous OBSERVED day (day 2)
+    assert d20.delta == -1
