@@ -142,6 +142,9 @@ HEADLINE = [
     # blocklist_hits shares blocklist_filter's explode+broadcast-join job —
     # benching both would time the same scan twice.
     "events_cube_report",        # round-5: one-pass CUBE multi-grain scorecard
+    # recrawl_schedule stays OUT of the headline: it is a zero-exchange
+    # CASE projection over snapshot_line_churn's job — benching both would
+    # time the same churn computation twice.
     # events_moving_windows stays OUT of the headline: its heavy part is
     # the same per-day count agg volumetry_anomaly already shares with
     # retention/funnel; the RANGE/lag layer runs over the ~30-row frame.

@@ -263,3 +263,48 @@ def line_churn(old: DataFrame, new: DataFrame) -> DataFrame:
             " DIV (n_old_lines + n_new_lines)"
         ).alias("churn_bp"),
     )
+
+
+# ---- churn-driven recrawl scheduling ---------------------------------------
+
+# (min churn_bp inclusive, revisit interval in days) — descending churn:
+# a page that rewrites itself daily is refetched daily; a static page
+# waits a month. First matching band wins.
+REVISIT_BANDS = [
+    (5000, 1),
+    (2000, 3),
+    (500, 7),
+    (1, 14),
+    (0, 30),
+]
+CRAWL_DAY = "2024-03-01"  # the scheduling anchor (the crawl being planned)
+
+
+def recrawl_schedule(churn: DataFrame) -> DataFrame:
+    """Adaptive revisit scheduling from observed churn (the Cho &
+    Garcia-Molina 2003 result that refresh frequency should track change
+    frequency): band each url's ``churn_bp`` into a revisit interval and
+    stamp the next fetch date from the CRAWL_DAY anchor. The consumer of
+    :func:`line_churn` — closing the crawl-ops loop diff → churn → budget
+    → schedule.
+
+    Pure whole-stage-codegen projection over the churn frame (zero
+    additional exchanges); the banding is a CASE chain from REVISIT_BANDS
+    so the DuckDB twin is generated from the same constants. daily_cost_bp
+    = BP DIV interval is the url's amortized daily fetch load — summing it
+    per band gives the capacity plan crawl_budget_quota allocates against.
+    """
+    interval = F.lit(None).cast("int")
+    for min_bp, days in sorted(REVISIT_BANDS):  # ascending: later wins
+        interval = F.when(F.col("churn_bp") >= min_bp, F.lit(days)).otherwise(interval)
+    return churn.select(
+        "url",
+        "churn_bp",
+        interval.cast("bigint").alias("interval_days"),
+        F.date_format(
+            F.date_add(F.lit(CRAWL_DAY).cast("date"), interval), "yyyyMMdd"
+        ).alias("next_fetch"),
+    ).withColumn(
+        "daily_cost_bp",
+        F.expr(f"CAST({CHURN_BP} DIV interval_days AS BIGINT)"),
+    )

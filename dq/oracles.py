@@ -4639,3 +4639,29 @@ FROM w
 
 
 ORACLES["events_moving_windows"] = _events_moving_windows_sql()
+
+
+def _recrawl_schedule_sql() -> str:
+    """Twin of queries.recrawl_schedule: the line-churn twin as a CTE, the
+    REVISIT_BANDS CASE chain generated from the same constants (descending
+    first-match ≡ Spark's ascending overwrite loop)."""
+    from dq.crawldiff import CHURN_BP, CRAWL_DAY, REVISIT_BANDS
+
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN churn_bp >= {mbp} THEN {d}"
+            for mbp, d in sorted(REVISIT_BANDS, reverse=True)
+        )
+        + " END"
+    )
+    return f"""WITH churn AS ({_snapshot_line_churn_sql()})
+SELECT url, churn_bp,
+       CAST({case} AS BIGINT) AS interval_days,
+       strftime(DATE '{CRAWL_DAY}' + CAST({case} AS INTEGER), '%Y%m%d') AS next_fetch,
+       CAST({CHURN_BP} // ({case}) AS BIGINT) AS daily_cost_bp
+FROM churn
+"""
+
+
+ORACLES["recrawl_schedule"] = _recrawl_schedule_sql()

@@ -2944,6 +2944,27 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-adaptive revisit scheduling (dq.crawldiff.recrawl_schedule)
+    over the planted-crawl line-churn frame — refresh frequency tracks
+    observed change frequency (Cho & Garcia-Molina 2003), closing the
+    crawl-ops loop diff → churn → budget → schedule. The banding layer is
+    a zero-exchange projection on top of snapshot_line_churn's job."""
+    from dq import crawldiff
+    from dq.lines import multiline_docs
+    from dq.urlstats import url_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = multiline_docs(docs).select(
+        "doc_id", F.array_join("lines", "\n").alias("text")
+    )
+    base = docs.select(
+        "doc_id", url_expr(F.col("doc_id")).alias("url")
+    ).join(ml, "doc_id")
+    old, new = crawldiff.planted_snapshots(base, F.col("url"))
+    return crawldiff.recrawl_schedule(crawldiff.line_churn(old, new))
+
+
 def events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain volumetry in ONE pass: CUBE over (event_type, day) with
     per-cell event count, distinct users, and cents-quantized value sum —
@@ -3222,4 +3243,5 @@ QUERIES = {
     "crawl_budget_quota": crawl_budget_quota,
     "events_cube_report": events_cube_report,
     "events_moving_windows": events_moving_windows,
+    "recrawl_schedule": recrawl_schedule,
 }

@@ -148,3 +148,24 @@ def test_line_churn_set_semantics_and_null(spark):
     r = out["u/null"]
     assert (r.n_old_lines, r.n_new_lines, r.n_added, r.n_removed) == (1, 1, 1, 1)
     assert r.churn_bp == crawldiff.CHURN_BP
+
+
+def test_recrawl_bands_cover_all_churn(spark):
+    # one url per band edge: 0 / 1 / 499 / 500 / 1999 / 2000 / 4999 / 5000+
+    rows = [(f"u/{bp}", bp) for bp in (0, 1, 499, 500, 1999, 2000, 4999, 5000, 10000)]
+    churn = spark.createDataFrame(
+        [(u, 1, 1, 0, 0, bp) for u, bp in rows],
+        "url string, n_old_lines bigint, n_new_lines bigint, "
+        "n_added bigint, n_removed bigint, churn_bp bigint",
+    )
+    out = {r.url: r for r in crawldiff.recrawl_schedule(churn).collect()}
+    want = {0: 30, 1: 14, 499: 14, 500: 7, 1999: 7, 2000: 3, 4999: 3,
+            5000: 1, 10000: 1}
+    for bp, days in want.items():
+        r = out[f"u/{bp}"]
+        assert r.interval_days == days, (bp, r.interval_days)
+        assert r.daily_cost_bp == crawldiff.CHURN_BP // days
+        assert r.next_fetch is not None and len(r.next_fetch) == 8
+    # anchor math: churn 0 -> 30 days after 2024-03-01
+    assert out["u/0"].next_fetch == "20240331"
+    assert out["u/10000"].next_fetch == "20240302"

@@ -104,6 +104,7 @@ TEXT_QUERIES = [
     "snapshot_line_churn",
     "blocklist_hits",
     "blocklist_filter",
+    "recrawl_schedule",
 ]
 
 
