@@ -142,6 +142,8 @@ HEADLINE = [
     # blocklist_hits shares blocklist_filter's explode+broadcast-join job —
     # benching both would time the same scan twice.
     "events_cube_report",        # round-5: one-pass CUBE multi-grain scorecard
+    "events_pivot_daily",        # round-5: pinned PIVOT wide scorecard
+    "user_set_ops",              # round-5: INTERSECT/EXCEPT user sets
     # recrawl_schedule stays OUT of the headline: it is a zero-exchange
     # CASE projection over snapshot_line_churn's job — benching both would
     # time the same churn computation twice.

@@ -4665,3 +4665,43 @@ FROM churn
 
 
 ORACLES["recrawl_schedule"] = _recrawl_schedule_sql()
+
+
+def _events_pivot_daily_sql() -> str:
+    """Twin of queries.events_pivot_daily: the conditional-sum spelling of
+    the same pinned pivot (deliberately the manual form — oracle
+    independence from the PIVOT planner)."""
+    from dq.queries import PIVOT_TYPES
+
+    in_list = ", ".join(f"'{t}'" for t in PIVOT_TYPES)
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+       {cols},
+       CAST(sum(CASE WHEN event_type NOT IN ({in_list}) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events
+GROUP BY 1
+"""
+
+
+ORACLES["events_pivot_daily"] = _events_pivot_daily_sql()
+
+
+def _user_set_ops_sql() -> str:
+    from dq.queries import HI_VALUE
+
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= {HI_VALUE}
+)
+"""
+
+
+ORACLES["user_set_ops"] = _user_set_ops_sql()

@@ -2944,6 +2944,67 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+PIVOT_TYPES = ["view", "click", "purchase"]  # pinned pivot column set
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-day event counts spread into one column per
+    event type (pinned PIVOT_TYPES so the output schema is static — an
+    unpinned pivot needs a distinct-values collect, which is the
+    documented reason production pivots pin their columns) plus an
+    `other_events` bucket. Spark plans the pinned pivot as ONE hash-agg
+    of conditional counts — single scan, map-side combinable, identical
+    cost to the manual conditional-sum form the DuckDB twin spells out."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyyMMdd").alias("day"),
+        F.when(F.col("event_type").isin(PIVOT_TYPES), F.col("event_type"))
+        .otherwise(F.lit("other"))
+        .alias("_et"),
+    )
+    p = ev.groupBy("day").pivot("_et", PIVOT_TYPES + ["other"]).agg(
+        F.count(F.lit(1))
+    )
+    # absent (day, type) combos pivot to NULL — coalesce so counts stay
+    # two-valued integers
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in PIVOT_TYPES + ["other"]
+        ],
+    )
+
+
+HI_VALUE = 150.0  # high-value purchase cut (doubles only COMPARED, never summed)
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: users who viewed AND clicked but never
+    made a high-value (>= HI_VALUE) purchase — distinct user sets combined
+    with Spark's intersect and exceptAll (set semantics on already-distinct
+    frames, so exceptAll ≡ except). Spark plans both as aggregates/joins
+    on the user_id key — narrow 8-B exchanges, no row-wide shuffle. The
+    DuckDB twin uses the SQL INTERSECT/EXCEPT operators directly
+    (deliberately the operator form, not a join rewrite — oracle
+    independence). The value cut only COMPARES the double (exact on the
+    shared parquet bits; nothing is summed)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users_where(cond) -> DataFrame:
+        return ev.where(cond).select("user_id").distinct()
+
+    out = (
+        users_where(F.col("event_type") == "view")
+        .intersect(users_where(F.col("event_type") == "click"))
+        .exceptAll(
+            users_where(
+                (F.col("event_type") == "purchase") & (F.col("value") >= HI_VALUE)
+            )
+        )
+    )
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"))
+
+
 def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn-adaptive revisit scheduling (dq.crawldiff.recrawl_schedule)
     over the planted-crawl line-churn frame — refresh frequency tracks
@@ -3244,4 +3305,6 @@ QUERIES = {
     "events_cube_report": events_cube_report,
     "events_moving_windows": events_moving_windows,
     "recrawl_schedule": recrawl_schedule,
+    "events_pivot_daily": events_pivot_daily,
+    "user_set_ops": user_set_ops,
 }

@@ -165,3 +165,33 @@ def test_moving_windows_gap_semantics(spark):
     assert d20.ma7_events == 1                      # gap: window holds only day 20
     assert d20.prev_events == 2                     # previous OBSERVED day (day 2)
     assert d20.delta == -1
+
+
+def test_pivot_daily_reconciles_and_no_nulls(spark):
+    from dq.queries import PIVOT_TYPES, events_pivot_daily
+
+    out = events_pivot_daily(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    cols = [f"n_{t}" for t in PIVOT_TYPES] + ["n_other"]
+    total = sum(sum(getattr(r, c) for c in cols) for r in out)
+    n_events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    assert total == n_events
+    for r in out:
+        for c in cols:
+            assert getattr(r, c) is not None and getattr(r, c) >= 0
+
+
+def test_user_set_ops_semantics(spark):
+    from dq.queries import HI_VALUE, user_set_ops
+
+    got = {r.user_id for r in user_set_ops(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = ev.select("user_id", "event_type", "value").collect()
+    viewers = {r.user_id for r in rows if r.event_type == "view"}
+    clickers = {r.user_id for r in rows if r.event_type == "click"}
+    hi = {r.user_id for r in rows
+          if r.event_type == "purchase" and r.value >= HI_VALUE}
+    assert got == (viewers & clickers) - hi
+    assert got  # non-degenerate at the gate sf
