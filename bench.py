@@ -144,6 +144,7 @@ HEADLINE = [
     "events_cube_report",        # round-5: one-pass CUBE multi-grain scorecard
     "events_pivot_daily",        # round-5: pinned PIVOT wide scorecard
     "user_set_ops",              # round-5: INTERSECT/EXCEPT user sets
+    "events_props_stats",        # round-5: JSON props parse + bad-row audit
     # recrawl_schedule stays OUT of the headline: it is a zero-exchange
     # CASE projection over snapshot_line_churn's job — benching both would
     # time the same churn computation twice.

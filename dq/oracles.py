@@ -4705,3 +4705,38 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
 
 
 ORACLES["user_set_ops"] = _user_set_ops_sql()
+
+
+def _events_props_stats_sql() -> str:
+    """Twin of queries.events_props_stats. Probed trap: DuckDB
+    json_extract_string RAISES on malformed JSON where Spark
+    get_json_object returns NULL — json_valid guards; try_cast on both
+    sides (ANSI-safe)."""
+    from dq.queries import PROPS_BAD_JSON_MOD, PROPS_BAD_TYPE_MOD
+
+    return f"""WITH p AS (
+  SELECT event_type,
+         CASE WHEN event_id % {PROPS_BAD_JSON_MOD} = 0 THEN 'not json'
+              WHEN event_id % {PROPS_BAD_TYPE_MOD} = 0 THEN '{{"k": "oops"}}'
+              ELSE props END AS props_p
+  FROM events
+), k AS (
+  SELECT event_type,
+         try_cast(CASE WHEN json_valid(props_p)
+                       THEN json_extract_string(props_p, '$.k')
+                       ELSE NULL END AS BIGINT) AS k
+  FROM p
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(count(*) - count(k) AS BIGINT) AS n_bad,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
+       CAST(coalesce(max(k), 0) AS BIGINT) AS max_k
+FROM k
+GROUP BY 1
+"""
+
+
+ORACLES["events_props_stats"] = _events_props_stats_sql()

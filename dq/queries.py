@@ -2944,6 +2944,54 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+# malformed-JSON plants (event_id residues): exercise the NULL-on-bad-parse
+# path that a real clickstream always carries
+PROPS_BAD_JSON_MOD = 97   # props replaced with a non-JSON string
+PROPS_BAD_TYPE_MOD = 89   # $.k replaced with a non-integer value
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: parse the events ``props`` JSON column and
+    aggregate the extracted ``$.k`` field per event type — with malformed
+    JSON and wrong-typed values PLANTED by event_id residue so the
+    NULL-on-bad-parse path is exercised (every real clickstream carries
+    both). n_bad counts rows whose extraction fails for ANY reason
+    (invalid JSON, missing key, non-integer value).
+
+    Cross-engine trap (probed): Spark ``get_json_object`` returns NULL on
+    malformed JSON; DuckDB ``json_extract_string`` RAISES — the twin
+    guards with ``json_valid``. Both sides ``try_cast`` the extracted
+    string (the driver session may run ANSI, where a plain cast of 'oops'
+    throws). All aggregates are exact integers.
+
+    Scale shape: JSON parsing is per-row codegen projection work inside
+    the scan stage; the only exchange is the (event_type, partials)
+    hash-agg — map-side combinable, types-sized output."""
+    ev = _t(spark, sf_dir, "events")
+    props_p = (
+        F.when(F.col("event_id") % PROPS_BAD_JSON_MOD == 0, F.lit("not json"))
+        .when(F.col("event_id") % PROPS_BAD_TYPE_MOD == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+    )
+    k = F.expr("try_cast(_ks AS BIGINT)")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object(props_p, "$.k").alias("_ks"),
+        )
+        .select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("_k").cast("bigint").alias("n_parsed"),
+            (F.count(F.lit(1)) - F.count("_k")).cast("bigint").alias("n_bad"),
+            F.coalesce(F.sum("_k"), F.lit(0)).cast("bigint").alias("sum_k"),
+            F.coalesce(F.min("_k"), F.lit(0)).cast("bigint").alias("min_k"),
+            F.coalesce(F.max("_k"), F.lit(0)).cast("bigint").alias("max_k"),
+        )
+    )
+
+
 PIVOT_TYPES = ["view", "click", "purchase"]  # pinned pivot column set
 
 
@@ -3307,4 +3355,5 @@ QUERIES = {
     "recrawl_schedule": recrawl_schedule,
     "events_pivot_daily": events_pivot_daily,
     "user_set_ops": user_set_ops,
+    "events_props_stats": events_props_stats,
 }

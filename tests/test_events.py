@@ -195,3 +195,22 @@ def test_user_set_ops_semantics(spark):
           if r.event_type == "purchase" and r.value >= HI_VALUE}
     assert got == (viewers & clickers) - hi
     assert got  # non-degenerate at the gate sf
+
+
+def test_props_stats_bad_parse_accounting(spark):
+    """Planted malformed JSON and wrong-typed values land in n_bad; the
+    parsed aggregates cover exactly the good rows."""
+    from dq.queries import events_props_stats
+
+    out = events_props_stats(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    n_events = sum(r.n_events for r in out)
+    n_bad = sum(r.n_bad for r in out)
+    assert n_events == 1000
+    # residues 97 and 89 both plant failures (89*k overlapping 97*j rows
+    # count once) — at 1000 events that's >= 10+11-0 bad rows
+    assert n_bad >= 21
+    for r in out:
+        assert r.n_parsed + r.n_bad == r.n_events
+        assert 0 <= r.min_k <= r.max_k
+        assert r.sum_k >= r.max_k  # at least one parsed row per type here
