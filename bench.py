@@ -145,6 +145,8 @@ HEADLINE = [
     "events_pivot_daily",        # round-5: pinned PIVOT wide scorecard
     "user_set_ops",              # round-5: INTERSECT/EXCEPT user sets
     "events_props_stats",        # round-5: JSON props parse + bad-row audit
+    "orders_above_cust_avg",     # round-5: correlated-scalar decorrelation
+    "custs_exists_probe",        # round-5: EXISTS/NOT EXISTS semi/anti plan
     # recrawl_schedule stays OUT of the headline: it is a zero-exchange
     # CASE projection over snapshot_line_churn's job — benching both would
     # time the same churn computation twice.

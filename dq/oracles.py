@@ -4740,3 +4740,18 @@ GROUP BY 1
 
 
 ORACLES["events_props_stats"] = _events_props_stats_sql()
+
+
+# identical dialect-neutral SQL on both engines (the exceptional case the
+# CLAUDE.md generated-from-constants rule exists for: here the CONSTANT is
+# the whole statement, imported from dq.queries — still single-sourced)
+
+
+def _orders_subquery_twins() -> None:
+    from dq.queries import CUSTS_EXISTS_SQL, ORDERS_ABOVE_AVG_SQL
+
+    ORACLES["orders_above_cust_avg"] = ORDERS_ABOVE_AVG_SQL
+    ORACLES["custs_exists_probe"] = CUSTS_EXISTS_SQL
+
+
+_orders_subquery_twins()

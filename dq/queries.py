@@ -2944,6 +2944,54 @@ def snapshot_line_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawldiff.line_churn(old, new)
 
 
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery surface: per customer, how many of their
+    orders are STRICTLY above their own average order value — the
+    comparison is pure integers (cents × n_orders > sum_cents, cleared of
+    the division), so the cross-engine result is exact. Spark decorrelates
+    both scalar subqueries into aggregates + joins on o_custkey — one
+    narrow key exchange, no row-wide shuffle; the SQL is the same text the
+    DuckDB twin runs (minus dialect-neutral parts — it IS dialect-neutral),
+    exercising the decorrelation planner rather than a hand-built join."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORDERS_ABOVE_AVG_SQL)
+
+
+ORDERS_ABOVE_AVG_SQL = """WITH c AS (
+  SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), f AS (
+  SELECT o_custkey,
+         CASE WHEN cents * (SELECT count(*) FROM c c2 WHERE c2.o_custkey = c.o_custkey)
+                   > (SELECT sum(cents) FROM c c3 WHERE c3.o_custkey = c.o_custkey)
+              THEN 1 ELSE 0 END AS above
+  FROM c
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(above) AS BIGINT) AS n_above
+FROM f GROUP BY o_custkey
+"""
+
+
+CUSTS_EXISTS_SQL = """SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey
+FROM (SELECT DISTINCT o_custkey FROM orders) o
+WHERE EXISTS (SELECT 1 FROM orders x
+              WHERE x.o_custkey = o.o_custkey AND x.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders y
+                  WHERE y.o_custkey = o.o_custkey AND y.o_orderstatus = 'P')
+"""
+
+
+def custs_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS surface: customers with a finished ('F') order
+    and no pending ('P') order. Spark plans the pair as left-semi + left-
+    anti joins on o_custkey (8-B key exchanges); the twin runs the SAME
+    dialect-neutral SQL, exercising the subquery-to-join rewrite on both
+    engines. Non-degenerate at both gate SFs (probed: 7 / 52 customers)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(CUSTS_EXISTS_SQL)
+
+
 # malformed-JSON plants (event_id residues): exercise the NULL-on-bad-parse
 # path that a real clickstream always carries
 PROPS_BAD_JSON_MOD = 97   # props replaced with a non-JSON string
@@ -3356,4 +3404,6 @@ QUERIES = {
     "events_pivot_daily": events_pivot_daily,
     "user_set_ops": user_set_ops,
     "events_props_stats": events_props_stats,
+    "orders_above_cust_avg": orders_above_cust_avg,
+    "custs_exists_probe": custs_exists_probe,
 }

@@ -835,3 +835,25 @@ def test_classifier_calibration_no_text_in_exchange(spark):
         inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", node)
         assert inp, node
         assert "text#" not in inp.group(2), node
+
+
+def test_exists_probe_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS must plan as left-semi + left-anti joins on the
+    8-B custkey — never a cartesian or a row-wide shuffle."""
+    from dq.queries import custs_exists_probe
+
+    df = custs_exists_probe(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_above_avg_decorrelates_without_cartesian(spark):
+    from dq.queries import orders_above_cust_avg
+
+    df = orders_above_cust_avg(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # correlated scalars become custkey-keyed aggregates joined back
+    assert plan.count("hashpartitioning(o_custkey") >= 1, plan
