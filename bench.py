@@ -133,6 +133,7 @@ HEADLINE = [
     "mixture_weights",           # round-5: Hedge domain reweighting
     "snapshot_band_drift",       # round-5: banded TV drift scorecard
     "editdist_pairs",            # round-5: Levenshtein near-dup verify
+    "allpairs_sim_pairs",        # round-5: exact AllPairs prefix-filter join
     "retention_cohorts",         # round-5: events cohort retention
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows

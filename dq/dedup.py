@@ -122,15 +122,26 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as a native array expression."""
+    """Distinct word n-gram shingles as a native array expression.
+
+    Same incremental zip_with shape as :func:`hashed_shingles_col` (and for
+    the same reason): the naive ``transform(sequence(...), i ->
+    concat_ws(slice(toks, i, n)))`` captures the token-array EXPRESSION in
+    the lambda and re-evaluates the split per window — O(words^2) per doc.
+    zip_with evaluates both array operands once per row, so grams extend
+    token-by-token: identical values ("t1 t2 t3" joined by single spaces),
+    linear work. zip_with null-pads the shorter operand, so the last n-1
+    positions turn NULL via concat — exactly the tail the slice drops."""
     toks = tokens_col(text)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    g = toks
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, j + 1, F.size(toks)), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.slice(g, 1, F.size(toks) - n + 1)
     # short docs: the whole token string is the single shingle
     return F.array_distinct(
-        F.when(F.size(toks) >= n, windows).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
@@ -362,6 +373,152 @@ def jaccard_pairs(
         "id_a",
         "id_b",
         F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def allpairs_jaccard(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    hashed: bool = True,
+    shingle_max_docs: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07) — every pair with shingle-set Jaccard
+    >= t_num/t_den, no LSH approximation, never an O(n^2) cartesian.
+
+    The lossless trick: order each doc's shingles by ascending GLOBAL
+    document frequency (rarest first; ties on the shingle value), and index
+    only the first ``p = |d| - ceil(t*|d|) + 1`` shingles. If J(x,y) >= t
+    then |x∩y| >= ceil(t*max(|x|,|y|)) =: a, and two sets sharing >= a
+    elements under a total order must share one within their first
+    ``size - a + 1`` elements (else all common elements sit in a suffix
+    shorter than a). So the prefix-prefix equi-join finds every qualifying
+    pair; exact verification on the full sets then makes the output
+    IDENTICAL to a naive all-pairs scan — which is exactly what the DuckDB
+    oracle twin computes via an unfiltered shared-shingle join, so the
+    losslessness proof itself is gate-checked.
+
+    Scale shape: no global shingle rank is materialized (that would be an
+    unpartitioned window over the vocabulary) — each doc sorts its OWN
+    shingles by the joined (df, shingle) key, a per-row array sort. The
+    exchanges are (a) shingle-df hash-agg + join, keyed by uniform content
+    shingles, and (b) the prefix equi-join whose keys are, by
+    construction, the RAREST shingles of each doc — frequency ordering is
+    what bounds bucket fan-out (a df-k shingle contributes <= k^2/2 pairs,
+    and high-df shingles are exactly the ones the prefixes exclude).
+    Residual hot keys (an m-copy exact-dup family shares rare shingles m
+    times) are the same inherent m^2 the output itself contains; the
+    optional ``shingle_max_docs`` drops shingles above a df cap from
+    candidate generation (documented LOSSY — pairs sharing only capped
+    shingles are missed; run exact dedup upstream, the tier contract).
+
+    Thresholds are exact rationals: the verify filter is
+    ``inter * t_den >= union * t_num`` in integers on BOTH engines, and the
+    prefix length uses integer ceil ``(t_num*s + t_den - 1) div t_den`` —
+    no float rounding anywhere. ``hashed=True`` (the scale path) runs the
+    identical algorithm on int64 xxhash64 shingles: 8-byte join keys and
+    intersections instead of 3-word strings.
+    """
+    maker = with_hashed_shingles if hashed else with_string_shingles
+    sh = maker(df, id_col, text_col, shingle_n)
+    # ONE shingle evaluation for the whole DAG: everything downstream —
+    # df counts, per-doc ordered arrays, prefixes, AND the verify sets —
+    # derives from this single exploded frame. The df-ordered grouped frame
+    # is referenced three times (prefix + both verify sides); its exchange
+    # subtree is identical each time, so ReuseExchange materializes the
+    # shuffle once (verified on the plan: the shingle Projects appear once
+    # per union branch, not once per consumer).
+    # explode_outer, not explode: see minhash_signatures (the inferred
+    # size>0 filter would inline the shingle tree; _sh is never empty)
+    # a SINGLE reference to the shingle array: size() alongside the explode
+    # would be a second full evaluation of the zip_with tree once
+    # CollapseProject inlines the staging (the _gram_fps lesson) — _sz is
+    # instead recovered per doc as count(*) in the group-bys below, exact
+    # because shingle arrays are distinct
+    tok0 = sh.select("_id", F.explode_outer("_sh").alias("_g")).where(
+        F.col("_g").isNotNull()
+    )
+    dfc = tok0.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    if shingle_max_docs is not None:
+        dfc = dfc.where(F.col("_df") <= shingle_max_docs)
+    tok = tok0.join(dfc, "_g")  # inner join: capped shingles drop here
+    # per-doc ascending (df, shingle) order; the ordered struct array
+    # doubles as the verify set (array_intersect ignores order). NOTE under
+    # a df cap the count here EXCLUDES capped shingles — _sz for the
+    # length/prefix math must stay the capped-universe size for the filters
+    # to stay lossless within that universe; verify below still reports
+    # the TRUE jaccard over full sets.
+    grouped = tok.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("_df", "_g"))).alias("_ord"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    # prefix p = sz - ceil(t*sz) + 1 with integer ceil
+    # (t_num*sz + t_den - 1) DIV t_den (operands >= 0, so DIV's truncation
+    # is floor and the identity is exact)
+    p = (
+        F.col("_sz")
+        - F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    prefix = grouped.select(
+        "_id",
+        "_sz",
+        F.explode_outer(F.slice("_ord", 1, F.greatest(p, F.lit(1)))).alias("_pg"),
+    ).select("_id", "_sz", F.col("_pg._g").alias("_g"))
+    a = prefix.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "_g")
+    b = prefix.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "_g")
+    cands = (
+        a.join(b, "_g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J>=t forces t*|larger| <= |smaller|
+            & (F.col("_sza") * t_den >= F.col("_szb") * t_num)
+            & (F.col("_szb") * t_den >= F.col("_sza") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if shingle_max_docs is None:
+        sets = grouped.select("_id", F.col("_ord._g").alias("_sh"), "_sz")
+    else:
+        # the cap prunes CANDIDATE GENERATION only — verify runs on the
+        # full sets, so a surviving pair's jaccard is the true value
+        sets = tok0.groupBy("_id").agg(
+            F.collect_list("_g").alias("_sh"), F.count(F.lit(1)).alias("_sz")
+        )
+    j = cands.join(
+        sets.select(
+            F.col("_id").alias("id_a"),
+            F.col("_sh").alias("_sh_a"),
+            F.col("_sz").alias("_sz_a"),
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("_id").alias("id_b"),
+            F.col("_sh").alias("_sh_b"),
+            F.col("_sz").alias("_sz_b"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.col("_sz_a") + F.col("_sz_b") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("inter_size"),
+            union.cast("bigint").alias("union_size"),
+        )
+        .where(F.col("inter_size") * t_den >= F.col("union_size") * t_num)
+        .withColumn(
+            "jaccard",
+            F.col("inter_size").cast("double") / F.col("union_size"),
+        )
     )
 
 

@@ -4755,3 +4755,48 @@ def _orders_subquery_twins() -> None:
 
 
 _orders_subquery_twins()
+
+
+def _allpairs_sql() -> str:
+    """Twin of queries.allpairs_sim_pairs — deliberately the NAIVE plan:
+    candidates are ANY shared shingle (no prefix filter, no length filter),
+    then exact verify. The Spark side prunes with rarest-first prefixes;
+    equal results certify the prefix filter lossless (a candidate the
+    filter wrongly pruned would be a missing row here). inter comes from
+    the pair-grouped shared-shingle count (shingle arrays are distinct per
+    doc, so COUNT(*) over the token join IS |A∩B|); union = sz_a+sz_b-inter;
+    the threshold compare and the final division are exact-integer."""
+    from dq.queries import ALLPAIRS_T_DEN, ALLPAIRS_T_NUM
+
+    return f"""
+WITH base AS ({_PLANTED_BASE}),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
+              THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
+              ELSE [coalesce(array_to_string(words, ' '), '')] END AS s
+  FROM w
+), tok AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+), pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         min(a.sz) AS sz_a, min(b.sz) AS sz_b,
+         count(*) AS inter_size
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(sz_a + sz_b - inter_size AS BIGINT) AS union_size,
+       CAST(inter_size AS DOUBLE) / (sz_a + sz_b - inter_size) AS jaccard
+FROM pair
+WHERE inter_size * {ALLPAIRS_T_DEN} >= (sz_a + sz_b - inter_size) * {ALLPAIRS_T_NUM}
+"""
+
+
+ORACLES["allpairs_sim_pairs"] = _allpairs_sql()

@@ -3238,6 +3238,37 @@ def crawl_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quota(base)
 
 
+ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 3, 5  # Jaccard threshold 0.6, exact rational
+
+
+def allpairs_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity self-join over the planted-dup corpus via
+    prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07): every doc
+    pair with 3-gram-shingle Jaccard >= 3/5, found WITHOUT LSH and without
+    an O(n^2) scan — rarest-first prefix tokens equi-join, length filter,
+    exact verify (dq.dedup.allpairs_jaccard). The DuckDB twin computes the
+    same answer by the naive route (unfiltered shared-shingle join +
+    group-by pair), so the hash match checks the prefix filter's
+    LOSSLESSNESS, not just the arithmetic: a pruned candidate that should
+    have qualified would show up as a missing row. Complements the
+    approximate tier: minhash_dups finds *probable* pairs cheaply;
+    this finds *all* pairs exactly — the decontamination / audit grade.
+    String shingles here (DuckDB-reproducible); ``hashed=True`` is the
+    8-byte scale path with identical algebra."""
+    from dq.dedup import allpairs_jaccard
+
+    base = _docs_with_planted_dups(spark, sf_dir)
+    return allpairs_jaccard(
+        base,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=JACCARD_SHINGLE_N,
+        t_num=ALLPAIRS_T_NUM,
+        t_den=ALLPAIRS_T_DEN,
+        hashed=False,
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3406,4 +3437,5 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "orders_above_cust_avg": orders_above_cust_avg,
     "custs_exists_probe": custs_exists_probe,
+    "allpairs_sim_pairs": allpairs_sim_pairs,
 }

@@ -518,3 +518,92 @@ def test_near_dup_survivors_planted(spark):
     assert any(
         all(m < PLANT_NEAR_OFFSET for m in ms) for ms in members_by_cluster
     )
+
+
+# --------------------------------------------------------------- allpairs --
+
+
+def _allpairs_pair_set(df, **kw):
+    return {
+        (r.id_a, r.id_b)
+        for r in dedup.allpairs_jaccard(
+            df, id_col="url", text_col="text", **kw
+        ).collect()
+    }
+
+
+def _py_shingles(text, n=3):
+    w = [t for t in (text or "").lower().split() if t]
+    if len(w) >= n:
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    return {" ".join(w)}
+
+
+def test_allpairs_matches_naive_all_pairs(spark, dup_docs):
+    """Prefix-filtered output == brute-force all-pairs over the same shingle
+    sets: the losslessness of the rarest-first prefix + length filters,
+    pinned against a python oracle (the DuckDB gate twin re-proves it on
+    the planted corpus via the naive shared-shingle plan)."""
+    from itertools import combinations
+
+    rows = sorted((r.url, r.text) for r in dup_docs.collect())
+    expect = set()
+    for (ua, ta), (ub, tb) in combinations(rows, 2):
+        A, B = _py_shingles(ta), _py_shingles(tb)
+        inter, union = len(A & B), len(A | B)
+        if inter * 5 >= union * 3:
+            expect.add((ua, ub))
+    got = _allpairs_pair_set(dup_docs, hashed=False, t_num=3, t_den=5)
+    assert got == expect
+    assert len(expect) >= 16  # the planted exact+near families all qualify
+
+
+def test_allpairs_threshold_boundary_is_exact(spark):
+    """inter*den >= union*num in integers: a pair at EXACTLY J = 3/5 is
+    kept, just-below is dropped — no float epsilon anywhere."""
+    df = spark.createDataFrame(
+        [("a", "a b c d e f"), ("b", "a b c d e g"), ("c", "a b c d g h")],
+        "url string, text string",
+    )
+    got = _allpairs_pair_set(df, hashed=False)
+    assert got == {("a", "b")}  # inter 3, union 5 -> J = 0.6 exactly
+    row = (
+        dedup.allpairs_jaccard(df, id_col="url", text_col="text", hashed=False)
+        .collect()[0]
+    )
+    assert (row.inter_size, row.union_size, row.jaccard) == (3, 5, 0.6)
+
+
+def test_allpairs_hashed_equals_string_pairs(spark, dup_docs):
+    """The int64-shingle scale path finds the identical pair set (same
+    algebra, 8-byte currency; 64-bit collisions negligible)."""
+    assert _allpairs_pair_set(dup_docs, hashed=True) == _allpairs_pair_set(
+        dup_docs, hashed=False
+    )
+
+
+def test_allpairs_shingle_cap_drops_hot_family_keeps_rare_pair(
+    spark, hot_family_docs
+):
+    """The documented-LOSSY df cap: the 1000-copy family's shingles (df
+    ~1000) leave candidate generation entirely — zero pairs from content
+    the exact-dup tier owns — while the rare-shingle near pair keeps full
+    recall. Uncapped on a small slice, the family pairs ARE the output
+    (the m^2 is inherent to the answer, not to the join plan)."""
+    capped = _allpairs_pair_set(hot_family_docs, hashed=True, shingle_max_docs=50)
+    assert capped == {("a000", "a001")}
+    small = hot_family_docs.where(F.col("url") < "f0030")
+    un = _allpairs_pair_set(small, hashed=True)
+    assert ("f0000", "f0001") in un
+    assert {(a, b) for a, b in un if a.startswith("f")} == {
+        (f"f{i:04d}", f"f{j:04d}") for i in range(30) for j in range(i + 1, 30)
+    }
+
+
+def test_allpairs_plan_no_cartesian(spark, dup_docs):
+    """Candidate generation is an equi-join on prefix shingles — never a
+    cartesian/nested-loop product."""
+    q = dedup.allpairs_jaccard(dup_docs, id_col="url", text_col="text", hashed=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -105,6 +105,7 @@ TEXT_QUERIES = [
     "blocklist_hits",
     "blocklist_filter",
     "recrawl_schedule",
+    "allpairs_sim_pairs",
 ]
 
 
