@@ -134,6 +134,7 @@ HEADLINE = [
     "snapshot_band_drift",       # round-5: banded TV drift scorecard
     "editdist_pairs",            # round-5: Levenshtein near-dup verify
     "allpairs_sim_pairs",        # round-5: exact AllPairs prefix-filter join
+    "cm_token_counts",           # round-5: Count-Min frequency sketch
     "retention_cohorts",         # round-5: events cohort retention
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows

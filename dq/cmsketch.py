@@ -1,0 +1,92 @@
+"""Count-Min sketch over the token stream — fully cross-engine-exact.
+
+CM (Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications", J. Algorithms 2005): a d x w
+integer counter matrix; every occurrence of x increments C[r][h_r(x)] for
+each row r; the point estimate is min_r C[r][h_r(x)] — always an
+OVERestimate, error <= 2n/w with probability 1 - 2^-d under pairwise-
+independent row hashes. Completes the sketch tier's frequency corner:
+KMV answers distinct/overlap, GK quantiles, Bloom membership, Misra-Gries
+exact heavy hitters — CM answers "how often is x" for EVERY x in O(d*w)
+state.
+
+Scale shape: the build is ONE hash-aggregate over (row, position) keys —
+d*w bounded output rows (4 x 512 here), and partial aggregation IS the
+sketch merge: each map task's combine produces its partition's sketch,
+the final agg adds them — the same + merge a 1000-executor deployment
+uses across days (pytest pins sketch(A ∪ B) == sketch(A) + sketch(B)).
+Estimation touches only the probe set x d rows against a <= d*w-row
+broadcast.
+
+Engine portability (why this sketch is ORACLED when HLL/GK are rows-only):
+h_r(x) = ((poly(x) * A_r + B_r) mod P) mod w over the shared 31-ary
+polynomial token hash (dq.classifier.token_hash, P = 1e9+7) — exact int64
+on both engines: poly < P ~ 2^30 and A_r < 2^31 keep every product under
+2^61. DuckDB's no-init list_reduce coincides with Spark's fold-from-0
+because 0*31 + c1 = c1 (the classifier-tier identity, gate-proven).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dq.classifier import POLY_MOD, token_hash
+
+# ---- shared constants (dq.oracles generates SQL from these) ----------------
+
+CM_W = 512                    # counters per row
+# affine row salts (a, b): a odd, nonzero mod P — a pairwise-independent-
+# style family; d = len(CM_SALTS)
+CM_SALTS = [(1, 0), (1103515245, 12345), (69069, 362437), (214013, 2531011)]
+CM_PROBE_MIN_CNT = 50         # probe tokens: exact count at/above this
+
+
+def cm_position_cols(h: Column) -> list[Column]:
+    """The d row positions for a (already poly-hashed) token value."""
+    return [
+        (((h * F.lit(a) + F.lit(b)) % POLY_MOD) % CM_W).alias(f"_p{r}")
+        for r, (a, b) in enumerate(CM_SALTS)
+    ]
+
+
+def cm_sketch(tokens: DataFrame, token_col: str = "w") -> DataFrame:
+    """(r, pos, cnt): the d x w counter matrix of the token stream.
+
+    The poly hash is staged as a real column (one HOF fold per occurrence),
+    then d affine transforms fan out via posexplode of a constant-size
+    array — safe against InferFiltersFromGenerate (the inferred size>0
+    filter constant-folds, the banding lesson). One exchange, keyed by
+    (r, pos) — uniform by construction, <= d*w result rows.
+    """
+    staged = tokens.select(token_hash(F.col(token_col)).alias("_h"))
+    arr = F.array(
+        *[((F.col("_h") * F.lit(a) + F.lit(b)) % POLY_MOD) % CM_W for a, b in CM_SALTS]
+    )
+    return (
+        staged.select(F.posexplode(arr).alias("r", "pos"))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimates(sketch: DataFrame, probes: DataFrame, token_col: str = "w") -> DataFrame:
+    """(token, cm_est) for each probe token: min over the d row counters.
+
+    ``sketch`` is <= d*w rows — broadcast; a probe row fans out to exactly
+    d lookup rows. A position the stream never touched has no sketch row:
+    its counter is 0, so the min is 0 (coalesced after the left join) —
+    matching the dense-matrix semantics for never-seen tokens.
+    """
+    staged = probes.select(
+        F.col(token_col).alias("token"), token_hash(F.col(token_col)).alias("_h")
+    )
+    arr = F.array(
+        *[((F.col("_h") * F.lit(a) + F.lit(b)) % POLY_MOD) % CM_W for a, b in CM_SALTS]
+    )
+    fan = staged.select("token", F.posexplode(arr).alias("r", "pos"))
+    return (
+        fan.join(F.broadcast(sketch), ["r", "pos"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )

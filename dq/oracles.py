@@ -4800,3 +4800,52 @@ WHERE inter_size * {ALLPAIRS_T_DEN} >= (sz_a + sz_b - inter_size) * {ALLPAIRS_T_
 
 
 ORACLES["allpairs_sim_pairs"] = _allpairs_sql()
+
+
+def _cm_token_counts_sql() -> str:
+    """Twin of queries.cm_token_counts — the same d x w Count-Min build and
+    min-over-rows estimate, generated from dq.cmsketch constants. The
+    no-init list_reduce equals Spark's fold-from-0 (0*31 + c1 = c1); every
+    product stays under 2^61 (poly < P ~ 2^30, a < 2^31) so the affine row
+    hashes are exact int64 on both engines. The probe join to the sketch is
+    inner: a probe token's own occurrences guarantee its (r, pos) rows
+    exist."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.cmsketch import CM_PROBE_MIN_CNT, CM_SALTS, CM_W
+
+    salts = ", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(CM_SALTS))
+    poly = (
+        "list_reduce(list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT w, {poly} AS hv FROM tok
+), salts(r, a, b) AS (VALUES {salts}),
+sketch AS (
+  SELECT s.r, ((h.hv * s.a + s.b) % {POLY_MOD}) % {CM_W} AS pos, count(*) AS cnt
+  FROM h CROSS JOIN salts s
+  GROUP BY 1, 2
+), exact AS (
+  SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w
+  HAVING count(*) >= {CM_PROBE_MIN_CNT}
+), probe AS (
+  SELECT DISTINCT e.w, h.hv FROM exact e JOIN h ON h.w = e.w
+), est AS (
+  SELECT p.w, min(sk.cnt) AS cm_est
+  FROM probe p CROSS JOIN salts s
+  JOIN sketch sk ON sk.r = s.r AND sk.pos = ((p.hv * s.a + s.b) % {POLY_MOD}) % {CM_W}
+  GROUP BY p.w
+)
+SELECT e.w AS token,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est.cm_est AS BIGINT) AS cm_est
+FROM exact e JOIN est ON est.w = e.w
+"""
+
+
+ORACLES["cm_token_counts"] = _cm_token_counts_sql()

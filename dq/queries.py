@@ -3269,6 +3269,37 @@ def allpairs_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts for every token
+    the corpus uses >= CM_PROBE_MIN_CNT times. The d x w sketch builds in
+    ONE bounded hash-agg (dq.cmsketch — partial aggregation IS the merge);
+    estimates are min-over-rows against the broadcast counter table. The
+    portable affine-over-poly row hashes make the whole sketch bit-exact
+    across engines — the ORACLED member of the approximate-frequency
+    family (HLL/GK stay rows-only by hash construction). est >= exact is
+    the CM guarantee; equality holds wherever no collision inflates the
+    minimum row."""
+    from dq.cmsketch import CM_PROBE_MIN_CNT, cm_estimates, cm_sketch
+    from dq.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode_outer(tokens_col(F.col("text"))).alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    sketch = cm_sketch(tok)
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .where(F.col("exact_cnt") >= CM_PROBE_MIN_CNT)
+    )
+    est = cm_estimates(sketch, exact.select("w"))
+    return exact.join(est, exact["w"] == est["token"]).select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3438,4 +3469,5 @@ QUERIES = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "custs_exists_probe": custs_exists_probe,
     "allpairs_sim_pairs": allpairs_sim_pairs,
+    "cm_token_counts": cm_token_counts,
 }

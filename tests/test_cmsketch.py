@@ -1,0 +1,96 @@
+"""Count-Min sketch: python-twin bit-equality, mergeability, CM invariants."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dq.classifier import POLY_MOD, POLY_MUL
+from dq.cmsketch import CM_SALTS, CM_W, cm_estimates, cm_sketch
+
+
+def _py_poly(w: str) -> int:
+    h = 0
+    for ch in w:
+        h = (h * POLY_MUL + ord(ch)) % POLY_MOD
+    return h
+
+
+def _py_sketch(tokens: list[str]) -> dict[tuple[int, int], int]:
+    out: Counter = Counter()
+    for w in tokens:
+        h = _py_poly(w)
+        for r, (a, b) in enumerate(CM_SALTS):
+            out[(r, ((h * a + b) % POLY_MOD) % CM_W)] += 1
+    return dict(out)
+
+
+def _py_estimate(sk: dict, w: str) -> int:
+    h = _py_poly(w)
+    return min(
+        sk.get((r, ((h * a + b) % POLY_MOD) % CM_W), 0)
+        for r, (a, b) in enumerate(CM_SALTS)
+    )
+
+
+@pytest.fixture(scope="module")
+def token_stream(spark):
+    words = (
+        ["the"] * 40 + ["quick"] * 25 + ["brown"] * 10 + ["fox"] * 5
+        + [f"rare{i}" for i in range(30)]
+    )
+    return spark.createDataFrame([(w,) for w in words], "w string").cache(), words
+
+
+def test_cm_sketch_matches_python_twin(spark, token_stream):
+    df, words = token_stream
+    got = {(r.r, r.pos): r.cnt for r in cm_sketch(df).collect()}
+    assert got == _py_sketch(words)
+
+
+def test_cm_estimates_match_python_and_dominate_exact(spark, token_stream):
+    df, words = token_stream
+    sk = cm_sketch(df)
+    exact = Counter(words)
+    probes = spark.createDataFrame([(w,) for w in exact], "w string")
+    got = {r.token: r.cm_est for r in cm_estimates(sk, probes).collect()}
+    pysk = _py_sketch(words)
+    for w, c in exact.items():
+        assert got[w] == _py_estimate(pysk, w)
+        assert got[w] >= c  # CM never underestimates
+
+
+def test_cm_sketch_merge_is_addition(spark, token_stream):
+    """sketch(A ∪ B) == sketch(A) + sketch(B) elementwise — the property
+    that lets every executor (or every day) sketch independently and the
+    merge be a d x w integer add."""
+    df, words = token_stream
+    half = len(words) // 2
+    a = spark.createDataFrame([(w,) for w in words[:half]], "w string")
+    b = spark.createDataFrame([(w,) for w in words[half:]], "w string")
+    merged = {
+        (r.r, r.pos): r.cnt
+        for r in (
+            cm_sketch(a)
+            .unionByName(cm_sketch(b))
+            .groupBy("r", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    }
+    whole = {(r.r, r.pos): r.cnt for r in cm_sketch(df).collect()}
+    assert merged == whole
+
+
+def test_cm_estimate_never_seen_token_is_zero_on_empty_sketch(spark):
+    """The left-join + coalesce path: a position with no sketch row counts
+    as 0, so probing an EMPTY sketch returns exactly 0."""
+    empty = cm_sketch(spark.createDataFrame([], "w string"))
+    probes = spark.createDataFrame([("ghost",)], "w string")
+    rows = cm_estimates(empty, probes).collect()
+    assert [(r.token, r.cm_est) for r in rows] == [("ghost", 0)]
+
+
+def test_cm_sketch_bounded_rows(spark, token_stream):
+    df, _ = token_stream
+    assert cm_sketch(df).count() <= len(CM_SALTS) * CM_W

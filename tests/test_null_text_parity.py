@@ -106,6 +106,7 @@ TEXT_QUERIES = [
     "blocklist_filter",
     "recrawl_schedule",
     "allpairs_sim_pairs",
+    "cm_token_counts",
 ]
 
 
