@@ -135,6 +135,11 @@ HEADLINE = [
     "editdist_pairs",            # round-5: Levenshtein near-dup verify
     "allpairs_sim_pairs",        # round-5: exact AllPairs prefix-filter join
     "cm_token_counts",           # round-5: Count-Min frequency sketch
+    "domain_triangles",          # round-5: degree-oriented triangle counting
+    # domain_communities stays OUT of the headline: iterative (3 LPA
+    # rounds of localCheckpoint over the 20-domain label frame), so local
+    # wall time measures per-job fixed overhead, not engine throughput —
+    # the gate + python-twin pytest own its correctness.
     "retention_cohorts",         # round-5: events cohort retention
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows

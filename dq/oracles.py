@@ -4849,3 +4849,93 @@ FROM exact e JOIN est ON est.w = e.w
 
 
 ORACLES["cm_token_counts"] = _cm_token_counts_sql()
+
+
+def _domain_triangles_sql() -> str:
+    """Twin of queries.domain_triangles — deliberately the NAIVE plan: a
+    triple self-join over canonical a < b < c edges. The Spark side
+    enumerates via degree orientation; equal hashes certify the oriented
+    scheme finds exactly the same triangles. Clustering is a division of
+    exact integers (tri / C(deg,2)) — bit-identical doubles."""
+    return f"""
+WITH {_link_edges_ctes()},
+und AS (
+  SELECT least(src_domain, dst_domain) AS a,
+         greatest(src_domain, dst_domain) AS b,
+         CAST(sum(weight) AS BIGINT) AS w
+  FROM edges WHERE src_domain <> dst_domain
+  GROUP BY 1, 2
+), deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT v, count(*) AS tri_cnt
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri)
+  GROUP BY v
+)
+SELECT d.v AS domain,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(coalesce(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       CAST((d.deg * (d.deg - 1)) // 2 AS BIGINT) AS wedge_cnt,
+       CASE WHEN d.deg >= 2
+            THEN CAST(coalesce(tn.tri_cnt, 0) AS DOUBLE)
+                 / ((d.deg * (d.deg - 1)) // 2)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tn ON tn.v = d.v
+"""
+
+
+def _domain_communities_sql() -> str:
+    """Twin of queries.domain_communities: the same synchronous weighted
+    LPA rounds unrolled as CTEs. The argmax is min over the
+    (-weight, label) pair — reproduced with a row_number window ordered
+    (weight DESC, label ASC), the identical total order."""
+    from dq.webgraph import LPA_ITERS
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""v{i} AS (
+  SELECT adj.v, lp.lbl AS nl, sum(adj.w) AS wt
+  FROM adj JOIN {prev} lp ON lp.v = adj.n
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT v, nl AS lbl
+  FROM (SELECT v, nl, row_number() OVER (
+          PARTITION BY v ORDER BY wt DESC, nl ASC) AS rn
+        FROM v{i})
+  WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_link_edges_ctes()},
+und AS (
+  SELECT least(src_domain, dst_domain) AS a,
+         greatest(src_domain, dst_domain) AS b,
+         CAST(sum(weight) AS BIGINT) AS w
+  FROM edges WHERE src_domain <> dst_domain
+  GROUP BY 1, 2
+), adj AS (
+  SELECT a AS v, b AS n, w FROM und
+  UNION ALL
+  SELECT b AS v, a AS n, w FROM und
+), l0 AS (
+  SELECT DISTINCT v, v AS lbl FROM adj
+),
+{chain}
+SELECT v AS domain, lbl AS community FROM {prev}
+"""
+
+
+ORACLES["domain_triangles"] = _domain_triangles_sql()
+ORACLES["domain_communities"] = _domain_communities_sql()

@@ -3300,6 +3300,30 @@ def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient per domain via
+    DEGREE-ORIENTED wedge enumeration (dq.webgraph.triangle_stats): edges
+    orient low-(deg,name) -> high, wedges form only at each triangle's
+    smallest vertex — the skew bound that keeps a web hub's h^2 wedge
+    fan-out off the hub's own key. The DuckDB twin counts triangles
+    NAIVELY (triple self-join over a < b < c), so the hash match certifies
+    the orientation enumerates exactly the same triangle set."""
+    from dq.webgraph import domain_edges, triangle_stats
+
+    return triangle_stats(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
+def domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label-propagation communities over the mined
+    domain graph (dq.webgraph.lpa_communities, 3 deterministic rounds,
+    min-label tie-break) — the community-detection member of the graph
+    tier next to PageRank/TrustRank/HITS/components. Oracle unrolls the
+    identical rounds as CTEs: an ORACLED iterative algorithm."""
+    from dq.webgraph import domain_edges, lpa_communities
+
+    return lpa_communities(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3470,4 +3494,6 @@ QUERIES = {
     "custs_exists_probe": custs_exists_probe,
     "allpairs_sim_pairs": allpairs_sim_pairs,
     "cm_token_counts": cm_token_counts,
+    "domain_triangles": domain_triangles,
+    "domain_communities": domain_communities,
 }

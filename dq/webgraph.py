@@ -333,3 +333,128 @@ def hits(
         if checkpoint:
             h = h.localCheckpoint()
     return h.join(a, "domain")
+
+
+# ---- triangles / clustering coefficient ------------------------------------
+
+LPA_ITERS = 3  # synchronous label-propagation rounds (oracle unrolls these)
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """(a, b, w): the canonical a < b undirected simple graph — self-loops
+    dropped, both directions' weights summed. One hash-agg on the already
+    domain-sized edge list."""
+    sym = edges.where(F.col("src_domain") != F.col("dst_domain")).select(
+        F.least("src_domain", "dst_domain").alias("a"),
+        F.greatest("src_domain", "dst_domain").alias("b"),
+        "weight",
+    )
+    return sym.groupBy("a", "b").agg(F.sum("weight").alias("w"))
+
+
+def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """(domain, degree, tri_cnt, wedge_cnt, clustering): exact per-node
+    triangle counts and local clustering coefficient.
+
+    Degree-ORIENTED enumeration (the MapReduce-era trick, Cohen 2009 /
+    Suri-Vassilvitskii WWW'11): orient every undirected edge from its
+    (deg, name)-smaller endpoint to the larger, turning the graph into a
+    DAG whose out-degrees are O(sqrt(m)); wedges form only at each
+    triangle's SMALLEST vertex, so a hub of degree h contributes h^2
+    wedges at its *low-degree neighbors*, never h^2 rows on its own key —
+    the skew bound that makes web-graph triangle counting feasible (a
+    naive wedge join at the hub is the h^2 hot key). Closure is an
+    equi-join back to the canonical edge list; each triangle is counted
+    exactly once (its two larger vertices cannot emit it). The DuckDB twin
+    counts triangles the NAIVE way — a triple self-join over a < b < c —
+    so the gate certifies the orientation scheme enumerates precisely the
+    same triangle set. Clustering = tri / C(deg, 2): division of exact
+    integers, engine-portable.
+    """
+    und = undirected_edges(edges)
+    if checkpoint:
+        # consumed by degrees, wedges, and closure: materialize the
+        # domain-sized list once (the pagerank edges lesson)
+        und = und.localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("_da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("_db")), "b")
+    lower_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    oriented = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("x"),
+    )
+    o1 = oriented.select("u", F.col("x").alias("_v"))
+    o2 = oriented.select("u", F.col("x").alias("_w"))
+    wedges = o1.join(o2, "u").where(F.col("_v") < F.col("_w"))
+    tri = wedges.join(
+        und.select(F.col("a").alias("_v"), F.col("b").alias("_w")), ["_v", "_w"]
+    )
+    tn = (
+        tri.select(F.explode(F.array("u", "_v", "_w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_tri"))
+    )
+    return deg.join(tn, "v", "left").select(
+        F.col("v").alias("domain"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.coalesce("_tri", F.lit(0)).cast("bigint").alias("tri_cnt"),
+        F.expr("(deg * (deg - 1)) div 2").cast("bigint").alias("wedge_cnt"),
+        F.when(
+            F.col("deg") >= 2,
+            F.coalesce("_tri", F.lit(0)).cast("double")
+            / F.expr("(deg * (deg - 1)) div 2"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def lpa_communities(
+    edges: DataFrame, iters: int = LPA_ITERS, checkpoint: bool = True
+) -> DataFrame:
+    """(domain, community): synchronous weighted label propagation
+    (Raghavan et al. 2007), ``iters`` fixed rounds, fully deterministic —
+    each node adopts the label with the largest incident edge weight,
+    smallest label on ties (min over the (-weight, label) struct: an
+    exact-integer argmax both engines order identically). Initial label =
+    own name. Fixed synchronous rounds instead of run-to-convergence keeps
+    the op oracle-able (the DuckDB twin unrolls the same rounds) and
+    bounded on adversarial graphs (sync LPA can oscillate forever on
+    bipartite structures).
+
+    Scale shape: per round one join of the label table onto the adjacency
+    list + two map-side-combinable hash-aggs — no windows, no collect;
+    label frames are domain-count rows, localCheckpoint-cut per round
+    (the CLAUDE.md iterative-loop rule).
+    """
+    und = undirected_edges(edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n"), "w").unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"), "w")
+    )
+    if checkpoint:
+        adj = adj.localCheckpoint()
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                labels.select(F.col("v").alias("n"), F.col("lbl").alias("_nl")), "n"
+            )
+            .groupBy("v", "_nl")
+            .agg(F.sum("w").alias("_wt"))
+        )
+        pick = votes.groupBy("v").agg(
+            F.min(F.struct((-F.col("_wt")).alias("nw"), F.col("_nl").alias("l"))).alias(
+                "_m"
+            )
+        )
+        labels = pick.select("v", F.col("_m.l").alias("lbl"))
+        if checkpoint:
+            labels = labels.localCheckpoint()
+    return labels.select(F.col("v").alias("domain"), F.col("lbl").alias("community"))

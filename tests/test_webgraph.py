@@ -277,3 +277,128 @@ def test_anchor_window_runs_over_aggregate_not_rows(spark):
     plan = anchor_top_terms(spark, SF0001)._jdf.queryExecution().executedPlan().toString()
     below_window = plan[plan.rindex("Window") :]
     assert "HashAggregate" in below_window
+
+
+# ------------------------------------------------- triangles / communities --
+
+
+def _edges_df(spark, pairs):
+    """Directed (src, dst, weight) edge frame from (src, dst, w) tuples."""
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs],
+        "src_domain string, dst_domain string, weight long",
+    )
+
+
+def _py_triangles(und_pairs):
+    """Brute-force per-node triangle counts over canonical a<b edges."""
+    from itertools import combinations
+
+    es = {tuple(sorted(p)) for p in und_pairs}
+    nodes = sorted({v for e in es for v in e})
+    tri = {v: 0 for v in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            tri[x] += 1; tri[y] += 1; tri[z] += 1
+    return tri
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """K4 ∪ a pendant chain ∪ an isolated 2-cycle: oriented enumeration ==
+    brute-force combinations, per node."""
+    from dq import webgraph
+
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")]
+    edges = _edges_df(spark, [(a, b, 1) for a, b in und])
+    got = {r.domain: (r.degree, r.tri_cnt, r.wedge_cnt, r.clustering)
+           for r in webgraph.triangle_stats(edges).collect()}
+    expect_tri = _py_triangles(und)
+    deg = {v: sum(1 for e in und if v in e) for v in expect_tri}
+    assert set(got) == set(expect_tri)
+    for v, t in expect_tri.items():
+        d = deg[v]
+        w = d * (d - 1) // 2
+        assert got[v][0] == d and got[v][1] == t and got[v][2] == w
+        assert got[v][3] == (t / w if w else 0.0)
+    # K4 interior: clustering exactly 1.0 at a,b,c; pendant chain: 0
+    assert got["a"][3] == 1.0 and got["f"][3] == 0.0
+
+
+def test_triangle_stats_star_hub_has_no_triangles(spark):
+    """A 40-leaf star: 0 triangles everywhere, hub clustering 0.0 — and the
+    degree orientation sends every edge TOWARD the hub, so no wedge ever
+    lands on the hub key (the h^2 skew the orientation exists to avoid)."""
+    from dq import webgraph
+
+    edges = _edges_df(spark, [("hub", f"leaf{i:02d}", 1) for i in range(40)])
+    rows = {r.domain: r for r in webgraph.triangle_stats(edges).collect()}
+    assert rows["hub"].degree == 40 and rows["hub"].tri_cnt == 0
+    assert all(r.tri_cnt == 0 for r in rows.values())
+    assert rows["hub"].clustering == 0.0
+
+
+def test_triangle_weights_do_not_affect_counts(spark):
+    """Triangles are a property of the simple graph: summed multi-edge
+    weights and direction must not change counts."""
+    from dq import webgraph
+
+    tri = [("a", "b", 5), ("b", "a", 2), ("b", "c", 1), ("a", "c", 9)]
+    got = {r.domain: r.tri_cnt for r in
+           webgraph.triangle_stats(_edges_df(spark, tri)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def _py_lpa(und_weighted, iters):
+    """Python twin of the synchronous weighted LPA rounds."""
+    adj = {}
+    for a, b, w in und_weighted:
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    lbl = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            votes = {}
+            for n, w in nbrs.items():
+                votes[lbl[n]] = votes.get(lbl[n], 0) + w
+            nxt[v] = min(votes, key=lambda l: (-votes[l], l))
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_two_cliques_weak_bridge(spark):
+    """Two 4-cliques joined by one weight-1 bridge converge to two
+    communities; the spark rounds equal the python twin exactly."""
+    from dq import webgraph
+    from itertools import combinations
+
+    und = (
+        [(a, b, 10) for a, b in combinations(["a1", "a2", "a3", "a4"], 2)]
+        + [(a, b, 10) for a, b in combinations(["b1", "b2", "b3", "b4"], 2)]
+        + [("a4", "b1", 1)]
+    )
+    edges = _edges_df(spark, und)
+    got = {r.domain: r.community
+           for r in webgraph.lpa_communities(edges).collect()}
+    assert got == _py_lpa(und, webgraph.LPA_ITERS)
+    comms = {got[v] for v in ["a1", "a2", "a3", "a4"]}
+    assert len(comms) == 1
+    assert {got[v] for v in ["b1", "b2", "b3", "b4"]} == {"b1"} or len(
+        {got[v] for v in ["b1", "b2", "b3", "b4"]}
+    ) == 1
+    assert got["a1"] != got["b2"]
+
+
+def test_lpa_matches_python_twin_on_mined_graph(spark):
+    """The gate-shaped graph (mined domain edges from rendered pages):
+    spark LPA == python twin round-for-round."""
+    from dq import webgraph
+    from dq.queries import docs_as_pages
+
+    pages = docs_as_pages(spark, "/root/testdata/sf0.001")
+    edges = webgraph.domain_edges(pages)
+    und = [(r.a, r.b, r.w) for r in webgraph.undirected_edges(edges).collect()]
+    got = {r.domain: r.community
+           for r in webgraph.lpa_communities(edges).collect()}
+    assert got == _py_lpa(und, webgraph.LPA_ITERS)
