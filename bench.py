@@ -136,6 +136,7 @@ HEADLINE = [
     "allpairs_sim_pairs",        # round-5: exact AllPairs prefix-filter join
     "cm_token_counts",           # round-5: Count-Min frequency sketch
     "domain_triangles",          # round-5: degree-oriented triangle counting
+    "benford_price_audit",       # round-5: Benford first-digit DQ audit
     # domain_communities stays OUT of the headline: iterative (3 LPA
     # rounds of localCheckpoint over the 20-domain label frame), so local
     # wall time measures per-job fixed overhead, not engine throughput —

@@ -78,3 +78,49 @@ def profile(
     for name, (num, den) in (ratios or {}).items():
         aggs.append((num / den).cast(decimal).alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+# ---- Benford first-digit audit (Nigrini's fraud/DQ screen) ------------------
+
+# log10(1 + 1/d) in micro-units for d = 1..9; these roundings sum to
+# EXACTLY 1_000_000, so expected counts partition N with no remainder drift
+BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_digits(values: DataFrame, cents_col: str = "cents") -> DataFrame:
+    """(digit, obs_cnt, exp_micro, dev_micro): first-significant-digit
+    distribution of a positive integer amount column against Benford's law
+    — the classic audit for fabricated/defaulted numeric columns (a DQ
+    suite's fraud screen; Nigrini 1996). dev_micro = obs*1e6 - exp_micro*N
+    stays exact int64 to 9e12 rows; no float chi-square enters the oracle
+    surface (sum-order-dependent doubles are not cross-engine stable) —
+    callers threshold on the per-digit integer deviations.
+
+    First digit via the decimal rendering's first character — engine-
+    portable, no log10. One hash-agg over <= 9 groups + a 9-row spine and
+    a 1-row total crossJoin: zero wide state.
+    """
+    spark = values.sparkSession
+    pos = values.where(F.col(cents_col) > 0)
+    digit = F.substring(F.col(cents_col).cast("string"), 1, 1).cast("int")
+    obs = (
+        pos.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("_obs"))
+    )
+    spine = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(BENFORD_MICRO)], "digit int, exp_micro long"
+    )
+    total = pos.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(total)
+        .select(
+            "digit",
+            F.coalesce("_obs", F.lit(0)).cast("bigint").alias("obs_cnt"),
+            F.col("exp_micro").cast("bigint").alias("exp_micro"),
+            (F.coalesce("_obs", F.lit(0)) * F.lit(1_000_000) - F.col("exp_micro") * F.col("_n"))
+            .cast("bigint")
+            .alias("dev_micro"),
+        )
+    )

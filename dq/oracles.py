@@ -4939,3 +4939,32 @@ SELECT v AS domain, lbl AS community FROM {prev}
 
 ORACLES["domain_triangles"] = _domain_triangles_sql()
 ORACLES["domain_communities"] = _domain_communities_sql()
+
+
+def _benford_sql() -> str:
+    """Twin of queries.benford_price_audit — spine VALUES generated from
+    the same BENFORD_MICRO constants (they sum to exactly 1e6); first digit
+    via the decimal rendering; deviations exact int64."""
+    from dq.metrics import BENFORD_MICRO
+
+    spine = ", ".join(f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MICRO))
+    return f"""
+WITH pos AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) > 0
+), obs AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS obs_cnt
+  FROM pos GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM pos),
+spine(digit, exp_micro) AS (VALUES {spine})
+SELECT s.digit,
+       CAST(coalesce(o.obs_cnt, 0) AS BIGINT) AS obs_cnt,
+       CAST(s.exp_micro AS BIGINT) AS exp_micro,
+       CAST(coalesce(o.obs_cnt, 0) * 1000000 - s.exp_micro * t.n AS BIGINT) AS dev_micro
+FROM spine s LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+"""
+
+
+ORACLES["benford_price_audit"] = _benford_sql()

@@ -3324,6 +3324,21 @@ def domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_communities(domain_edges(docs_as_pages(spark, sf_dir)))
 
 
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over lineitem prices (dq.metrics
+    .benford_digits): observed counts per leading digit vs the exact
+    micro-unit Benford proportions, deviations as exact int64 — the
+    classic numeric-column fraud/default screen a DQ suite runs alongside
+    volumetry. Synthetic TPC-H prices are uniform-ish, so the audit
+    SHOWS large deviations — which is the point of an audit."""
+    from dq.metrics import benford_digits
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("cents")
+    )
+    return benford_digits(li)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3496,4 +3511,5 @@ QUERIES = {
     "cm_token_counts": cm_token_counts,
     "domain_triangles": domain_triangles,
     "domain_communities": domain_communities,
+    "benford_price_audit": benford_price_audit,
 }

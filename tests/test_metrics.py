@@ -82,3 +82,47 @@ def test_doclen_quantile_sketch_rank_error_bound(spark):
             target = p * n
             assert rank_lo - eps * n - 1 <= target <= rank_hi + eps * n + 1, (
                 lang, p, est, rank_lo, rank_hi, target)
+
+
+# ------------------------------------------------------------- benford ------
+
+
+def test_benford_matches_python_twin(spark):
+    from dq.metrics import BENFORD_MICRO, benford_digits
+
+    vals = [2 ** k for k in range(1, 60)] + [0, -5, 7, 77, 777]  # 0/-5 excluded
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = {r.digit: (r.obs_cnt, r.exp_micro, r.dev_micro)
+           for r in benford_digits(df).collect()}
+    pos = [v for v in vals if v > 0]
+    n = len(pos)
+    from collections import Counter
+    obs = Counter(int(str(v)[0]) for v in pos)
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        exp = BENFORD_MICRO[d - 1]
+        assert got[d] == (obs.get(d, 0), exp, obs.get(d, 0) * 1_000_000 - exp * n)
+
+
+def test_benford_powers_of_two_conform(spark):
+    """Powers of 2 are a textbook Benford sequence: every digit's absolute
+    deviation over 2^1..2^200 stays under 2% of N in micro-units."""
+    from dq.metrics import benford_digits
+
+    df = spark.createDataFrame([(str(2 ** k),) for k in range(1, 201)], "s string")
+    # keep the magnitude in int64 range: first digit only needs the string
+    from pyspark.sql import functions as F
+    df = df.select(F.substring("s", 1, 3).cast("long").alias("cents"))
+    rows = benford_digits(df).collect()
+    n = 200
+    assert sum(r.obs_cnt for r in rows) == n
+    for r in rows:
+        assert abs(r.dev_micro) < 20_000 * n  # < 2% absolute per digit
+
+
+def test_benford_all_digits_present_even_when_unobserved(spark):
+    from dq.metrics import benford_digits
+
+    df = spark.createDataFrame([(100,), (11,), (1,)], "cents long")
+    rows = {r.digit: r.obs_cnt for r in benford_digits(df).collect()}
+    assert rows == {1: 3, **{d: 0 for d in range(2, 10)}}
