@@ -391,6 +391,36 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source with the same contract as :func:`read_jsonl`: REQUIRED
+    explicit schema (inference is an extra full pass — never pay it at
+    scale), PERMISSIVE mode with malformed lines landing in
+    ``_corrupt_record`` for DQ accounting instead of failing the job.
+    Same Spark gotcha: reference a data column (or cache()) before
+    counting only the corrupt column. CSV is the interchange format of the
+    reference's upstream feeds; jsonl (above) is the LLM-pipeline one."""
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
 # ------------------------------------------------------- catalog tables -----
 # The reference's only data abstraction is NAMED tables in a metastore:
 # DROP TABLE IF EXISTS + CREATE TABLE ... AS SELECT, stored as ORC

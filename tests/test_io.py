@@ -482,3 +482,41 @@ def test_training_shards_verify_detects_tamper(spark, tmp_path):
         f"{out}/_shard=2"
     )
     assert verify_shards(spark, out) == [2]
+
+
+def test_read_csv_schema_and_corrupt_accounting(spark, tmp_path):
+    """CSV source: explicit schema (no inference pass), malformed rows land
+    in _corrupt_record instead of failing — the jsonl contract on the
+    reference's upstream interchange format."""
+    from dq import io as dqio
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "doc_id,score,lang\n"
+        "1,10,en\n"
+        "2,notanumber,pt\n"   # type violation -> corrupt
+        "3,30,es\n"
+    )
+    got = dqio.read_csv(
+        spark, str(p), "doc_id bigint, score bigint, lang string"
+    ).cache()
+    assert got.where("_corrupt_record is not null").count() == 1
+    ok = got.where("_corrupt_record is null")
+    assert sorted((r.doc_id, r.score, r.lang) for r in ok.collect()) == [
+        (1, 10, "en"), (3, 30, "es"),
+    ]
+    got.unpersist()
+
+
+def test_read_csv_roundtrip_with_separator(spark, tmp_path):
+    from dq import io as dqio
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "tab|safe")], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "csvout")
+    df.coalesce(1).write.option("header", "true").option("sep", "\t").csv(out)
+    back = dqio.read_csv(spark, out, "doc_id bigint, text string", sep="\t")
+    assert sorted((r.doc_id, r.text) for r in back.drop("_corrupt_record").collect()) \
+        == sorted((r.doc_id, r.text) for r in df.collect())
