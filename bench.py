@@ -141,6 +141,8 @@ HEADLINE = [
     # rounds of localCheckpoint over the 20-domain label frame), so local
     # wall time measures per-job fixed overhead, not engine throughput —
     # the gate + python-twin pytest own its correctness.
+    # coverage_source_picks stays OUT for the same reason (K greedy rounds
+    # of localCheckpoint over the covered-shingle frame).
     "retention_cohorts",         # round-5: events cohort retention
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows

@@ -4968,3 +4968,66 @@ FROM spine s LEFT JOIN obs o USING (digit) CROSS JOIN tot t
 
 
 ORACLES["benford_price_audit"] = _benford_sql()
+
+
+def _coverage_sql() -> str:
+    """Twin of queries.coverage_source_picks: the GC_K greedy rounds
+    unrolled as CTEs — marginal counts via a LEFT-JOIN-IS-NULL anti
+    pattern, argmax by (gain DESC, source) LIMIT 1, covered set unioned
+    per round. A saturated round (no source adds tokens) emits no row on
+    either engine."""
+    from dq.coverage import GC_K
+
+    parts = []
+    prev_cov = None
+    for r in range(1, GC_K + 1):
+        if prev_cov is None:
+            marg = "SELECT source, count(*) AS gain FROM pairs GROUP BY 1"
+            cov_src = "SELECT DISTINCT p.w FROM pairs p JOIN p1 USING (source)"
+        else:
+            marg = (
+                f"SELECT p.source, count(*) AS gain FROM pairs p "
+                f"LEFT JOIN {prev_cov} c ON p.w = c.w WHERE c.w IS NULL GROUP BY 1"
+            )
+            cov_src = (
+                f"SELECT w FROM {prev_cov} UNION "
+                f"SELECT p.w FROM pairs p JOIN p{r} USING (source)"
+            )
+        parts.append(
+            f"""m{r} AS (
+  {marg}
+), p{r} AS (
+  SELECT source, gain FROM m{r} ORDER BY gain DESC, source LIMIT 1
+), c{r} AS (
+  {cov_src}
+)"""
+        )
+        prev_cov = f"c{r}"
+    chain = ",\n".join(parts)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS sel_round, source, "
+        f"CAST(gain AS BIGINT) AS gain, "
+        f"CAST((SELECT count(*) FROM c{r}) AS BIGINT) AS covered_total FROM p{r}"
+        for r in range(1, GC_K + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), sh AS (
+  SELECT source,
+         CASE WHEN len(words) >= {JACCARD_SHINGLE_N}
+              THEN list_distinct(list_transform(range(1, len(words) - {JACCARD_SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(words, i, i + {JACCARD_SHINGLE_N - 1}), ' ')))
+              ELSE [coalesce(array_to_string(words, ' '), '')] END AS s
+  FROM w0
+), pairs AS (
+  SELECT DISTINCT source, unnest(s) AS w FROM sh
+),
+{chain}
+{finals}
+"""
+
+
+ORACLES["coverage_source_picks"] = _coverage_sql()

@@ -3339,6 +3339,32 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(li)
 
 
+def coverage_source_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection of GC_K sources by distinct 3-gram
+    SHINGLE coverage (dq.coverage.greedy_coverage) — the submodular
+    curation pick with the classic (1-1/e) guarantee, reduced to one
+    corpus hash-agg + K anti-join rounds. Shingles, not unigrams: the
+    synthetic template vocabulary is ~31 words shared by every source
+    (unigram coverage saturates in one pick), while shingles carry the
+    doc-specific material the objective should value. Deterministic
+    tie-breaks make every pick, gain, and cumulative coverage exact
+    integers; the DuckDB twin unrolls the rounds: an ORACLED iterative
+    algorithm."""
+    from dq.coverage import greedy_coverage
+    from dq.dedup import shingles_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "source",
+            F.explode_outer(shingles_col(F.col("text"), JACCARD_SHINGLE_N)).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .distinct()
+    )
+    return greedy_coverage(pairs)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3512,4 +3538,5 @@ QUERIES = {
     "domain_triangles": domain_triangles,
     "domain_communities": domain_communities,
     "benford_price_audit": benford_price_audit,
+    "coverage_source_picks": coverage_source_picks,
 }

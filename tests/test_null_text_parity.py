@@ -107,6 +107,7 @@ TEXT_QUERIES = [
     "recrawl_schedule",
     "allpairs_sim_pairs",
     "cm_token_counts",
+    "coverage_source_picks",
 ]
 
 
