@@ -146,3 +146,65 @@ def band_drift_py(
         ro, rn_ = a * DRIFT_SCALE // t_o, c * DRIFT_SCALE // t_n
         out[b] = (a, c, ro, rn_, rn_ - ro)
     return out
+
+
+def ks_drift(old: DataFrame, new: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """1-row EXACT two-sample Kolmogorov-Smirnov distance between two
+    snapshots' value distributions — the unbinned companion to
+    :func:`band_drift`: TV-over-bands can hide a shift that stays inside
+    one band; KS is sup over every threshold.
+
+    Exactness without floats: D = max_v |Fa(v)/na - Fb(v)/nb| is compared
+    via the cross-multiplied integer |Fa(v)*nb - Fb(v)*na| (the
+    token_drift_topk discipline); the reported ks_ppm is one final DIV of
+    exact integers. Products stay in int64 while na*nb < 2^63 (~3e9 rows
+    per side) — past that, run KS on a fixed-rate sample per side or lift
+    the three products to decimal(38,0); the gate corpus is nowhere near.
+
+    Scale shape: each corpus reduces to value-grouped counts (one map-side
+    combinable hash-agg each, value never the row); the cumulative window
+    runs over DISTINCT values only — bounded by the metric's value domain
+    (doc lengths: thousands of rows), the signal_fusion_rrf precedent for
+    a safe unpartitioned window. The argmax is TakeOrdered with a
+    deterministic min-value tie-break.
+    """
+    from pyspark.sql import Window
+
+    ca = old.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = new.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("_cb"))
+    merged = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = merged.select(
+        "v", F.sum("_ca").over(w).alias("_fa"), F.sum("_cb").over(w).alias("_fb")
+    )
+    totals = old.agg(F.count(F.lit(1)).alias("n_old")).crossJoin(
+        new.agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    scored = cums.crossJoin(totals).select(
+        "v",
+        "n_old",
+        "n_new",
+        F.abs(F.col("_fa") * F.col("n_new") - F.col("_fb") * F.col("n_old")).alias(
+            "_num"
+        ),
+    )
+    return (
+        scored.orderBy(F.col("_num").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").cast("bigint").alias("ks_at"),
+            F.col("_num").cast("bigint").alias("ks_num"),
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.expr("(_num * 1000000) div (n_old * n_new)")
+            .cast("bigint")
+            .alias("ks_ppm"),
+        )
+    )

@@ -5031,3 +5031,57 @@ WITH w0 AS (
 
 
 ORACLES["coverage_source_picks"] = _coverage_sql()
+
+
+def _snapshot_ks_sql() -> str:
+    """Twin of queries.snapshot_ks_drift — unbinned value-level counts from
+    the same planted-snapshot constants, window cumulative sums over the
+    merged distinct values, cross-multiplied integer sup, min-value
+    tie-break, one final integer DIV for ks_ppm."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+
+    suf = len(CHANGED_SUFFIX)
+    return f"""
+WITH ca AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c_a
+  FROM documents WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM} GROUP BY 1
+), cb AS (
+  SELECT CAST(CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
+                   THEN n_chars + {suf} ELSE n_chars END AS BIGINT) AS v,
+         count(*) AS c_b
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM} GROUP BY 1
+), m AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+), cum AS (
+  SELECT v,
+         sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+         sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+  FROM m
+), t AS (
+  SELECT sum(c_a) AS n_old, sum(c_b) AS n_new FROM m
+), scored AS (
+  SELECT v, abs(fa * t.n_new - fb * t.n_old) AS num, t.n_old, t.n_new
+  FROM cum, t
+)
+SELECT CAST(v AS BIGINT) AS ks_at,
+       CAST(num AS BIGINT) AS ks_num,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST((num * 1000000) // (n_old * n_new) AS BIGINT) AS ks_ppm
+FROM scored
+ORDER BY num DESC, v ASC
+LIMIT 1
+"""
+
+
+ORACLES["snapshot_ks_drift"] = _snapshot_ks_sql()

@@ -3365,6 +3365,18 @@ def coverage_source_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coverage(pairs)
 
 
+def snapshot_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the planted
+    crawl snapshots' length distributions (dq.drift.ks_drift): sup-over-
+    thresholds drift the banded TV scorecard can miss when a shift stays
+    inside one band. Cross-multiplied integers end-to-end; one final DIV
+    yields ks_ppm."""
+    from dq.drift import ks_drift, planted_length_snapshots
+
+    old, new = planted_length_snapshots(_t(spark, sf_dir, "documents"))
+    return ks_drift(old, new)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3539,4 +3551,5 @@ QUERIES = {
     "domain_communities": domain_communities,
     "benford_price_audit": benford_price_audit,
     "coverage_source_picks": coverage_source_picks,
+    "snapshot_ks_drift": snapshot_ks_drift,
 }

@@ -119,3 +119,65 @@ def test_whole_band_translation_tv_is_total(spark):
     )
     s = drift_summary(band_drift(df, shifted)).collect()[0]
     assert s.tv_ppm >= DRIFT_SCALE - s.n_bands
+
+
+# ---------------------------------------------------------------- KS drift --
+
+
+def _py_ks(a, b):
+    """(ks_at, ks_num, n_old, n_new, ks_ppm) python twin of dq.drift.ks_drift."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    fa = fb = 0
+    best = (-1, None)
+    for v in sorted(set(ca) | set(cb)):
+        fa += ca.get(v, 0)
+        fb += cb.get(v, 0)
+        num = abs(fa * nb - fb * na)
+        if num > best[0]:
+            best = (num, v)
+    num, v = best
+    return (v, num, na, nb, (num * 1_000_000) // (na * nb))
+
+
+def _ks_row(spark, a, b):
+    from dq.drift import ks_drift
+
+    da = spark.createDataFrame([(v,) for v in a], "n_chars long")
+    db = spark.createDataFrame([(v,) for v in b], "n_chars long")
+    r = ks_drift(da, db).collect()[0]
+    return (r.ks_at, r.ks_num, r.n_old, r.n_new, r.ks_ppm)
+
+
+def test_ks_matches_python_twin(spark):
+    a = [10, 10, 20, 30, 30, 30, 40]
+    b = [10, 20, 20, 20, 40, 50]
+    assert _ks_row(spark, a, b) == _py_ks(a, b)
+
+
+def test_ks_identical_distributions_zero(spark):
+    a = [5, 5, 7, 9]
+    got = _ks_row(spark, a, a)
+    assert got[1] == 0 and got[4] == 0
+    assert got[0] == 5  # min-value tie-break across the all-zero sups
+
+
+def test_ks_disjoint_distributions_is_one(spark):
+    got = _ks_row(spark, [10, 10, 10], [20, 20])
+    assert got == (10, 6, 3, 2, 1_000_000)  # D = 1 exactly at v=10
+
+
+def test_ks_detects_within_band_shift(spark):
+    """The scenario band TV misses: a +5-char shift inside one
+    DRIFT_BAND_WIDTH=40 band — banded TV is 0, KS is not."""
+    from dq.drift import DRIFT_BAND_WIDTH, band_drift_py
+
+    a = [100] * 50
+    b = [105] * 50
+    assert 100 // DRIFT_BAND_WIDTH == 105 // DRIFT_BAND_WIDTH
+    bands = band_drift_py(a, b)
+    assert all(d[4] == 0 for d in bands.values())  # TV blind
+    got = _ks_row(spark, a, b)
+    assert got[1] > 0 and got[4] == 1_000_000  # KS sees total separation
