@@ -857,3 +857,32 @@ def test_above_avg_decorrelates_without_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     # correlated scalars become custkey-keyed aggregates joined back
     assert plan.count("hashpartitioning(o_custkey") >= 1, plan
+
+
+# ------------------------------------------------ registry-wide plan audit --
+
+
+def test_registry_sweep_no_row_python_no_cartesian(spark):
+    """EVERY gate query's physical plan, mechanically audited: zero
+    row-at-a-time Python UDFs (BatchEvalPython — the north-rule
+    'vectorized pandas/Arrow UDFs only' invariant; pandas UDFs surface as
+    ArrowEvalPython / FlatMapGroupsInPandas and are allowed) and zero
+    CartesianProduct. Spot plan tests above pin SHAPES; this sweep pins
+    the two never-acceptable nodes across the whole registry, so a future
+    query can't quietly ship either one."""
+    from dq.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()  # cached fragments can hide a plan's nodes
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            node
+            for node in ("BatchEvalPython", "CartesianProduct")
+            if node in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"forbidden plan nodes: {offenders}"
