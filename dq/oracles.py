@@ -5085,3 +5085,24 @@ LIMIT 1
 
 
 ORACLES["snapshot_ks_drift"] = _snapshot_ks_sql()
+
+
+def _domain_gini_sql() -> str:
+    """Twin of queries.domain_gini: same ascending (x, key) rank, same
+    integer Gini and top-share DIVs."""
+    return """
+WITH counts AS (
+  SELECT source AS k, count(*) AS x FROM documents GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(x) AS BIGINT) AS total_rows,
+       CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm,
+       CAST((max(x) * 1000000) // sum(x) AS BIGINT) AS top_share_ppm
+FROM ranked
+"""
+
+
+ORACLES["domain_gini"] = _domain_gini_sql()

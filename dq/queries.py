@@ -3377,6 +3377,18 @@ def snapshot_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(old, new)
 
 
+def domain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of document concentration across source
+    domains (dq.skew.gini_concentration) — the skew audit that calibrates
+    the salting/budget tier: gini_ppm near 0 = uniform crawl, near 1e6 =
+    one domain owns the corpus; top_share_ppm rides along. Integer
+    arithmetic end-to-end, one bounded rank window over the per-domain
+    count table."""
+    from dq.skew import gini_concentration
+
+    return gini_concentration(_t(spark, sf_dir, "documents"), "source")
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3552,4 +3564,5 @@ QUERIES = {
     "benford_price_audit": benford_price_audit,
     "coverage_source_picks": coverage_source_picks,
     "snapshot_ks_drift": snapshot_ks_drift,
+    "domain_gini": domain_gini,
 }

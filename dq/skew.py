@@ -150,3 +150,42 @@ def hybrid_hot_cold_join(
     cold_rows = tagged.where(F.col("_hot").isNull()).drop("_hot")
     small_hot = F.broadcast(small.join(hot_keys, key, "left_semi"))
     return hot_rows.join(small_hot, key, how).unionByName(cold_rows.join(small, key, how))
+
+
+def gini_concentration(df: DataFrame, key: str) -> DataFrame:
+    """1-row exact Gini coefficient of row-count concentration across a
+    key's values — the skew MEASUREMENT this module's defusals act on
+    (salting policy, crawl-budget caps, AQE expectations are all set by
+    how concentrated the domain distribution actually is).
+
+    Exact integers end-to-end: counts x_i ranked ascending (ties by key —
+    the rank assignment is tie-order-invariant because equal x at ranks
+    i, j contribute (i+j)*x either way), then
+    G = (2*Σ i*x_i - (n+1)*Σx) / (n*Σx), reported as gini_ppm via one
+    integer DIV; top_share_ppm (largest value's row share) rides along.
+    The rank window orders the per-key COUNT table — bounded by the key's
+    value domain (domains, not documents), the fusion precedent for an
+    unpartitioned window. Headroom: Σ i*x_i <= n * total, int64-safe while
+    n_keys * total_rows < 2^63.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("x").cast("bigint").alias("total_rows"),
+        F.sum(F.col("i") * F.col("x")).alias("_ix"),
+        F.max("x").alias("_mx"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        F.expr(
+            "(2 * _ix - (n_keys + 1) * total_rows) * 1000000"
+            " div (n_keys * total_rows)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+        F.expr("(_mx * 1000000) div total_rows").cast("bigint").alias("top_share_ppm"),
+    )

@@ -100,3 +100,47 @@ def test_salt_deterministic(spark, skewed):
     assert a == b
     buckets = {r.s for r in a}
     assert buckets <= set(range(8)) and len(buckets) == 8
+
+
+# ---------------------------------------------------------------- gini ------
+
+
+def _gini_row(spark, rows):
+    from dq.skew import gini_concentration
+
+    df = spark.createDataFrame([(k,) for k in rows], "source string")
+    r = gini_concentration(df, "source").collect()[0]
+    return (r.n_keys, r.total_rows, r.gini_ppm, r.top_share_ppm)
+
+
+def test_gini_uniform_is_zero(spark):
+    got = _gini_row(spark, [f"d{i}" for i in range(5) for _ in range(4)])
+    assert got == (5, 20, 0, 200_000)
+
+
+def test_gini_total_concentration_approaches_one(spark):
+    """One key owns everything but one row across many keys: G -> (n-1)/n."""
+    rows = ["hot"] * 96 + ["c1", "c2", "c3", "c4"]
+    n, tot, gini, top = _gini_row(spark, rows)
+    assert (n, tot, top) == (5, 100, 960_000)
+    # exact integer value: ranks 1..4 on the singles, 5 on the hot key
+    ix = 1 + 2 + 3 + 4 + 5 * 96
+    expect = (2 * ix - 6 * 100) * 1_000_000 // (5 * 100)
+    assert gini == expect and gini > 700_000
+
+
+def test_gini_matches_python_twin_and_tie_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [f"d{rng.randrange(8)}" for _ in range(200)]
+    n, tot, gini, top = _gini_row(spark, rows)
+    from collections import Counter
+
+    xs = sorted(Counter(rows).values())
+    ix = sum((i + 1) * x for i, x in enumerate(xs))
+    assert gini == (2 * ix - (len(xs) + 1) * tot) * 1_000_000 // (len(xs) * tot)
+    assert top == max(xs) * 1_000_000 // tot
+    # tie-order invariance: equal counts permuted -> same Σ i*x_i
+    xs2 = sorted(Counter(rows).values(), reverse=False)
+    assert sum((i + 1) * x for i, x in enumerate(xs2)) == ix
