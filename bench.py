@@ -139,6 +139,7 @@ HEADLINE = [
     "benford_price_audit",       # round-5: Benford first-digit DQ audit
     "snapshot_ks_drift",         # round-5: exact KS snapshot drift
     "domain_gini",               # round-5: exact Gini skew audit
+    "k_anonymity_audit",         # round-5: k-anonymity privacy audit
     # domain_communities stays OUT of the headline: iterative (3 LPA
     # rounds of localCheckpoint over the 20-domain label frame), so local
     # wall time measures per-job fixed overhead, not engine throughput —

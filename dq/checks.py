@@ -147,3 +147,30 @@ ORDERS_CHECKS: list[Check] = [
     Check("at_least_100_rows", "min_rows", n=100),
     Check("custkey_fk_customer", "fk", col="o_custkey", dim="customer", dim_col="c_custkey"),
 ]
+
+
+K_ANON_K = 5                 # minimum group size (oracle generated from this)
+K_ANON_LEN_BAND = 200        # n_chars band width for the quasi-identifier
+
+
+def k_anonymity_violations(
+    df: DataFrame, qi_cols: list[str], k: int = K_ANON_K
+) -> DataFrame:
+    """Groups of quasi-identifier combinations with fewer than ``k`` rows —
+    the k-anonymity audit (Sweeney 2002) that complements the PII scrub:
+    scrubbing removes direct identifiers, but a (source, lang, length)
+    combination occurring once still singles a document out for linkage.
+    One hash-agg + HAVING; output is the violating groups and their sizes
+    (re-identification risk surface), smallest first being the analyst's
+    priority is NOT baked in — no sort, the gate compares as a set.
+
+    NULL quasi-identifier values form their own groups (NULL is itself a
+    linkable value); group keys pass through COALESCE-free so both engines
+    group NULLs identically (both treat NULL as one group key).
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .where(F.col("group_n") < k)
+        .select(*qi_cols, F.col("group_n").cast("bigint").alias("group_n"))
+    )

@@ -5106,3 +5106,21 @@ FROM ranked
 
 
 ORACLES["domain_gini"] = _domain_gini_sql()
+
+
+def _k_anonymity_sql() -> str:
+    """Twin of queries.k_anonymity_audit — same QI banding and HAVING,
+    generated from the dq.checks constants."""
+    from dq.checks import K_ANON_K, K_ANON_LEN_BAND
+
+    return f"""
+SELECT source, lang,
+       CAST(n_chars // {K_ANON_LEN_BAND} AS BIGINT) AS len_band,
+       CAST(count(*) AS BIGINT) AS group_n
+FROM documents
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON_K}
+"""
+
+
+ORACLES["k_anonymity_audit"] = _k_anonymity_sql()

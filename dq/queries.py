@@ -3389,6 +3389,22 @@ def domain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(_t(spark, sf_dir, "documents"), "source")
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (source, lang, length-band) quasi-identifiers
+    (dq.checks.k_anonymity_violations): groups smaller than K_ANON_K are
+    the re-identification risk surface the PII scrub alone cannot close —
+    the privacy-side DQ gate next to the constraint suite. One hash-agg +
+    HAVING; exact integers."""
+    from dq.checks import K_ANON_K, K_ANON_LEN_BAND, k_anonymity_violations
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.expr(f"n_chars div {K_ANON_LEN_BAND}").cast("bigint").alias("len_band"),
+    )
+    return k_anonymity_violations(docs, ["source", "lang", "len_band"], K_ANON_K)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3565,4 +3581,5 @@ QUERIES = {
     "coverage_source_picks": coverage_source_picks,
     "snapshot_ks_drift": snapshot_ks_drift,
     "domain_gini": domain_gini,
+    "k_anonymity_audit": k_anonymity_audit,
 }

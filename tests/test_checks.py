@@ -125,3 +125,33 @@ def test_report_is_constraint_rows_only(toy, dim):
 def test_unknown_kind_raises(toy):
     with pytest.raises(ValueError):
         run_checks(toy, [Check("bogus", "approx_quantile", col="k")])
+
+
+# ------------------------------------------------------------ k-anonymity --
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from dq.checks import k_anonymity_violations
+
+    rows = (
+        [("a", "en")] * 5      # exactly k -> safe
+        + [("a", "pt")] * 4    # k-1 -> flagged
+        + [("b", "en")] * 1    # singleton -> flagged
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        (r.source, r.lang): r.group_n
+        for r in k_anonymity_violations(df, ["source", "lang"], k=5).collect()
+    }
+    assert got == {("a", "pt"): 4, ("b", "en"): 1}
+
+
+def test_k_anonymity_null_qi_is_its_own_group(spark):
+    """NULL lang is a linkable value: it must group and flag like any
+    other, never vanish from the audit."""
+    from dq.checks import k_anonymity_violations
+
+    rows = [("a", None)] * 3 + [("a", "en")] * 9
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = k_anonymity_violations(df, ["source", "lang"], k=5).collect()
+    assert [(r.source, r.lang, r.group_n) for r in got] == [("a", None, 3)]
