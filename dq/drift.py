@@ -208,3 +208,62 @@ def ks_drift(old: DataFrame, new: DataFrame, value_col: str = "n_chars") -> Data
             .alias("ks_ppm"),
         )
     )
+
+
+def rank_sum_drift(old: DataFrame, new: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """1-row EXACT Mann-Whitney U between two snapshots' value
+    distributions — the location-shift companion to :func:`ks_drift` (KS
+    is sup-distance; U asks "is a NEW doc longer than an OLD doc more
+    often than chance"). cles_ppm is the common-language effect size
+    U_old / (n_old*n_new) — exactly P(old > new) + P(tie)/2, i.e. the
+    AUC between the two samples.
+
+    Tie-exact integer arithmetic: midranks would be halves, so everything
+    carries DOUBLED ranks — a value spanning ranks S+1..S+c has doubled
+    midrank 2S + c + 1, and u2 = 2U stays integral: u2_old =
+    Σ c_old(v)·m2(v) − n_old·(n_old+1). The invariant
+    u2_old + u2_new == 2·n_old·n_new is pytest-pinned. Same scale shape
+    as ks_drift: per-value count aggs, one value-domain-bounded window,
+    int64 headroom to ~2e9 rows/side (Σ c·m2 <= 2N²).
+    """
+    from pyspark.sql import Window
+
+    ca = old.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = new.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("_cb"))
+    merged = ca.join(cb, "v", "full_outer").select(
+        "v",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "_ca",
+        "_cb",
+        # doubled midrank: 2*(cumulative BEFORE this value) + span + 1
+        (
+            2 * (F.sum(F.col("_ca") + F.col("_cb")).over(w) - F.col("_ca") - F.col("_cb"))
+            + F.col("_ca")
+            + F.col("_cb")
+            + 1
+        ).alias("_m2"),
+    )
+    return cum.agg(
+        F.sum("_ca").cast("bigint").alias("n_old"),
+        F.sum("_cb").cast("bigint").alias("n_new"),
+        F.sum(F.col("_ca") * F.col("_m2")).alias("_r2a"),
+        F.sum(F.col("_cb") * F.col("_m2")).alias("_r2b"),
+    ).select(
+        "n_old",
+        "n_new",
+        (F.col("_r2a") - F.col("n_old") * (F.col("n_old") + 1))
+        .cast("bigint")
+        .alias("u2_old"),
+        (F.col("_r2b") - F.col("n_new") * (F.col("n_new") + 1))
+        .cast("bigint")
+        .alias("u2_new"),
+        F.expr(
+            "((_r2a - n_old * (n_old + 1)) * 1000000) div (2 * n_old * n_new)"
+        )
+        .cast("bigint")
+        .alias("cles_ppm"),
+    )

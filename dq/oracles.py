@@ -5124,3 +5124,53 @@ HAVING count(*) < {K_ANON_K}
 
 
 ORACLES["k_anonymity_audit"] = _k_anonymity_sql()
+
+
+def _snapshot_rank_sql() -> str:
+    """Twin of queries.snapshot_rank_drift — same doubled-midrank algebra
+    over the planted-snapshot value counts."""
+    from dq.crawldiff import (
+        CHANGED_MOD,
+        CHANGED_REM,
+        CHANGED_SUFFIX,
+        NEW_DROP_MOD,
+        NEW_DROP_REM,
+        OLD_DROP_MOD,
+        OLD_DROP_REM,
+    )
+
+    suf = len(CHANGED_SUFFIX)
+    return f"""
+WITH ca AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c_a
+  FROM documents WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM} GROUP BY 1
+), cb AS (
+  SELECT CAST(CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM}
+                   THEN n_chars + {suf} ELSE n_chars END AS BIGINT) AS v,
+         count(*) AS c_b
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM} GROUP BY 1
+), m AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+), cum AS (
+  SELECT c_a, c_b,
+         2 * (sum(c_a + c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              - c_a - c_b) + c_a + c_b + 1 AS m2
+  FROM m
+), agg AS (
+  SELECT sum(c_a) AS n_old, sum(c_b) AS n_new,
+         sum(c_a * m2) AS r2a, sum(c_b * m2) AS r2b
+  FROM cum
+)
+SELECT CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(r2a - n_old * (n_old + 1) AS BIGINT) AS u2_old,
+       CAST(r2b - n_new * (n_new + 1) AS BIGINT) AS u2_new,
+       CAST(((r2a - n_old * (n_old + 1)) * 1000000)
+            // (2 * n_old * n_new) AS BIGINT) AS cles_ppm
+FROM agg
+"""
+
+
+ORACLES["snapshot_rank_drift"] = _snapshot_rank_sql()

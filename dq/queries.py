@@ -3405,6 +3405,18 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_violations(docs, ["source", "lang", "len_band"], K_ANON_K)
 
 
+def snapshot_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between the planted crawl snapshots' length
+    distributions (dq.drift.rank_sum_drift): the location-shift companion
+    to snapshot_ks_drift, with cles_ppm = the sample AUC P(old > new) +
+    ties/2 as an exact integer DIV. Doubled midranks keep tie handling
+    integral end-to-end."""
+    from dq.drift import planted_length_snapshots, rank_sum_drift
+
+    old, new = planted_length_snapshots(_t(spark, sf_dir, "documents"))
+    return rank_sum_drift(old, new)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3582,4 +3594,5 @@ QUERIES = {
     "snapshot_ks_drift": snapshot_ks_drift,
     "domain_gini": domain_gini,
     "k_anonymity_audit": k_anonymity_audit,
+    "snapshot_rank_drift": snapshot_rank_drift,
 }

@@ -181,3 +181,53 @@ def test_ks_detects_within_band_shift(spark):
     assert all(d[4] == 0 for d in bands.values())  # TV blind
     got = _ks_row(spark, a, b)
     assert got[1] > 0 and got[4] == 1_000_000  # KS sees total separation
+
+
+# ------------------------------------------------------------ rank sum (U) --
+
+
+def _u_row(spark, a, b):
+    from dq.drift import rank_sum_drift
+
+    da = spark.createDataFrame([(v,) for v in a], "n_chars long")
+    db = spark.createDataFrame([(v,) for v in b], "n_chars long")
+    r = rank_sum_drift(da, db).collect()[0]
+    return (r.n_old, r.n_new, r.u2_old, r.u2_new, r.cles_ppm)
+
+
+def _py_u2(a, b):
+    """Doubled Mann-Whitney U via explicit midranks (scipy-free twin)."""
+    vals = sorted(a + b)
+    # doubled midrank per value: first+last 1-based rank holding it
+    first = {}
+    for i, v in enumerate(vals, 1):
+        first.setdefault(v, i)
+    last = {}
+    for i, v in enumerate(vals, 1):
+        last[v] = i
+    m2 = {v: first[v] + last[v] for v in first}
+    r2a = sum(m2[v] for v in a)
+    r2b = sum(m2[v] for v in b)
+    na, nb = len(a), len(b)
+    return r2a - na * (na + 1), r2b - nb * (nb + 1)
+
+
+def test_u_matches_python_twin_with_ties(spark):
+    a = [10, 10, 20, 30, 30, 40]
+    b = [10, 20, 20, 50, 50]
+    na, nb, u2a, u2b, cles = _u_row(spark, a, b)
+    assert (u2a, u2b) == _py_u2(a, b)
+    assert u2a + u2b == 2 * na * nb  # the U partition invariant
+    assert cles == u2a * 1_000_000 // (2 * na * nb)
+
+
+def test_u_total_separation(spark):
+    """All of NEW above all of OLD: U_old = 0, cles = 0; flipped: 1e6."""
+    assert _u_row(spark, [1, 2, 3], [10, 20]) == (3, 2, 0, 12, 0)
+    assert _u_row(spark, [10, 20], [1, 2, 3]) == (2, 3, 12, 0, 1_000_000)
+
+
+def test_u_identical_distributions_is_half(spark):
+    a = [5, 7, 7, 9]
+    na, nb, u2a, u2b, cles = _u_row(spark, a, a)
+    assert u2a == u2b and cles == 500_000
