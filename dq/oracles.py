@@ -199,7 +199,7 @@ def _c4_line_filter_sql() -> str:
 
     header, body, footer = _multiline_pieces()
     short = (
-        "len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> ''))"
+        "len(list_filter(regexp_split_to_array(l, '[\\s\\x0b]+'), x -> x <> ''))"
         f" < {C4_MIN_WORDS_PER_LINE}"
     )
     unterminated = f"NOT regexp_matches(l, '{_sq(C4_TERMINAL_RE)}')"
@@ -234,7 +234,7 @@ def _tfidf_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+         unnest(list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '')) AS term
   FROM documents
 ), t AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
@@ -411,7 +411,7 @@ def _doc_chunks_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(text, '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM documents WHERE text IS NOT NULL
 ), s AS (
   SELECT doc_id, words, unnest(range(0, len(words), {CHUNK_STRIDE})) AS st
@@ -481,7 +481,7 @@ def _contamination_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM documents
 ), g AS (
   SELECT doc_id, {grams} AS grams FROM w
@@ -523,7 +523,7 @@ def _dup_span_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM documents
 ), g AS (
   SELECT doc_id, {grams} AS grams FROM w
@@ -629,7 +629,7 @@ def _token_packing_sql() -> str:
 WITH t AS (
   -- coalesce twin of whitespace_token_count: NULL text counts 0 tokens
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 )
@@ -715,7 +715,7 @@ def _dup_span_removed_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
                      x -> x <> '') AS words
   FROM documents
 ), g AS (
@@ -787,7 +787,7 @@ def _doclen_percentiles_by_lang_sql() -> str:
     from dq.queries import PCT_POINTS
 
     toks = (
-        "len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+        "len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'), "
         "x -> x <> ''))"
     )
     picks = ",\n".join(
@@ -1080,11 +1080,11 @@ FROM rated r JOIN edges e USING (lang)
 """
 
 
-_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-_WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_WORDS = "list_filter(regexp_split_to_array(text, '[\\s\\x0b]+'), x -> x <> '')"
+_WORDS_LOWER = "list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '')"
 # NULL-safe twin of the above for operators whose Spark side coalesces
 # NULL text to '' (classifier/ccnet): n_tokens 0, never NULL/-1
-_WORDS_LOWER_NS = "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '')"
+_WORDS_LOWER_NS = "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[\\s\\x0b]+'), x -> x <> '')"
 _LINES = "regexp_split_to_array(text, '\\n')"
 _STOPS = _sql_list(STOPWORDS)
 
@@ -1282,7 +1282,7 @@ pairs AS (
   FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
 ), w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM base
 ), sh AS (
   SELECT doc_id,
@@ -1685,7 +1685,7 @@ def _token_drift_sql() -> str:
 
     tok = (
         "unnest(list_filter(regexp_split_to_array(lower(coalesce({t}, '')), "
-        "'\\s+'), x -> x <> ''))"
+        "'[\\s\\x0b]+'), x -> x <> ''))"
     )
     new_text = (
         f"CASE WHEN doc_id % {CHANGED_MOD} = {CHANGED_REM} "
@@ -1756,7 +1756,7 @@ WITH t AS (
                     || list_element({phrases},
                          CAST(doc_id % {len(SOFT404_TITLE_PHRASES)} AS INT) + 1)
                ELSE {_url_expr()} END) AS title,
-         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
               x -> x <> '')) AS BIGINT) AS n_words
   FROM documents
 )
@@ -2103,7 +2103,7 @@ pb AS ({_PLANTED_BASE}),
 toks AS (
   -- coalesce twin of whitespace_token_count: NULL text counts 0 tokens
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM pb
 ), ranked AS (
@@ -2329,7 +2329,7 @@ FROM planted
 """,
     "token_counts": f"""
 SELECT doc_id,
-       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
                             x -> x <> '')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(coalesce(text, ''), '{BPE_SPLIT_PATTERN}'))
             AS BIGINT) AS bpe_tokens,
@@ -2370,7 +2370,7 @@ SELECT doc_id, lang AS lang_hint FROM r WHERE rn = 1
     "repetition_metrics": """
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM documents
 ), g2 AS (
   SELECT doc_id, unnest(list_transform(range(1, len(words)),
@@ -2398,7 +2398,7 @@ FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 """,
     "doc_fingerprints": """
 SELECT doc_id,
-       sha256(coalesce(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), ' '), '')) AS fingerprint
+       sha256(coalesce(array_to_string(list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> ''), ' '), '')) AS fingerprint
 FROM documents
 """,
     "tfidf_top_terms": _tfidf_sql(),
@@ -2425,7 +2425,7 @@ FROM documents
     "corpus_report": """
 WITH w AS (
   SELECT lang, text,
-         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
              x -> x <> '')) AS toks
   FROM documents
 )
@@ -2754,7 +2754,7 @@ def _collocation_sql() -> str:
 
     return f"""
 WITH toks AS (
-  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[\\s\\x0b]+'),
                      x -> x <> '') AS w
   FROM documents
 ), uc AS (
@@ -2795,7 +2795,7 @@ def _readability_cte(prefix: str = "") -> str:
     return f"""{prefix}m AS (
   SELECT doc_id,
          greatest(1, CAST(len(list_filter(
-             regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
              x -> x <> '')) AS BIGINT)) AS n_words,
          greatest(1, CAST(len(regexp_extract_all(coalesce(text, ''),
              '{SENTENCE_PATTERN}')) AS BIGINT)) AS n_sentences,
@@ -2907,7 +2907,7 @@ def _unimax_sql() -> str:
     return f"""
 WITH dt AS (
   SELECT lang,
-         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[\\s\\x0b]+'),
                               x -> x <> '')) AS BIGINT) AS t
   FROM documents
 ), base AS (
@@ -3640,7 +3640,7 @@ def _heavy_hitter_tokens_sql() -> str:
 
     return f"""
 WITH toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'),
                             x -> x <> '')) AS token
   FROM documents
 )
@@ -3864,7 +3864,7 @@ ORACLES["filter_overlap_matrix"] = _filter_overlap_matrix_sql()
 
 
 _TRAIN_TOKS = (
-    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),"
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[\\s\\x0b]+'),"
     " x -> x <> '')"
 )
 
@@ -4068,7 +4068,7 @@ pairs AS (
   FROM documents WHERE doc_id % {PLANT_NEAR_MOD} = 0
 ), w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM base
 ), sh AS (
   SELECT doc_id,
@@ -4772,7 +4772,7 @@ def _allpairs_sql() -> str:
 WITH base AS ({_PLANTED_BASE}),
 w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM base
 ), sh AS (
   SELECT doc_id,
@@ -4821,7 +4821,7 @@ def _cm_token_counts_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '')) AS w
   FROM documents
 ), h AS (
   SELECT w, {poly} AS hv FROM tok
@@ -5013,7 +5013,7 @@ def _coverage_sql() -> str:
     return f"""
 WITH w0 AS (
   SELECT source,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS words
   FROM documents
 ), sh AS (
   SELECT source,

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # BPE-ish word/number/punct tokenizer (shared, dialect-portable regex).
-BPE_SPLIT_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+# \x0b listed alongside \s: Java's \s already contains vertical tab but
+# RE2's does NOT (probed, round 5) — the explicit member keeps the
+# negated class identical in Java, python-re, and DuckDB/RE2
+BPE_SPLIT_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s\x0b]"
 
 
 def _text(col) -> Column:
