@@ -7,8 +7,10 @@ RE2 \\s), RTL runs, combining marks vs precomposed, zero-width joiners,
 dotless-i casing (locale-sensitive lower()), lone surrogates avoided but
 astral-plane emoji included, control characters, single huge tokens, and
 leading/trailing whitespace. Every oracled text query must keep
-hash-parity when twelve such documents are appended to the sf0.001
+hash-parity when twenty-one such documents are appended to the sf0.001
 corpus — a divergence here is a dialect bug the ASCII gate cannot see.
+A second batch adds BOM/ZWNBSP, NEL, U+2028/29 separators, soft hyphens,
+fi/fl/st ligatures, fullwidth digits, titlecase Dž, and sharp s.
 
 Codepoints are written as explicit escapes so no editor/tooling pass can
 silently normalize them.
@@ -40,6 +42,15 @@ NASTY_TEXTS = [
     "x" * 500 + " one huge token",
     "  leading and trailing  ",
     "",  # empty text (distinct from NULL — the null suite owns NULL)
+    # batch 2: line/format controls and compatibility characters
+    "\ufeffbom prefixed text",                    # BOM / ZWNBSP
+    "nel\u0085separated line",                    # NEL (in neither Java nor RE2 \s)
+    "line\u2028separator and\u2029paragraph",     # U+2028/29 separators
+    "soft\u00adhyphen inside word",               # SHY
+    "ligature ﬁle and ﬂow",             # fi / fl ligatures
+    "fullwidth １２３ digits",                    # U+FF11.. (outside [0-9])
+    "ﬆation ǅungla titlecase",                    # st ligature + Dž titlecase
+    "ß sharp s stays lower",
 ]
 
 
