@@ -46,3 +46,15 @@ def test_query_vs_oracle(spark, con, name):
     assert len(s) == len(o)
     assert sorted(s.columns) == sorted(o.columns)
     assert frame_hash(s) == frame_hash(o)
+
+
+def test_no_oracle_is_vacuously_empty(con):
+    """Every oracled query must produce >= 1 row at sf0.001: a pair where
+    both engines return zero rows hash-matches trivially and proves
+    nothing — this guard keeps the gate evidence non-vacuous."""
+    empty = [
+        name
+        for name, sql in oracle_sql().items()
+        if len(con.execute(sql).df()) == 0
+    ]
+    assert empty == [], f"vacuously-empty oracle results: {empty}"
