@@ -5174,3 +5174,55 @@ FROM agg
 
 
 ORACLES["snapshot_rank_drift"] = _snapshot_rank_sql()
+
+
+def _deepwalk_sql() -> str:
+    """Twin of queries.deepwalk_walks — same dst-sorted neighbor index,
+    same poly-hash + LCG state chain, steps unrolled as join CTEs."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD
+    from dq.webgraph import DEEPWALK_STEPS, DEEPWALK_WALKS
+
+    poly = (
+        "list_reduce(list_transform(string_split(start, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    wvals = ", ".join(f"({w})" for w in range(1, DEEPWALK_WALKS + 1))
+    rounds = []
+    prev = "w0"
+    for s in range(1, DEEPWALK_STEPS + 1):
+        rounds.append(
+            f"""s{s} AS (
+  SELECT w.start, w.walk_no,
+         coalesce(i.dst_domain, w.cur) AS cur,
+         (w.st * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS st,
+         w.seq || '->' || coalesce(i.dst_domain, w.cur) AS seq
+  FROM {prev} w LEFT JOIN idx i
+    ON i.src_domain = w.cur AND i.i = w.st % i.deg
+)"""
+        )
+        prev = f"s{s}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_link_edges_ctes()},
+adj AS (SELECT DISTINCT src_domain, dst_domain FROM edges),
+idx AS (
+  SELECT src_domain, dst_domain,
+         row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) - 1 AS i,
+         count(*) OVER (PARTITION BY src_domain) AS deg
+  FROM adj
+), starts AS (
+  SELECT DISTINCT src_domain AS start FROM adj
+), w0 AS (
+  SELECT start, wn AS walk_no, start AS cur,
+         (({poly} + wn) * {LCG_MUL} + {LCG_ADD}) % {SAMPLE_MOD} AS st,
+         start AS seq
+  FROM starts CROSS JOIN (VALUES {wvals}) AS wv(wn)
+),
+{chain}
+SELECT start, CAST(walk_no AS INTEGER) AS walk_no, seq FROM {prev}
+"""
+
+
+ORACLES["deepwalk_walks"] = _deepwalk_sql()

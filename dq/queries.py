@@ -3417,6 +3417,16 @@ def snapshot_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_sum_drift(old, new)
 
 
+def deepwalk_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus over the mined domain graph
+    (dq.webgraph.deepwalk_corpus): LCG-driven walk sequences — the
+    graph-to-skip-gram-text step of DeepWalk/node2vec, bit-reproduced by
+    the DuckDB twin's unrolled step joins."""
+    from dq.webgraph import deepwalk_corpus, domain_edges
+
+    return deepwalk_corpus(domain_edges(docs_as_pages(spark, sf_dir)))
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3595,4 +3605,5 @@ QUERIES = {
     "domain_gini": domain_gini,
     "k_anonymity_audit": k_anonymity_audit,
     "snapshot_rank_drift": snapshot_rank_drift,
+    "deepwalk_walks": deepwalk_walks,
 }

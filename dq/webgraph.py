@@ -458,3 +458,93 @@ def lpa_communities(
         if checkpoint:
             labels = labels.localCheckpoint()
     return labels.select(F.col("v").alias("domain"), F.col("lbl").alias("community"))
+
+
+# ---- DeepWalk-style random-walk corpus -------------------------------------
+
+DEEPWALK_STEPS = 4   # walk length beyond the start node
+DEEPWALK_WALKS = 2   # walks per start node
+
+
+def deepwalk_corpus(
+    edges: DataFrame,
+    steps: int = DEEPWALK_STEPS,
+    walks: int = DEEPWALK_WALKS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(start, walk_no, seq): deterministic DeepWalk-style random-walk
+    sequences over the directed domain graph (Perozzi et al. KDD 2014 —
+    the corpus-generation step that turns a graph into skip-gram training
+    text; node2vec generalizes the transition rule). "Random" is the
+    shared integer LCG (dq.sampling constants) seeded from the poly hash
+    of the start name + walk number: every transition is
+    ``idx = state mod out_degree`` over the node's dst-sorted neighbor
+    list, then ``state' = (state*MUL + ADD) mod SAMPLE_MOD`` — exact
+    int64 arithmetic both engines, so the full walk table is bit-exact
+    and the DuckDB twin unrolls the steps as join CTEs.
+
+    Dead ends (a node with no out-edges) self-absorb: the left join
+    misses, the walk stays put — same semantics in the twin. Scale
+    shape: the neighbor index (row_number per src over its dst-sorted
+    adjacency, degree attached) materializes once (localCheckpoint — the
+    pagerank edges lesson) and each step is one equi-join of the
+    walk frame (nodes x walks rows) against it; walk count scales the
+    frame, never the join fan-out (exactly one match per row).
+    """
+    from dq.classifier import token_hash
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD
+    from pyspark.sql import Window
+
+    adj = edges.select("src_domain", "dst_domain").distinct()
+    wd = Window.partitionBy("src_domain").orderBy("dst_domain")
+    idx = (
+        adj.select(
+            "src_domain", "dst_domain", (F.row_number().over(wd) - 1).alias("_i")
+        )
+        .join(
+            adj.groupBy("src_domain").agg(F.count(F.lit(1)).alias("_deg")),
+            "src_domain",
+        )
+    )
+    if checkpoint:
+        idx = idx.localCheckpoint()
+    starts = idx.select(F.col("src_domain").alias("start")).distinct()
+    cur = starts.select(
+        "start",
+        F.explode(F.array(*[F.lit(w) for w in range(1, walks + 1)])).alias("walk_no"),
+    ).select(
+        "start",
+        F.col("walk_no").cast("int").alias("walk_no"),
+        F.col("start").alias("_cur"),
+        (
+            ((token_hash(F.col("start")) + F.col("walk_no")) * F.lit(LCG_MUL) + F.lit(LCG_ADD))
+            % F.lit(SAMPLE_MOD)
+        ).alias("_st"),
+        F.col("start").alias("seq"),
+    )
+    for k in range(steps):
+        # per-step column aliases: the walk frame's lineage contains idx,
+        # so re-joining the bare idx trips the ambiguous-self-join check
+        si = idx.select(
+            F.col("src_domain").alias(f"_s{k}"),
+            F.col("dst_domain").alias(f"_d{k}"),
+            F.col("_i").alias(f"_i{k}"),
+            F.col("_deg").alias(f"_g{k}"),
+        )
+        j = cur.join(
+            si,
+            (cur["_cur"] == si[f"_s{k}"])
+            & (si[f"_i{k}"] == cur["_st"] % si[f"_g{k}"]),
+            "left",
+        )
+        nxt = F.coalesce(si[f"_d{k}"], cur["_cur"])
+        cur = j.select(
+            cur["start"],
+            cur["walk_no"],
+            nxt.alias("_cur"),
+            ((cur["_st"] * F.lit(LCG_MUL) + F.lit(LCG_ADD)) % F.lit(SAMPLE_MOD)).alias(
+                "_st"
+            ),
+            F.concat(cur["seq"], F.lit("->"), nxt).alias("seq"),
+        )
+    return cur.select("start", "walk_no", "seq")

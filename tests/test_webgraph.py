@@ -402,3 +402,72 @@ def test_lpa_matches_python_twin_on_mined_graph(spark):
     got = {r.domain: r.community
            for r in webgraph.lpa_communities(edges).collect()}
     assert got == _py_lpa(und, webgraph.LPA_ITERS)
+
+
+# ---------------------------------------------------------------- deepwalk --
+
+
+def _py_walks(edge_pairs, steps, walks):
+    """Python twin of dq.webgraph.deepwalk_corpus."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.sampling import LCG_ADD, LCG_MUL, SAMPLE_MOD
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * POLY_MUL + ord(ch)) % POLY_MOD
+        return h
+
+    adj = {}
+    for a, b in sorted(set(edge_pairs)):
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+    out = {}
+    for start in sorted(adj):
+        for wn in range(1, walks + 1):
+            st = ((poly(start) + wn) * LCG_MUL + LCG_ADD) % SAMPLE_MOD
+            cur, seq = start, [start]
+            for _ in range(steps):
+                nbrs = adj.get(cur, [])
+                cur = nbrs[st % len(nbrs)] if nbrs else cur
+                seq.append(cur)
+                st = (st * LCG_MUL + LCG_ADD) % SAMPLE_MOD
+            out[(start, wn)] = "->".join(seq)
+    return out
+
+
+def test_deepwalk_matches_python_twin(spark):
+    from dq import webgraph
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = _edges_df(spark, [(x, y, 1) for x, y in pairs])
+    got = {
+        (r.start, r.walk_no): r.seq
+        for r in webgraph.deepwalk_corpus(edges, steps=5, walks=3).collect()
+    }
+    assert got == _py_walks(pairs, 5, 3)
+
+
+def test_deepwalk_dead_end_self_absorbs(spark):
+    """'d' has no out-edges: a walk reaching it stays there (and a start
+    with edges into only-dead-end space pins the behavior end-to-end)."""
+    from dq import webgraph
+
+    edges = _edges_df(spark, [("a", "d", 1)])
+    got = {
+        (r.start, r.walk_no): r.seq
+        for r in webgraph.deepwalk_corpus(edges, steps=3, walks=1).collect()
+    }
+    assert got == {("a", 1): "a->d->d->d"}
+
+
+def test_deepwalk_shape_on_mined_graph(spark):
+    from dq import webgraph
+    from dq.queries import docs_as_pages
+
+    edges = webgraph.domain_edges(docs_as_pages(spark, "/root/testdata/sf0.001"))
+    rows = webgraph.deepwalk_corpus(edges).collect()
+    assert len(rows) == 20 * webgraph.DEEPWALK_WALKS
+    for r in rows:
+        assert len(r.seq.split("->")) == webgraph.DEEPWALK_STEPS + 1
