@@ -141,6 +141,7 @@ HEADLINE = [
     "domain_gini",               # round-5: exact Gini skew audit
     "k_anonymity_audit",         # round-5: k-anonymity privacy audit
     "snapshot_rank_drift",       # round-5: exact Mann-Whitney U drift
+    "ams_f2_tokens",             # round-5: AMS self-join-size sketch
     # domain_communities stays OUT of the headline: iterative (3 LPA
     # rounds of localCheckpoint over the 20-domain label frame), so local
     # wall time measures per-job fixed overhead, not engine throughput —

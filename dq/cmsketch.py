@@ -90,3 +90,89 @@ def cm_estimates(sketch: DataFrame, probes: DataFrame, token_col: str = "w") -> 
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
+
+
+# ---- AMS second-moment (F2) sketch -----------------------------------------
+
+# cubic sign hashes (a3, a2, a1, a0): AMS needs 4-WISE independent signs
+# for E[Z²] = F2 — degree-3 polynomials over the prime field give exactly
+# that (an affine-parity family was measured 83% off on the gate corpus —
+# the independence theory is load-bearing, not decoration). k sizes the
+# ESTIMATOR error, not the bias: Var(Z²) ~ 2·F2² for any stream, so the
+# mean of k estimators carries relative std ~ sqrt(2/k) — k = 64 gives
+# ~18%. Salts are generated from one deterministic LCG so both engines
+# (and the oracle generator) share the identical family.
+AMS_K = 64
+_AMS_GEN_MUL, _AMS_GEN_ADD, _AMS_GEN_MOD = 1103515245, 12345, 2**31 - 1
+
+
+def _ams_salts(k: int = AMS_K) -> list[tuple[int, int, int, int]]:
+    out, s = [], 20260821
+    for _ in range(k):
+        q = []
+        for _ in range(4):
+            s = (s * _AMS_GEN_MUL + _AMS_GEN_ADD) % _AMS_GEN_MOD
+            q.append(s)
+        # a3 must be nonzero mod P for true degree 3
+        if q[0] % POLY_MOD == 0:
+            q[0] = 1
+        out.append(tuple(q))
+    return out
+
+
+AMS_SALTS = _ams_salts()
+
+
+def ams_f2_sketch(tokens: DataFrame, token_col: str = "w") -> DataFrame:
+    """(j, z): the k linear AMS counters Z_j = Σ_occurrences s_j(token),
+    s_j ∈ {+1,-1} (Alon-Matias-Szegedy STOC'96). Z_j² estimates
+    F2 = Σ_w f_w² — the SELF-JOIN SIZE of the token stream, the statistic
+    that prices every dup-tier equi-join before running it. Like the CM
+    build: one bounded hash-agg whose partial aggregation IS the merge
+    (counters add across shards/days — pytest-pinned), k rows of state.
+
+    s_j(w) = parity of (a3·h³ + a2·h² + a1·h + a0) mod P with the powers
+    REDUCED mod P between multiplications: h < P ~ 2^30 keeps every
+    intermediate under 2^62, exact int64 on both engines. Exact to ~9e18
+    occurrences per counter; the SQUARE overflows past ~3e9 tokens — at
+    that scale keep the k counters and square in decimal/float at read
+    time (the counters, not the squares, are the mergeable state).
+    """
+    h = F.col("_h")
+    h2 = (h * h) % POLY_MOD
+    h3 = (h2 * h) % POLY_MOD
+    staged = tokens.select(token_hash(F.col(token_col)).alias("_h")).select(
+        "_h", h2.alias("_h2"), h3.alias("_h3")
+    )
+    arr = F.array(
+        *[
+            F.lit(1)
+            - 2
+            * (
+                (
+                    (F.col("_h3") * F.lit(a3) + F.col("_h2") * F.lit(a2)) % POLY_MOD
+                    + F.col("_h") * F.lit(a1)
+                    + F.lit(a0)
+                )
+                % POLY_MOD
+                % 2
+            )
+            for a3, a2, a1, a0 in AMS_SALTS
+        ]
+    )
+    return (
+        staged.select(F.posexplode(arr).alias("j", "s"))
+        .groupBy("j")
+        .agg(F.sum("s").cast("bigint").alias("z"))
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
+    """(ams_f2,): MEAN of the k squared counters (integer DIV k — exact
+    and order-free). Mean, not median-of-squares: Z² is χ²-shaped, whose
+    median sits near 0.45x its mean, so a median estimator is ~2x biased
+    low BY CONSTRUCTION — the unbiasedness lives in the expectation."""
+    k = len(AMS_SALTS)
+    return sketch.agg(
+        F.expr(f"sum(z * z) div {k}").cast("bigint").alias("ams_f2")
+    )

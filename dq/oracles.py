@@ -5226,3 +5226,51 @@ SELECT start, CAST(walk_no AS INTEGER) AS walk_no, seq FROM {prev}
 
 
 ORACLES["deepwalk_walks"] = _deepwalk_sql()
+
+
+def _ams_f2_sql() -> str:
+    """Twin of queries.ams_f2_tokens — the 64 cubic sign hashes come from
+    the same generated salt family (dq.cmsketch._ams_salts); powers are
+    reduced mod P between multiplications exactly as the Spark side."""
+    from dq.classifier import POLY_MOD, POLY_MUL
+    from dq.cmsketch import AMS_K, AMS_SALTS
+
+    poly = (
+        "list_reduce(list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), "
+        f"(a, b) -> (a * {POLY_MUL} + b) % {POLY_MOD})"
+    )
+    salts = ", ".join(
+        f"({j}, {a3}, {a2}, {a1}, {a0})" for j, (a3, a2, a1, a0) in enumerate(AMS_SALTS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\\s\\x0b]+'), x -> x <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT {poly} AS hv FROM tok
+), hh AS (
+  SELECT hv, (hv * hv) % {POLY_MOD} AS h2,
+         (((hv * hv) % {POLY_MOD}) * hv) % {POLY_MOD} AS h3
+  FROM h
+), salts(j, a3, a2, a1, a0) AS (VALUES {salts}),
+zs AS (
+  SELECT s.j,
+         sum(1 - 2 * ((((hh.h3 * s.a3 + hh.h2 * s.a2) % {POLY_MOD}
+                        + hh.hv * s.a1 + s.a0) % {POLY_MOD}) % 2)) AS z
+  FROM hh CROSS JOIN salts s
+  GROUP BY s.j
+), est AS (
+  SELECT sum(z * z) // {AMS_K} AS ams_f2 FROM zs
+), ex AS (
+  SELECT sum(c * c) AS exact_f2
+  FROM (SELECT count(*) AS c FROM tok GROUP BY w)
+)
+SELECT CAST(ex.exact_f2 AS BIGINT) AS exact_f2,
+       CAST(est.ams_f2 AS BIGINT) AS ams_f2,
+       CAST((abs(est.ams_f2 - ex.exact_f2) * 1000000) // ex.exact_f2 AS BIGINT) AS err_ppm
+FROM ex CROSS JOIN est
+"""
+
+
+ORACLES["ams_f2_tokens"] = _ams_f2_sql()

@@ -3427,6 +3427,36 @@ def deepwalk_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deepwalk_corpus(domain_edges(docs_as_pages(spark, sf_dir)))
 
 
+def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch vs exact self-join size of the token
+    stream (dq.cmsketch.ams_f2_sketch): F2 = Σ f_w² is the fan-out every
+    dup-tier equi-join pays — the sketch prices it in k counters of
+    mergeable state instead of a vocabulary-sized group-by. 4-wise
+    independent cubic sign hashes; the whole (sketch, estimate, exact,
+    error) row is exact integer arithmetic, bit-reproduced by the DuckDB
+    twin."""
+    from dq.cmsketch import ams_f2_estimate, ams_f2_sketch
+    from dq.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode_outer(tokens_col(F.col("text"))).alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("exact_f2"))
+    )
+    est = ams_f2_estimate(ams_f2_sketch(tok))
+    return exact.crossJoin(est).select(
+        "exact_f2",
+        "ams_f2",
+        F.expr("(abs(ams_f2 - exact_f2) * 1000000) div exact_f2")
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3606,4 +3636,5 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "snapshot_rank_drift": snapshot_rank_drift,
     "deepwalk_walks": deepwalk_walks,
+    "ams_f2_tokens": ams_f2_tokens,
 }

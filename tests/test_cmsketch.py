@@ -94,3 +94,66 @@ def test_cm_estimate_never_seen_token_is_zero_on_empty_sketch(spark):
 def test_cm_sketch_bounded_rows(spark, token_stream):
     df, _ = token_stream
     assert cm_sketch(df).count() <= len(CM_SALTS) * CM_W
+
+
+# -------------------------------------------------------------- AMS F2 -----
+
+
+def _py_ams_z(tokens):
+    from dq.cmsketch import AMS_SALTS
+    from dq.classifier import POLY_MOD
+
+    zs = [0] * len(AMS_SALTS)
+    for w in tokens:
+        h = _py_poly(w)
+        h2 = (h * h) % POLY_MOD
+        h3 = (h2 * h) % POLY_MOD
+        for j, (a3, a2, a1, a0) in enumerate(AMS_SALTS):
+            v = ((h3 * a3 + h2 * a2) % POLY_MOD + h * a1 + a0) % POLY_MOD
+            zs[j] += 1 - 2 * (v % 2)
+    return zs
+
+
+def test_ams_counters_match_python_twin(spark, token_stream):
+    from dq.cmsketch import ams_f2_sketch
+
+    df, words = token_stream
+    got = {r.j: r.z for r in ams_f2_sketch(df).collect()}
+    assert got == dict(enumerate(_py_ams_z(words)))
+
+
+def test_ams_merge_is_addition(spark, token_stream):
+    from pyspark.sql import functions as F
+
+    from dq.cmsketch import ams_f2_sketch
+
+    df, words = token_stream
+    half = len(words) // 2
+    a = spark.createDataFrame([(w,) for w in words[:half]], "w string")
+    b = spark.createDataFrame([(w,) for w in words[half:]], "w string")
+    merged = {
+        r.j: r.z
+        for r in ams_f2_sketch(a)
+        .unionByName(ams_f2_sketch(b))
+        .groupBy("j")
+        .agg(F.sum("z").alias("z"))
+        .collect()
+    }
+    whole = {r.j: r.z for r in ams_f2_sketch(df).collect()}
+    assert merged == whole
+
+
+def test_ams_estimate_tracks_exact_f2(spark, token_stream):
+    """On the fixture stream the 64-estimator mean lands within 50% of the
+    true self-join size (theory: relative std ~ sqrt(2/64) ~ 18%); the
+    gate corpus measures ~1-3%. Exact equality vs the python twin is the
+    real check — this bound just pins that the estimator is WORKING, not
+    merely deterministic."""
+    from dq.cmsketch import ams_f2_estimate, ams_f2_sketch
+
+    df, words = token_stream
+    exact = sum(c * c for c in Counter(words).values())
+    est = ams_f2_estimate(ams_f2_sketch(df)).collect()[0].ams_f2
+    zs = _py_ams_z(words)
+    assert est == sum(z * z for z in zs) // len(zs)
+    assert abs(est - exact) <= exact // 2

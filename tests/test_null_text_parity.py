@@ -108,6 +108,7 @@ TEXT_QUERIES = [
     "allpairs_sim_pairs",
     "cm_token_counts",
     "coverage_source_picks",
+    "ams_f2_tokens",
 ]
 
 
