@@ -147,8 +147,9 @@ HEADLINE = [
     # wall time measures per-job fixed overhead, not engine throughput —
     # the gate + python-twin pytest own its correctness.
     # coverage_source_picks stays OUT for the same reason (K greedy rounds
-    # of localCheckpoint over the covered-shingle frame), as does
-    # deepwalk_walks (K step-joins over the 40-row walk frame).
+    # of localCheckpoint over the covered-shingle frame), as are
+    # deepwalk_walks / deepwalk_skipgrams (K step-joins over the 40-row
+    # walk frame).
     "retention_cohorts",         # round-5: events cohort retention
     "event_funnel",              # round-5: ordered-step conversion funnel
     "active_user_windows",       # round-5: DAU/WAU/MAU rolling windows

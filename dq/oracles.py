@@ -5274,3 +5274,32 @@ FROM ex CROSS JOIN est
 
 
 ORACLES["ams_f2_tokens"] = _ams_f2_sql()
+
+
+def _deepwalk_skipgrams_sql() -> str:
+    """Twin of queries.deepwalk_skipgrams: the deepwalk twin's walk table
+    re-split and windowed into (center, context) pairs."""
+    from dq.webgraph import SKIPGRAM_WINDOW
+
+    walks = _deepwalk_sql().strip()
+    # strip the trailing final SELECT, keep the CTE chain + final name
+    head, _, final = walks.rpartition("SELECT start, CAST(walk_no AS INTEGER) AS walk_no, seq FROM ")
+    final = final.strip()
+    return f"""{head}
+, lst AS (
+  SELECT string_split(seq, '->') AS l FROM {final}
+), pos AS (
+  SELECT l, unnest(range(1, len(l) + 1)) AS i FROM lst
+), pq AS (
+  SELECT l, i, unnest(range(greatest(1, i - {SKIPGRAM_WINDOW}),
+                            least(len(l), i + {SKIPGRAM_WINDOW}) + 1)) AS j
+  FROM pos
+)
+SELECT l[i] AS center, l[j] AS context,
+       CAST(count(*) AS BIGINT) AS pair_cnt
+FROM pq WHERE j <> i
+GROUP BY 1, 2
+"""
+
+
+ORACLES["deepwalk_skipgrams"] = _deepwalk_skipgrams_sql()

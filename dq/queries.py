@@ -3457,6 +3457,18 @@ def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deepwalk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pairs extracted from the deterministic
+    DeepWalk corpus (dq.webgraph.skipgram_pairs) — the word2vec training
+    unit the walks exist to produce; counts per (center, context) node
+    pair within the window. Deterministic walks make the whole pair table
+    bit-exact."""
+    from dq.webgraph import deepwalk_corpus, domain_edges, skipgram_pairs
+
+    walks = deepwalk_corpus(domain_edges(docs_as_pages(spark, sf_dir)))
+    return skipgram_pairs(walks)
+
+
 # --------------------------------------------------------- registry ---------
 
 QUERIES = {
@@ -3637,4 +3649,5 @@ QUERIES = {
     "snapshot_rank_drift": snapshot_rank_drift,
     "deepwalk_walks": deepwalk_walks,
     "ams_f2_tokens": ams_f2_tokens,
+    "deepwalk_skipgrams": deepwalk_skipgrams,
 }

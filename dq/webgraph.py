@@ -548,3 +548,32 @@ def deepwalk_corpus(
             F.concat(cur["seq"], F.lit("->"), nxt).alias("seq"),
         )
     return cur.select("start", "walk_no", "seq")
+
+
+SKIPGRAM_WINDOW = 2  # context radius over the walk sequence
+
+
+def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame:
+    """(center, context, pair_cnt): the skip-gram co-occurrence pairs the
+    DeepWalk corpus exists to feed (word2vec's training unit) — every
+    (node, neighbor-within-window) pair across all walk sequences,
+    counted. Two staged explodes: positions first (posexplode of the
+    split sequence), then the bounded context range (explode of a
+    constant-width integer sequence; element reads are O(1) on the row's
+    array — no lambda captures the split tree). The count agg is the only
+    exchange, keyed by node pairs."""
+    lst = walks.select(F.split("seq", "->").alias("_l"))
+    pos = lst.select("_l", F.posexplode("_l").alias("_i0", "center"))
+    j = F.explode(
+        F.sequence(
+            F.greatest(F.lit(1), F.col("_i0") + 1 - window),
+            F.least(F.size("_l"), F.col("_i0") + 1 + window),
+        )
+    )
+    fan = pos.select("_l", (F.col("_i0") + 1).alias("_i1"), "center", j.alias("_j"))
+    return (
+        fan.where(F.col("_j") != F.col("_i1"))
+        .select("center", F.element_at("_l", F.col("_j")).alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+    )

@@ -471,3 +471,29 @@ def test_deepwalk_shape_on_mined_graph(spark):
     assert len(rows) == 20 * webgraph.DEEPWALK_WALKS
     for r in rows:
         assert len(r.seq.split("->")) == webgraph.DEEPWALK_STEPS + 1
+
+
+def test_skipgram_pairs_match_python_twin(spark):
+    from dq import webgraph
+
+    walks = spark.createDataFrame(
+        [("a", 1, "a->b->c->b->d"), ("x", 1, "x->y")],
+        "start string, walk_no int, seq string",
+    )
+    got = {
+        (r.center, r.context): r.pair_cnt
+        for r in webgraph.skipgram_pairs(walks, window=2).collect()
+    }
+    from collections import Counter
+
+    expect = Counter()
+    for seq in ("a->b->c->b->d", "x->y"):
+        l = seq.split("->")
+        for i, c in enumerate(l):
+            for j in range(max(0, i - 2), min(len(l), i + 3)):
+                if j != i:
+                    expect[(c, l[j])] += 1
+    assert got == dict(expect)
+    # symmetry of the window: (u,v) and (v,u) counts match
+    for (u, v), n in got.items():
+        assert got.get((v, u)) == n
