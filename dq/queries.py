@@ -3435,26 +3435,14 @@ def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent cubic sign hashes; the whole (sketch, estimate, exact,
     error) row is exact integer arithmetic, bit-reproduced by the DuckDB
     twin."""
-    from dq.cmsketch import ams_f2_estimate, ams_f2_sketch
+    from dq.cmsketch import ams_f2_report
     from dq.dedup import tokens_col
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode_outer(tokens_col(F.col("text"))).alias("w")).where(
         F.col("w").isNotNull()
     )
-    exact = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("exact_f2"))
-    )
-    est = ams_f2_estimate(ams_f2_sketch(tok))
-    return exact.crossJoin(est).select(
-        "exact_f2",
-        "ams_f2",
-        F.expr("(abs(ams_f2 - exact_f2) * 1000000) div exact_f2")
-        .cast("bigint")
-        .alias("err_ppm"),
-    )
+    return ams_f2_report(tok)
 
 
 def deepwalk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
